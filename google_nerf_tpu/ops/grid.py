@@ -1,0 +1,152 @@
+"""Occupancy/density-grid maintenance (fully jittable, no host sync).
+
+TPU-native rebuild of reference `ngp_pl/models/networks.py:119-252`:
+  * all-cell enumeration                    (networks.py:119-131)
+  * uniform + occupied cell sampling       (networks.py:133-157) — the
+    `torch.nonzero` dynamic-shape sampling becomes a cumsum+searchsorted draw
+    over the occupancy mask with static sample counts
+  * mark_invisible_cells                   (networks.py:159-214)
+  * update_density_grid (EMA + erode + threshold) (networks.py:216-252)
+
+Layout: the density grid is raster (C, G, G, G) float32 — index [c, x, y, z] —
+and the "bitfield" is simply the bool array `grid > threshold` (the packed
+uint8 form of vren is available via ops.morton.packbits for tools/ckpts).
+Cell centers follow the reference mapping:
+    world(c, i) = (i / (G-1) * 2 - 1) * (s - s/G),  s = min(2^(c-1), scale)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEAR_DISTANCE = 0.05  # rendering.py:8
+
+
+def cell_coords(grid_size: int) -> jnp.ndarray:
+    """(G^3, 3) int32 raster-order cell coordinates."""
+    g = jnp.arange(grid_size, dtype=jnp.int32)
+    x, y, z = jnp.meshgrid(g, g, g, indexing="ij")
+    return jnp.stack([x, y, z], -1).reshape(-1, 3)
+
+
+def _cascade_bound(c: int, scale: float) -> float:
+    return min(2.0 ** (c - 1), scale)
+
+
+def cells_to_world(coords, cascade: int, scale: float, grid_size: int):
+    """Cell integer coords -> world-space cell centers for one cascade."""
+    s = _cascade_bound(cascade, scale)
+    half = s / grid_size
+    return (coords.astype(jnp.float32) / (grid_size - 1) * 2 - 1) * (s - half)
+
+
+@partial(jax.jit, static_argnames=("grid_size", "cascades", "scale",
+                                   "img_w", "img_h"))
+def mark_invisible_cells(K, poses, *, img_w: int, img_h: int, grid_size: int,
+                         cascades: int, scale: float):
+    """Initial density grid: 0 for camera-covered cells, -1 for invisible or
+    too-near cells (they stay dead forever).
+
+    K: (3, 3); poses: (N, 3, 4) c2w.  Returns (C, G, G, G) float32.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    w2c_R = jnp.swapaxes(poses[:, :3, :3], 1, 2)          # (N, 3, 3)
+    w2c_T = -jnp.einsum("nij,nj->ni", w2c_R, poses[:, :3, 3], precision=hi)
+
+    coords = cell_coords(grid_size)                        # (G^3, 3)
+    grids = []
+    for c in range(cascades):
+        xyz_w = cells_to_world(coords, c, scale, grid_size)  # (G^3, 3)
+
+        def visible(chunk):
+            # chunk: (M, 3) world points -> (M,) validity in {0., -1.}
+            xyz_c = (jnp.einsum("nij,mj->nmi", w2c_R, chunk, precision=hi)
+                     + w2c_T[:, None, :])                  # (N, M, 3)
+            uvd = jnp.einsum("ij,nmj->nmi", K, xyz_c, precision=hi)
+            z = uvd[..., 2]
+            uv = uvd[..., :2] / jnp.where(jnp.abs(z[..., None]) > 1e-9,
+                                          z[..., None], 1e-9)
+            in_image = ((z >= 0)
+                        & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
+                        & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+            covered = ((z >= NEAR_DISTANCE) & in_image).any(0)   # (M,)
+            too_near = ((z < NEAR_DISTANCE) & in_image).any(0)
+            valid = covered & ~too_near
+            return jnp.where(valid, 0.0, -1.0)
+
+        n_chunks = 32
+        vals = jax.lax.map(visible,
+                           xyz_w.reshape(n_chunks, -1, 3)).reshape(-1)
+        grids.append(vals)
+    return jnp.stack(grids).reshape(cascades, grid_size, grid_size, grid_size)
+
+
+def _sample_occupied(key, occ_flat, m: int):
+    """Draw m cell indices ~ uniform over True entries of occ_flat (G^3,).
+    Falls back to uniform cells when nothing is occupied."""
+    cnt = occ_flat.sum()
+    cs = jnp.cumsum(occ_flat.astype(jnp.int32))
+    u = jax.random.uniform(key, (m,)) * jnp.maximum(cnt, 1)
+    idx = jnp.searchsorted(cs, u.astype(jnp.int32) + 1, side="left")
+    idx = jnp.clip(idx, 0, occ_flat.shape[0] - 1)
+    rand_idx = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0,
+                                  occ_flat.shape[0])
+    return jnp.where(cnt > 0, idx, rand_idx)
+
+
+def _erode(grid):
+    """Decay cells that are a positive local max of their 3x3x3 neighborhood
+    (the reference's floater killer, networks.py:242-247)."""
+    mp = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max,
+                               (1, 3, 3, 3), (1, 1, 1, 1),
+                               [(0, 0), (1, 1), (1, 1), (1, 1)])
+    return (grid == mp) & (mp > 0)
+
+
+def update_density_grid(density_grid, density_fn, key, *, scale: float,
+                        density_threshold: float, warmup: bool,
+                        decay: float = 0.95, erode: bool = False,
+                        eval_chunks: int = 8):
+    """One density-grid maintenance step.
+
+    density_grid: (C, G, G, G) float32 (negatives = permanently invisible);
+    density_fn: (M, 3) world xyz -> (M,) sigma.
+    Returns (new_density_grid, occ_bool (C, G, G, G)).
+    """
+    C, G = density_grid.shape[0], density_grid.shape[1]
+    flat = density_grid.reshape(C, -1)
+    tmp = jnp.zeros_like(flat)
+
+    for c in range(C):
+        kc = jax.random.fold_in(key, c)
+        if warmup:
+            coords = cell_coords(G)
+            idx = jnp.arange(G ** 3, dtype=jnp.int32)
+        else:
+            m = G ** 3 // 4
+            k1, k2, k3 = jax.random.split(kc, 3)
+            coords_u = jax.random.randint(k1, (m, 3), 0, G, dtype=jnp.int32)
+            idx_u = (coords_u[:, 0] * G + coords_u[:, 1]) * G + coords_u[:, 2]
+            idx_o = _sample_occupied(k2, flat[c] > 0, m)
+            idx = jnp.concatenate([idx_u, idx_o])
+            coords = jnp.stack([idx // (G * G), (idx // G) % G, idx % G], -1)
+        xyz = cells_to_world(coords, c, scale, G)
+        half = _cascade_bound(c, scale) / G
+        jitter = (jax.random.uniform(jax.random.fold_in(kc, 7),
+                                     xyz.shape) * 2 - 1) * half
+        pts = (xyz + jitter).reshape(eval_chunks, -1, 3)
+        sigmas = jax.lax.map(density_fn, pts).reshape(-1)
+        tmp = tmp.at[c, idx].max(sigmas)
+
+    new = jnp.where(flat < 0, flat, jnp.maximum(flat * decay, tmp))
+    new = new.reshape(density_grid.shape)
+    if erode:
+        new = jnp.where(_erode(new), new * decay, new)
+
+    pos = new > 0
+    mean_density = jnp.where(pos, new, 0.0).sum() / jnp.maximum(
+        pos.sum(), 1).astype(new.dtype)
+    occ = new > jnp.minimum(mean_density, density_threshold)
+    return new, occ

@@ -1,0 +1,182 @@
+"""Occupancy-guided ray marching as dense, padded, batch-regular XLA compute.
+
+TPU-native replacement for the reference CUDA kernels `vren.raymarching_train`
+/ `vren.raymarching_test` (wrappers `ngp_pl/models/custom_functions.py:55-113`,
+call sites `ngp_pl/models/rendering.py:79-83,132-136`).
+
+Design (SURVEY.md §7): instead of per-ray variable-length CSR sample streams
+(which force a device->host readback of `total_samples` every step), we march
+every ray over a *fixed candidate lattice* of step positions, test occupancy of
+all candidates at once, and compact the first K occupied candidates per ray
+with `lax.top_k`.  The result is a padded (R, K) sample grid with a validity
+mask — fully static shapes, no host sync, MXU/VPU friendly.
+
+Step rule (bit-matching vren's `calc_dt`):
+    dt(t) = clamp(t * exp_step_factor, SQRT3 / max_samples,
+                  SQRT3 * 2 * scale / grid_size)
+With exp_step_factor == 0 (bounded scenes) the lattice is affine:
+t_i = t1 + dt * (noise + i); vren's empty-space skip advances t by whole
+multiples of dt, so the dense lattice reproduces its sample positions exactly.
+
+Cascade (mip) selection matches vren's `mip_from_pos` / `mip_from_dt`.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SQRT3 = 3.0 ** 0.5
+
+
+def calc_dt(t, exp_step_factor: float, max_samples: int, grid_size: int,
+            scale: float):
+    return jnp.clip(t * exp_step_factor,
+                    SQRT3 / max_samples,
+                    SQRT3 * 2.0 * scale / grid_size)
+
+
+def mip_from_pos(xyz, cascades: int):
+    """Cascade from position: |xyz| in [0,.5)->0, [.5,1)->1, [1,2)->2, ..."""
+    mx = jnp.max(jnp.abs(xyz), axis=-1)
+    _, e = jnp.frexp(mx)  # mx = m * 2^e, m in [0.5, 1)
+    return jnp.clip(e + 1, 0, cascades - 1)
+
+
+def mip_from_dt(dt, grid_size: int, cascades: int):
+    """Cascade from step size: dt*G in [0,1)->0, [1,2)->1, [2,4)->2, ..."""
+    _, e = jnp.frexp(dt * grid_size)
+    return jnp.clip(e, 0, cascades - 1)
+
+
+def occupancy_lookup(occ_grid, xyz, dt, cascades: int, scale: float,
+                     grid_size: int):
+    """Look up the cascaded occupancy grid at world positions.
+
+    occ_grid: (C, G, G, G) bool raster grid; xyz: (..., 3); dt: (...).
+    Returns bool (...).
+    """
+    mip = jnp.maximum(mip_from_pos(xyz, cascades),
+                      mip_from_dt(dt, grid_size, cascades))
+    mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0), scale)
+    nf = jnp.clip(0.5 * (xyz / mip_bound[..., None] + 1.0) * grid_size,
+                  0.0, grid_size - 1.0)
+    n = nf.astype(jnp.int32)
+    flat = occ_grid.reshape(-1)
+    idx = ((mip * grid_size + n[..., 0]) * grid_size + n[..., 1]) \
+        * grid_size + n[..., 2]
+    return jnp.take(flat, idx, axis=0)
+
+
+def candidate_ts(t_start, n_cand: int, exp_step_factor: float,
+                 max_samples: int, grid_size: int, scale: float,
+                 noise=None):
+    """Per-ray candidate sample positions and step sizes.
+
+    t_start: (R,) first in-box t per ray.  Returns ts, dts of shape
+    (R, n_cand).  With noise (R,), the first sample is jittered by
+    noise*dt as in vren's training marcher.
+    """
+    dt0 = calc_dt(t_start, exp_step_factor, max_samples, grid_size, scale)
+    t0 = t_start if noise is None else t_start + dt0 * noise
+    if exp_step_factor == 0.0:
+        # constant step: affine lattice
+        dt = SQRT3 / max_samples
+        i = jnp.arange(n_cand, dtype=jnp.float32)
+        ts = t0[:, None] + i[None, :] * dt
+        dts = jnp.full_like(ts, dt)
+        return ts, dts
+
+    def step(t, _):
+        dt = calc_dt(t, exp_step_factor, max_samples, grid_size, scale)
+        return t + dt, (t, dt)
+
+    _, (ts, dts) = jax.lax.scan(step, t0, None, length=n_cand)
+    return ts.T, dts.T  # (R, n_cand)
+
+
+def _first_k_occupied(cand_ok, K: int):
+    """Indices of the first K True entries per row of (R, N) `cand_ok`.
+
+    Returns idx (R, K) int32 ascending and valid (R, K) bool.
+    """
+    n = cand_ok.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, cand_ok.shape, 1)
+    score = jnp.where(cand_ok, -iota, jnp.int32(-(n + 1)))
+    vals, idx = jax.lax.top_k(score, K)  # descending score = ascending index
+    valid = vals > -(n + 1)
+    return idx, valid
+
+
+@partial(jax.jit, static_argnames=("cascades", "scale", "exp_step_factor",
+                                   "grid_size", "max_samples", "k_samples"))
+def march_rays_train(rays_o, rays_d, hits_t, occ_grid, *, cascades: int,
+                     scale: float, exp_step_factor: float, grid_size: int,
+                     max_samples: int, k_samples: int, noise):
+    """Training-time marcher -> padded (R, K) sample grid.
+
+    rays_o/rays_d: (R, 3) (rays_d unit-norm); hits_t: (R, 2) from
+    ray_aabb_intersect (near already clamped); occ_grid: (C, G, G, G) bool;
+    noise: (R,) U[0,1) start jitter.
+
+    Returns dict with xyzs (R,K,3), dirs (R,K,3), deltas (R,K), ts (R,K),
+    valid (R,K) bool, total_samples scalar.
+    """
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    hit = t1 >= 0
+    ts_c, dts_c = candidate_ts(jnp.maximum(t1, 0.0), max_samples,
+                               exp_step_factor, max_samples, grid_size, scale,
+                               noise=noise)
+    ts_c = jax.lax.stop_gradient(ts_c)
+    dts_c = jax.lax.stop_gradient(dts_c)
+    xyz_c = rays_o[:, None, :] + ts_c[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(occ_grid, jax.lax.stop_gradient(xyz_c), dts_c,
+                           cascades, scale, grid_size)
+    cand_ok = occ & (ts_c < t2[:, None]) & hit[:, None]
+
+    idx, valid = _first_k_occupied(cand_ok, k_samples)
+    ts = jnp.where(valid, jnp.take_along_axis(ts_c, idx, 1), 0.0)
+    deltas = jnp.where(valid, jnp.take_along_axis(dts_c, idx, 1), 0.0)
+    xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts, valid=valid,
+                total_samples=valid.sum())
+
+
+def march_rays_test_round(rays_o, rays_d, t_cur, t2, alive, occ_grid, *,
+                          cascades: int, scale: float, exp_step_factor: float,
+                          grid_size: int, max_samples: int, n_cand: int,
+                          k_samples: int):
+    """One round of test-time marching from per-ray resume positions.
+
+    Marches a window of `n_cand` candidate steps from t_cur, returns the first
+    `k_samples` occupied samples and the resume position t_next: past the
+    whole window if it contained <= K occupied candidates, else just past the
+    K-th occupied one (the remainder is deferred to the next round).  This
+    replaces vren's in-place `hits_t` resume + host-synced alive-index
+    compaction (`rendering.py:79-101`) with fixed-shape on-device state.
+    """
+    ts_c, dts_c = candidate_ts(t_cur, n_cand + 1, exp_step_factor,
+                               max_samples, grid_size, scale)
+    ts_succ = ts_c[:, 1:]                      # lattice successor of each cand
+    ts_w, dts_w = ts_c[:, :n_cand], dts_c[:, :n_cand]
+    window_end = ts_c[:, n_cand]
+
+    xyz_c = rays_o[:, None, :] + ts_w[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(occ_grid, xyz_c, dts_w, cascades, scale, grid_size)
+    cand_ok = occ & (ts_w < t2[:, None]) & alive[:, None]
+
+    idx, valid = _first_k_occupied(cand_ok, k_samples)
+    ts = jnp.where(valid, jnp.take_along_axis(ts_w, idx, 1), 0.0)
+    deltas = jnp.where(valid, jnp.take_along_axis(dts_w, idx, 1), 0.0)
+    xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+
+    count = cand_ok.sum(-1)
+    last_idx = jnp.max(jnp.where(valid, idx, 0), axis=-1)
+    t_next = jnp.where(count <= k_samples, window_end,
+                       jnp.take_along_axis(ts_succ, last_idx[:, None], 1)[:, 0])
+    t_next = jnp.where(alive, t_next, t_cur)
+    return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts, valid=valid,
+                t_next=t_next)

@@ -1,0 +1,24 @@
+"""Truncated-exponential density activation with clamped-gradient VJP.
+
+Matches reference `ngp_pl/models/custom_functions.py:162-173` (TruncExp):
+forward is exp(x); backward multiplies by exp(clamp(x, -15, 15)) so huge
+densities can't explode the gradient.
+"""
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    return jnp.exp(x)
+
+
+def _fwd(x):
+    return jnp.exp(x), x
+
+
+def _bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_fwd, _bwd)

@@ -1,0 +1,14 @@
+"""Test config: run everything on a virtual 8-device CPU mesh so sharding
+logic is testable without a TPU pod (SURVEY.md §4 'Implication for the TPU
+build')."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
