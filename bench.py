@@ -1,0 +1,76 @@
+"""Benchmark: steady-state training throughput (rays/sec/chip) on the
+procedural synthetic scene, with the flagship hash-grid NGP config.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N}
+vs_baseline is relative to the reference's published recipe: 30k steps x
+8192 rays in ~5 min on an RTX 2080 Ti (`ngp_pl/README.md:111`) ~= 819200
+rays/s (BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_RAYS_PER_SEC = 30000 * 8192 / 300.0  # 2080 Ti, BASELINE.md
+
+
+def main():
+    import jax
+
+    from google_nerf_tpu.data.synthetic import SyntheticDataset
+    from google_nerf_tpu.models.ngp import NGPConfig
+    from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              grid_update_step,
+                                              init_train_state)
+    import jax.numpy as jnp
+
+    model = NGPConfig(scale=0.5, encoder="hash", num_levels=16,
+                      log2_hashmap_size=19, grid_size=128,
+                      compute_dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=model, batch_size=8192, k_samples=128,
+                      num_epochs=30, samples_budget=131072)
+
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))
+    scene = ds.scene()
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
+
+    def loop(state, n, t_start_step):
+        for i in range(t_start_step, t_start_step + n):
+            if i % cfg.grid_update_interval == 0:
+                state = grid_update_step(
+                    state, jax.random.fold_in(key, 2 * i + 1), cfg=cfg,
+                    warmup=i < cfg.warmup_steps)
+            state, metrics = fused_train_step(
+                state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg)
+        jax.block_until_ready(state)
+        return state, metrics
+
+    # warmup: compile + converge the occupancy grid to realistic sparsity
+    state, _ = loop(state, 512, 0)
+
+    # timed steady-state segment (grid cadence included, as in real training)
+    n_timed = 512
+    t0 = time.time()
+    state, metrics = loop(state, n_timed, 512)
+    dt = time.time() - t0
+
+    rays_per_sec = n_timed * cfg.batch_size / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "extra": {
+            "steady_state_steps_per_sec": round(n_timed / dt, 2),
+            "train_psnr_at_1024_steps": round(float(metrics["psnr"]), 2),
+            "s_per_ray": round(float(metrics["s_per_ray"]), 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

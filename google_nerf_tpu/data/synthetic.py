@@ -105,7 +105,7 @@ class SyntheticDataset:
     root_dir: str = ""
     split: str = "train"
     downsample: float = 1.0
-    n_images: int = 20
+    n_images: int = 50
     img_wh: tuple = (64, 64)
     scale: float = 0.5
     cam_radius: float = 1.2
@@ -122,11 +122,24 @@ class SyntheticDataset:
             get_ray_directions(h, w, self.K), np.float32)
         seed = self.seed if self.split == "train" else self.seed + 1000
         self.poses = _fibonacci_poses(self.n_images, self.cam_radius, seed)
-        imgs = []
-        for p in self.poses:
-            o, d = get_rays(jnp.asarray(self.directions), jnp.asarray(p))
-            imgs.append(np.asarray(_integrate_gt(o, d, scale=self.scale)))
-        self.rays = np.clip(np.stack(imgs), 0.0, 1.0).astype(np.float32)
+        # batch ground-truth integration across poses (one jitted call per
+        # fixed-size ray chunk keeps device round-trips off the per-image
+        # critical path)
+        dirs = jnp.asarray(self.directions)
+        o, d = jax.vmap(lambda p: get_rays(dirs, p))(jnp.asarray(self.poses))
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        chunk = min(32768, o.shape[0])
+        pad = (-o.shape[0]) % chunk
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+            d = jnp.concatenate([d, jnp.ones((pad, 3))])
+        rgb = [np.asarray(_integrate_gt(o[i:i + chunk], d[i:i + chunk],
+                                        scale=self.scale))
+               for i in range(0, o.shape[0], chunk)]
+        rgb = np.concatenate(rgb)[:self.n_images * w * h]
+        self.rays = np.clip(rgb.reshape(self.n_images, w * h, 3),
+                            0.0, 1.0).astype(np.float32)
 
     def __len__(self):
         return 1000 if self.split.startswith("train") else len(self.poses)
@@ -138,9 +151,12 @@ class SyntheticDataset:
         return {"rgb": self.rays[img_idxs, pix_idxs],
                 "img_idxs": img_idxs, "pix_idxs": pix_idxs}
 
-    def scene(self, depths=None):
+    def scene(self, images_uint8: bool = False, depths=None):
         """Device-resident scene pytree for the fused train step."""
-        s = dict(images=jnp.asarray(self.rays),
+        imgs = self.rays
+        if images_uint8:
+            imgs = np.clip(imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        s = dict(images=jnp.asarray(imgs),
                  poses=jnp.asarray(self.poses),
                  directions=jnp.asarray(self.directions))
         if depths is not None:

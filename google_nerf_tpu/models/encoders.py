@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from google_nerf_tpu.ops.table_gather import table_gather
+
 # ---------------------------------------------------------------------------
 # Frequency encoding
 # ---------------------------------------------------------------------------
@@ -151,16 +153,20 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
     frac = pos - c0.astype(x.dtype)
 
     flat_table = table.reshape(L * T, F)
-    level_off = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
+    level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
 
-    out = jnp.zeros((L, x.shape[0], F), x.dtype)
+    # one fused gather for all 8 corners x L levels: the custom sorted-
+    # segment VJP (ops/table_gather) then needs a single sort for the whole
+    # backward instead of XLA's serial scatter-add per corner.
+    idxs, ws = [], []
     for corner in range(8):
         offs = jnp.asarray([(corner >> k) & 1 for k in range(3)], jnp.int32)
         c = c0 + offs[None, None, :]
-        w = jnp.prod(jnp.where(offs[None, None, :] == 1, frac, 1.0 - frac),
-                     axis=-1)  # (L, N)
-        idx = _corner_indices(c, level_dense, resolutions, T)
-        feats = jnp.take(flat_table, (level_off + idx).reshape(-1), axis=0)
-        out = out + w[..., None] * feats.reshape(L, x.shape[0], F)
-
+        ws.append(jnp.prod(
+            jnp.where(offs[None, None, :] == 1, frac, 1.0 - frac), axis=-1))
+        idxs.append(_corner_indices(c, level_dense, resolutions, T))
+    all_idx = (jnp.stack(idxs) + level_off).reshape(-1)     # (8*L*N,)
+    w = jnp.stack(ws)                                       # (8, L, N)
+    feats = table_gather(flat_table, all_idx).reshape(8, L, x.shape[0], F)
+    out = jnp.einsum("cln,clnf->lnf", w, feats)
     return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)

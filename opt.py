@@ -1,0 +1,96 @@
+"""CLI flags — parity with reference `ngp_pl/opt.py:3-53` plus TPU-framework
+extensions (marked NEW)."""
+import argparse
+
+
+def get_opts(argv=None):
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument('--root_dir', type=str, required=True,
+                        help='root directory of dataset')
+    parser.add_argument('--dataset_name', type=str, default='nsvf',
+                        choices=['nsvf', 'colmap', 'rtmv', 'nerfpp',
+                                 'scannet', 'synthetic'],
+                        help='which dataset to train/test')
+    parser.add_argument('--split', type=str, default='train',
+                        choices=['train', 'trainval'],
+                        help='use which split to train')
+    parser.add_argument('--downsample', type=float, default=1.0,
+                        help='downsample factor (<=1.0) for the images')
+
+    parser.add_argument('--scale', type=float, default=0.5,
+                        help='scene scale (whole scene must lie in '
+                             '[-scale, scale]^3')
+
+    parser.add_argument('--optimize_ext', action='store_true', default=False,
+                        help='whether to optimize extrinsics (experimental)')
+
+    parser.add_argument('--batch_size', type=int, default=8192,
+                        help='number of rays in a batch')
+    parser.add_argument('--num_epochs', type=int, default=30,
+                        help='number of training epochs')
+    parser.add_argument('--num_gpus', type=int, default=1,
+                        help='number of devices (data-parallel mesh size); '
+                             '-1 = all')
+
+    parser.add_argument('--eval_lpips', action='store_true', default=False,
+                        help='evaluate lpips metric (needs --lpips_weights)')
+    parser.add_argument('--val_only', action='store_true', default=False,
+                        help='run only validation (need to provide '
+                             'ckpt_path)')
+    parser.add_argument('--no_save_test', action='store_true', default=False,
+                        help='whether to save test image and video')
+
+    parser.add_argument('--lr', type=float, default=1e-2,
+                        help='learning rate')
+
+    parser.add_argument('--exp_name', type=str, default='exp',
+                        help='experiment name')
+    parser.add_argument('--ckpt_path', type=str, default=None,
+                        help='pretrained checkpoint to load (including '
+                             'optimizers, etc)')
+
+    parser.add_argument('--test_skip', type=int, default=10,
+                        help='skip frames for test -- this links to the '
+                             'train/test split folder')
+    parser.add_argument('--rot_transpose', action='store_true', default=False,
+                        help='Transpose rotation mat')
+    parser.add_argument('--scale_flip', action='store_true', default=False,
+                        help='Flip y and z axis')
+    parser.add_argument('--num_levels', type=int, default=16,
+                        help='number of instantngp levels')
+
+    # ---- NEW flags (TPU framework) -------------------------------------
+    parser.add_argument('--xyz_encoder', type=str, default='hash',
+                        choices=['hash', 'freq'],
+                        help='xyz encoder: hash grid (performance path) or '
+                             'frequency (the fork\'s current config)')
+    parser.add_argument('--depth_loss_w', type=float, default=0.0,
+                        help='weight of the shift/scale-invariant depth '
+                             'prior loss (0 = RGB only)')
+    parser.add_argument('--depth_dir', type=str, default=None,
+                        help='directory of per-frame monocular depth priors '
+                             '(scannet)')
+    parser.add_argument('--raw_scan_rootdir', type=str, default=None,
+                        help='root of raw ScanNet scans (for the AABB mesh)')
+    parser.add_argument('--k_samples', type=int, default=128,
+                        help='padded samples per ray in training')
+    parser.add_argument('--lpips_weights', type=str, default=None,
+                        help='npz with LPIPS-vgg weights')
+    parser.add_argument('--bf16', action='store_true', default=False,
+                        help='bfloat16 MLP/encoder compute')
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--steps_per_epoch', type=int, default=1000,
+                        help='iterations per epoch (reference: 1000)')
+    parser.add_argument('--grid_size', type=int, default=128,
+                        help='occupancy grid resolution per cascade')
+    parser.add_argument('--max_samples', type=int, default=1024,
+                        help='marching budget per ray (reference: 1024)')
+    parser.add_argument('--log2_hashmap_size', type=int, default=19)
+    parser.add_argument('--platform', type=str, default=None,
+                        choices=[None, 'cpu', 'tpu'],
+                        help='force a JAX platform (default: auto)')
+    parser.add_argument('--samples_budget', type=int, default=-1,
+                        help='max field-network samples per step via '
+                             'compaction; -1 = 16*batch_size, 0 = off')
+    return parser.parse_args(argv)

@@ -1,0 +1,72 @@
+"""Test CLI — parity with reference `ngp_pl/test.py:14-45`: load a (slim)
+checkpoint, render the test split, report mean PSNR and FPS.
+
+FPS uses `block_until_ready` timing around the jitted test renderer with
+T_threshold=1e-2 like the reference benchmark (`test.py:33`).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from opt import get_opts
+from train import build_configs, dataset_kwargs
+
+
+def run(hparams):
+    from train import apply_platform
+    apply_platform(hparams)
+
+    import jax
+    import jax.numpy as jnp
+
+    from google_nerf_tpu.core.rays import get_rays
+    from google_nerf_tpu.data import dataset_dict
+    from google_nerf_tpu.eval.metrics import psnr
+    from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.train.system import init_train_state
+    from google_nerf_tpu.utils.ckpt import load_ckpt, slim_state
+
+    kwargs = dataset_kwargs(hparams)
+    dataset = dataset_dict[hparams.dataset_name](
+        hparams.root_dir, split='test', downsample=hparams.downsample,
+        **kwargs)
+    cfg = build_configs(hparams)
+
+    full = init_train_state(jax.random.PRNGKey(0), cfg, dataset.K,
+                            dataset.poses, dataset.img_wh)
+    target = slim_state(full, save_poses=hparams.optimize_ext)
+    try:
+        state = load_ckpt(hparams.ckpt_path, target=target)
+    except Exception:
+        state = load_ckpt(hparams.ckpt_path, target=full)
+
+    w, h = dataset.img_wh
+    directions = jnp.asarray(dataset.directions)
+    psnrs, times = [], []
+    for i in range(len(dataset.poses)):
+        rays_o, rays_d = get_rays(directions,
+                                  jnp.asarray(dataset.poses[i]))
+        t0 = time.time()
+        out = render_test(state["params"], cfg.model, state["occ"],
+                          rays_o, rays_d,
+                          exp_step_factor=cfg.exp_step_factor,
+                          T_threshold=1e-2, max_samples=cfg.max_samples)
+        jax.block_until_ready(out["rgb"])
+        times.append(time.time() - t0)
+        if len(dataset.rays) > 0:
+            psnrs.append(float(psnr(out["rgb"],
+                                    jnp.asarray(dataset.rays[i]))))
+    # first frame includes compilation; report steady-state FPS
+    steady = times[1:] if len(times) > 1 else times
+    fps = 1.0 / np.mean(steady)
+    mean_psnr = float(np.mean(psnrs)) if psnrs else float('nan')
+    print(f'mean PSNR: {mean_psnr:.2f}, FPS: {fps:.2f} '
+          f'({w}x{h}, {len(times)} frames)')
+    return dict(psnr=mean_psnr, fps=fps)
+
+
+if __name__ == '__main__':
+    run(get_opts())

@@ -1,9 +1,13 @@
 """Test config: run everything on a virtual 8-device CPU mesh so sharding
 logic is testable without a TPU pod (SURVEY.md §4 'Implication for the TPU
-build')."""
+build').
+
+NOTE: this environment's 'axon' TPU plugin overrides the JAX_PLATFORMS env
+var, so the platform must be forced via jax.config *before any computation*.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may preset a TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +15,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

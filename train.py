@@ -1,0 +1,236 @@
+"""Training CLI — TPU-native rebuild of reference `ngp_pl/train.py`.
+
+Pipeline: dataset -> device-resident scene -> fused jitted train steps with
+density-grid cadence -> validation renders + PSNR/SSIM/LPIPS -> checkpoints
+(full + slim) -> optional test video.  Data-parallel over all local devices
+with --num_gpus>1 (DDP analog, SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+from opt import get_opts
+
+
+def depth2img(depth: np.ndarray) -> np.ndarray:
+    import cv2
+    depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-8)
+    return cv2.applyColorMap((depth * 255).astype(np.uint8),
+                             cv2.COLORMAP_TURBO)[..., ::-1]  # BGR->RGB
+
+
+def dataset_kwargs(hparams):
+    kwargs = {}
+    if hparams.dataset_name == 'scannet':
+        kwargs.update(test_skip=hparams.test_skip,
+                      rot_transpose=hparams.rot_transpose,
+                      scale_flip=hparams.scale_flip,
+                      raw_scan_rootdir=hparams.raw_scan_rootdir,
+                      depth_dir=hparams.depth_dir)
+    return kwargs
+
+
+def build_configs(hparams, scene_scale=None):
+    import jax.numpy as jnp
+
+    from google_nerf_tpu.models.ngp import NGPConfig
+    from google_nerf_tpu.train.system import TrainConfig
+
+    scale = hparams.scale if scene_scale is None else scene_scale
+    model = NGPConfig(
+        scale=scale, encoder=hparams.xyz_encoder,
+        num_levels=hparams.num_levels,
+        log2_hashmap_size=hparams.log2_hashmap_size,
+        grid_size=hparams.grid_size,
+        compute_dtype=jnp.bfloat16 if hparams.bf16 else jnp.float32)
+    exp_step_factor = (1 / 256 if hparams.dataset_name in
+                       ('colmap', 'nerfpp') else 0.0)
+    budget = hparams.samples_budget
+    if budget < 0:
+        budget = 16 * hparams.batch_size
+    cfg = TrainConfig(
+        model=model, lr=hparams.lr, num_epochs=hparams.num_epochs,
+        steps_per_epoch=hparams.steps_per_epoch,
+        batch_size=hparams.batch_size, k_samples=hparams.k_samples,
+        max_samples=hparams.max_samples,
+        exp_step_factor=exp_step_factor,
+        optimize_ext=hparams.optimize_ext,
+        lambda_depth=hparams.depth_loss_w,
+        samples_budget=budget,
+        erode=hparams.dataset_name == 'colmap')
+    return cfg
+
+
+def validate(hparams, cfg, state, test_dataset, val_dir=None):
+    import jax.numpy as jnp
+
+    from google_nerf_tpu.core.rays import get_rays
+    from google_nerf_tpu.eval.metrics import LPIPS, psnr, ssim
+    from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.train.system import refined_poses
+
+    w, h = test_dataset.img_wh
+    lpips = LPIPS(hparams.lpips_weights) if hparams.eval_lpips else None
+    directions = jnp.asarray(test_dataset.directions)
+    logs = {"psnr": [], "ssim": [], "lpips": []}
+    for i in range(len(test_dataset.poses)):
+        pose = jnp.asarray(test_dataset.poses[i])
+        if hparams.optimize_ext and "dR" in state["params"]:
+            pose = refined_poses(state["params"],
+                                 pose[None], jnp.asarray([i]))[0]
+        rays_o, rays_d = get_rays(directions, pose)
+        out = render_test(state["params"], cfg.model, state["occ"],
+                          rays_o, rays_d,
+                          exp_step_factor=cfg.exp_step_factor,
+                          max_samples=cfg.max_samples)
+        rgb_pred = out["rgb"].reshape(h, w, 3)
+        if len(test_dataset.rays) > 0:
+            rgb_gt = jnp.asarray(test_dataset.rays[i]).reshape(h, w, 3)
+            logs["psnr"].append(float(psnr(rgb_pred, rgb_gt)))
+            logs["ssim"].append(float(ssim(rgb_pred, rgb_gt)))
+            if lpips is not None and lpips.available:
+                logs["lpips"].append(float(lpips(rgb_pred, rgb_gt)))
+        if val_dir:
+            import imageio.v2 as imageio
+            rgb8 = np.asarray(
+                jnp.clip(rgb_pred, 0, 1) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(val_dir, f'{i:03d}.png'), rgb8)
+            d8 = depth2img(np.asarray(out["depth"]).reshape(h, w))
+            imageio.imwrite(os.path.join(val_dir, f'{i:03d}_d.png'), d8)
+    return {k: float(np.mean(v)) for k, v in logs.items() if v}
+
+
+def save_videos(val_dir, fps=30):
+    try:
+        import imageio.v2 as imageio
+        rgbs = sorted(glob.glob(os.path.join(val_dir, '[0-9]*[!d].png')))
+        deps = sorted(glob.glob(os.path.join(val_dir, '*_d.png')))
+        if rgbs:
+            imageio.mimwrite(os.path.join(val_dir, 'rgb.mp4'),
+                             [imageio.imread(p) for p in rgbs], fps=fps,
+                             macro_block_size=1)
+        if deps:
+            imageio.mimwrite(os.path.join(val_dir, 'depth.mp4'),
+                             [imageio.imread(p) for p in deps], fps=fps,
+                             macro_block_size=1)
+    except Exception as e:  # pragma: no cover - ffmpeg may be absent
+        print(f'[warn] video export skipped: {e}')
+
+
+def apply_platform(hparams):
+    if getattr(hparams, 'platform', None):
+        import jax
+        try:
+            jax.config.update('jax_platforms', hparams.platform)
+        except Exception as e:  # already initialised
+            print(f'[warn] could not switch platform: {e}')
+
+
+def main(hparams, video_fps=30):
+    import jax
+
+    apply_platform(hparams)
+    import jax.numpy as jnp
+
+    from google_nerf_tpu.data import dataset_dict
+    from google_nerf_tpu.parallel.dp import (make_dp_train_step, make_mesh,
+                                             replicate)
+    from google_nerf_tpu.train.system import (fused_train_step,
+                                              grid_update_step,
+                                              init_train_state)
+    from google_nerf_tpu.utils.ckpt import load_ckpt, save_ckpt, \
+        save_slim_ckpt
+
+    if hparams.val_only and not hparams.ckpt_path:
+        raise ValueError('You need to provide a @ckpt_path for validation!')
+
+    dataset_cls = dataset_dict[hparams.dataset_name]
+    kwargs = dataset_kwargs(hparams)
+    train_dataset = dataset_cls(hparams.root_dir, split=hparams.split,
+                                downsample=hparams.downsample, **kwargs)
+    test_dataset = dataset_cls(hparams.root_dir, split='test',
+                               downsample=hparams.downsample, **kwargs)
+
+    # datasets that renormalize into [-0.5, 0.5] fix the model scale at 0.5
+    cfg = build_configs(hparams)
+    ckpt_dir = os.path.abspath(
+        f'ckpts/{hparams.dataset_name}/{hparams.exp_name}')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    val_dir = None
+    if not hparams.no_save_test:
+        val_dir = os.path.abspath(
+            f'results/{hparams.dataset_name}/{hparams.exp_name}')
+        os.makedirs(val_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(hparams.seed)
+    state = init_train_state(key, cfg, train_dataset.K, train_dataset.poses,
+                             train_dataset.img_wh)
+    if hparams.ckpt_path:
+        state = load_ckpt(hparams.ckpt_path, target=state)
+        print(f'Loaded checkpoint {hparams.ckpt_path} '
+              f'(step {int(state["step"])})')
+
+    if hparams.val_only:
+        logs = validate(hparams, cfg, state, test_dataset, val_dir)
+        print('validation:', logs)
+        return logs
+
+    big = train_dataset.rays.nbytes > 2 << 30
+    scene = train_dataset.scene(images_uint8=big)
+
+    n_dev = (jax.device_count() if hparams.num_gpus in (-1, 0)
+             else min(hparams.num_gpus, jax.device_count()))
+    dp_step = None
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        state = replicate(state, mesh)
+        scene = replicate(scene, mesh)
+        dp_step = make_dp_train_step(cfg, mesh)
+        print(f'data-parallel over {n_dev} devices')
+
+    total_steps = cfg.total_steps
+    t0 = time.time()
+    rays_done = 0
+    metrics = {}
+    for step in range(int(state["step"]), total_steps):
+        if step % cfg.grid_update_interval == 0:
+            state = grid_update_step(
+                state, jax.random.fold_in(key, 2 * step + 1), cfg=cfg,
+                warmup=step < cfg.warmup_steps)
+        kstep = jax.random.fold_in(key, 2 * step)
+        if dp_step is not None:
+            state, metrics = dp_step(state, scene, kstep)
+        else:
+            state, metrics = fused_train_step(state, scene, kstep, cfg=cfg)
+        rays_done += cfg.batch_size
+        if (step + 1) % 100 == 0:
+            jax.block_until_ready(metrics)
+            dt = time.time() - t0
+            print(f'step {step + 1}/{total_steps} '
+                  f'loss={float(metrics["loss"]):.4g} '
+                  f'psnr={float(metrics["psnr"]):.2f} '
+                  f's/ray={float(metrics["s_per_ray"]):.1f} '
+                  f'rays/s={rays_done / dt:.0f}')
+    jax.block_until_ready(state)
+    train_time = time.time() - t0
+    print(f'Total training time: {train_time:.1f}s')
+
+    epoch = hparams.num_epochs - 1
+    save_ckpt(os.path.join(ckpt_dir, f'epoch={epoch}'), state)
+    save_slim_ckpt(os.path.join(ckpt_dir, f'epoch={epoch}_slim'), state,
+                   save_poses=hparams.optimize_ext)
+
+    logs = validate(hparams, cfg, state, test_dataset, val_dir)
+    print('test:', logs)
+    if val_dir and hparams.dataset_name == 'nsvf' and \
+            'Synthetic' in hparams.root_dir:
+        save_videos(val_dir, fps=video_fps)
+    return logs
+
+
+if __name__ == '__main__':
+    main(get_opts())
