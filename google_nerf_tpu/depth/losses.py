@@ -52,7 +52,11 @@ def sample_masked_indices(key, mask_flat, n: int):
     where ok marks draws that landed on valid entries."""
     g = jax.random.gumbel(key, mask_flat.shape)
     score = jnp.where(mask_flat, g, -jnp.inf)
-    _, idx = jax.lax.top_k(score, n)
+    k = min(n, mask_flat.shape[0])
+    _, idx = jax.lax.top_k(score, k)
+    if k < n:  # tile up to the requested fixed size
+        idx = jnp.concatenate([idx, idx[:n - k] if n - k <= k else
+                               jnp.resize(idx, (n - k,))])
     ok = mask_flat[idx]
     return idx, ok
 

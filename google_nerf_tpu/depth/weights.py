@@ -86,7 +86,7 @@ def _encoder_path(rest: str):
 
 
 def _decoder_path(rest: str):
-    m = re.match(r"(conv|conv1|ffm2|ffm1|ffm0|outconv)\.?(.*)", rest)
+    m = re.match(r"(conv1|conv|ffm2|ffm1|ffm0|outconv)\.?(.*)", rest)
     if not m:
         return None, None
     head, sub = m.group(1), m.group(2)
