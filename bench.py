@@ -26,10 +26,9 @@ def main():
                                               init_train_state)
     import jax.numpy as jnp
 
-    model = NGPConfig(scale=0.5, encoder="hash", num_levels=16,
-                      log2_hashmap_size=19, grid_size=128,
+    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, k_samples=128,
+    cfg = TrainConfig(model=model, batch_size=8192, k_samples=64,
                       num_epochs=30, samples_budget=131072)
 
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))

@@ -25,6 +25,10 @@ from google_nerf_tpu.models.encoders import (HashGridConfig, frequency_encode,
                                              hash_encode,
                                              hashgrid_config_for_scale,
                                              init_hashgrid, sh_encode_deg4)
+from google_nerf_tpu.ops.packed_hash import (PackedHashConfig,
+                                             init_packed_hash,
+                                             packed_config_for_scale,
+                                             packed_hash_encode)
 from google_nerf_tpu.models.mlp import init_mlp, mlp_apply
 from google_nerf_tpu.ops.trunc_exp import trunc_exp
 
@@ -32,12 +36,17 @@ from google_nerf_tpu.ops.trunc_exp import trunc_exp
 @dataclasses.dataclass(frozen=True)
 class NGPConfig:
     scale: float = 0.5
-    encoder: str = "hash"            # "hash" | "freq"
+    encoder: str = "hash"            # "hash" | "freq" | "packed"
     num_levels: int = 16             # hash levels (opt.py:51 --num_levels)
     n_features: int = 2
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     n_freqs: int = 12                # frequency-encoder bands
+    # "packed" = packed-corner hash (ops/packed_hash.py), the TPU-native
+    # flagship path: one gather per (sample, level), sort-based backward
+    packed_levels: int = 8
+    packed_features: int = 2
+    packed_log2_size: int = 16
     grid_size: int = 128
     sigma_width: int = 64
     geo_feat_dim: int = 16
@@ -58,9 +67,18 @@ class NGPConfig:
             base_resolution=self.base_resolution)
 
     @property
+    def packed_cfg(self) -> PackedHashConfig:
+        return packed_config_for_scale(
+            self.scale, n_levels=self.packed_levels,
+            n_features=self.packed_features,
+            log2_table_size=self.packed_log2_size)
+
+    @property
     def xyz_feat_dim(self) -> int:
         if self.encoder == "hash":
             return self.hash_cfg.out_dim
+        if self.encoder == "packed":
+            return self.packed_cfg.out_dim
         return 3 * 2 * self.n_freqs
 
 
@@ -69,6 +87,8 @@ def init_ngp(key, cfg: NGPConfig) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
     if cfg.encoder == "hash":
         params["hash_table"] = init_hashgrid(k1, cfg.hash_cfg)
+    elif cfg.encoder == "packed":
+        params["packed_table"] = init_packed_hash(k1, cfg.packed_cfg)
     elif cfg.encoder != "freq":
         raise ValueError(f"unknown encoder {cfg.encoder!r}")
     params["sigma_mlp"] = init_mlp(
@@ -82,6 +102,9 @@ def init_ngp(key, cfg: NGPConfig) -> Dict[str, Any]:
 def _encode_xyz(params, cfg: NGPConfig, x01):
     if cfg.encoder == "hash":
         return hash_encode(params["hash_table"], x01, cfg.hash_cfg)
+    if cfg.encoder == "packed":
+        return packed_hash_encode(params["packed_table"], x01,
+                                  cfg.packed_cfg)
     return frequency_encode(x01, cfg.n_freqs)
 
 

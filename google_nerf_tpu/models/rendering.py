@@ -25,6 +25,7 @@ from google_nerf_tpu.ops.composite import (composite_rays_test_round,
                                            composite_rays_train)
 from google_nerf_tpu.ops.marching import (march_rays_test_round,
                                           march_rays_train)
+from google_nerf_tpu.ops.march_seg import march_rays_train_seg
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
 MAX_SAMPLES = 1024
@@ -39,7 +40,8 @@ def _background(exp_step_factor: float):
 def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  k_samples: int = 128, max_samples: int = MAX_SAMPLES,
-                 samples_budget: int = 0):
+                 samples_budget: int = 0, occ_u8=None, seg: int = 8,
+                 n_keep: int = 32):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -51,11 +53,21 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                               jnp.full((3,), cfg.scale))
     hits = clamp_near(hits, NEAR_DISTANCE)
     noise = jax.random.uniform(key, (rays_o.shape[0],))
-    m = march_rays_train(rays_o, rays_du, hits, occ_grid,
-                         cascades=cfg.cascades, scale=cfg.scale,
-                         exp_step_factor=exp_step_factor,
-                         grid_size=cfg.grid_size, max_samples=max_samples,
-                         k_samples=k_samples, noise=noise)
+    if occ_u8 is not None and exp_step_factor == 0.0:
+        # gather-minimal two-phase marcher (ops/march_seg.py)
+        m = march_rays_train_seg(rays_o, rays_du, hits, occ_u8,
+                                 cascades=cfg.cascades, scale=cfg.scale,
+                                 grid_size=cfg.grid_size,
+                                 max_samples=max_samples,
+                                 k_samples=k_samples, noise=noise,
+                                 seg=seg, n_keep=n_keep)
+    else:
+        m = march_rays_train(rays_o, rays_du, hits, occ_grid,
+                             cascades=cfg.cascades, scale=cfg.scale,
+                             exp_step_factor=exp_step_factor,
+                             grid_size=cfg.grid_size,
+                             max_samples=max_samples,
+                             k_samples=k_samples, noise=noise)
     R, K = m["ts"].shape
     if samples_budget and samples_budget < R * K:
         # evaluate the field only on (up to budget) REAL samples — the

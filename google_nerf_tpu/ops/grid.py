@@ -150,3 +150,15 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
         pos.sum(), 1).astype(new.dtype)
     occ = new > jnp.minimum(mean_density, density_threshold)
     return new, occ
+
+
+def pack_occupancy_u8(occ, dilation_radius: int = 2) -> jnp.ndarray:
+    """occ: (C, G, G, G) bool -> uint8 grid for the two-phase segment
+    marcher (ops/march_seg.py): bit0 = occupied, bit1 = occupied within
+    Chebyshev radius `dilation_radius` (a max-pool dilation).  One gather
+    serves both the coarse (dilated) and fine (exact) occupancy tests."""
+    k = 2 * dilation_radius + 1
+    dil = jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or, (1, k, k, k), (1, 1, 1, 1),
+        [(0, 0)] + [(dilation_radius, dilation_radius)] * 3)
+    return (occ.astype(jnp.uint8) | (dil.astype(jnp.uint8) << 1))

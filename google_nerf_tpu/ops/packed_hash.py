@@ -1,0 +1,227 @@
+"""Packed-corner multiresolution hash encoding — the TPU-native flagship
+xyz encoder.
+
+Function class: instant-ngp style multiresolution trainable grid (reference
+tcnn HashGrid, `ngp_pl/models/networks.py:38-47`), re-laid-out for the TPU
+memory system.  Measured v5e rates (tools/sanity_bench.py, microbench3.py):
+
+    XLA row gather   ~110-160 M rows/s (row-count bound, width ~free)
+    XLA scatter-add  ~16 M rows/s (duplicates) / ~8 M rows/s (unique)
+    lax.sort         ~100-300 M rows/s
+    Pallas           no vector gather / no vector scatter on this target
+
+So the layout packs ALL 8 trilinear corners of a cell into ONE table row
+(`(T, 8*F)`), making the forward ONE gather per (sample, level) — 8x fewer
+gathers than the vertex-shared layout — and the backward a pure
+sort + cumsum + marker-merge pipeline with ZERO scatters:
+
+  1. key = level*T + cell_index for each (sample, level)      (N*L rows)
+  2. one ascending sort of [contribution keys ++ one marker per table row],
+     markers ordered after contributions of the same key
+  3. masked cumulative sum of the (w x g) outer-product payloads
+  4. the cumsum value standing at each marker is the running total A_t of
+     everything up to and including key t; the per-row gradient is the
+     consecutive difference A_t - A_{t-1}
+  5. markers are extracted in key order with one more (key, position) sort
+
+Trade-off vs tcnn: corners are per-cell (not shared between neighbouring
+cells), so each level is bilinear inside a cell but C0-discontinuous at
+cell faces — the same kind of artifact hash collisions already introduce;
+the L-level sum + MLP smooths it (validated by the e2e convergence test).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedHashConfig:
+    n_levels: int = 8
+    n_features: int = 2           # features per corner (output dim = L*F)
+    log2_table_size: int = 16     # cells per level
+    base_resolution: int = 16
+    per_level_scale: float = 2.0  # set via packed_config_for_scale
+    table_dtype: str = "bfloat16"  # gather dtype (params stay f32)
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table_size
+
+    @property
+    def resolutions(self):
+        return tuple(
+            int(np.floor(self.base_resolution * self.per_level_scale ** l))
+            for l in range(self.n_levels))
+
+    @property
+    def row_width(self) -> int:
+        return 8 * self.n_features
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+
+def packed_config_for_scale(scale: float, n_levels: int = 8,
+                            **kw) -> PackedHashConfig:
+    """Same N_min..N_max span as the reference hash grid
+    (`networks.py:29-31`: N_max = 2048*scale), fewer/fatter levels."""
+    n_min = kw.pop("base_resolution", 16)
+    n_max = max(2048 * scale, n_min + 1)
+    b = float(np.exp(np.log(n_max / n_min) / max(n_levels - 1, 1)))
+    return PackedHashConfig(n_levels=n_levels, base_resolution=n_min,
+                            per_level_scale=b, **kw)
+
+
+def init_packed_hash(key, cfg: PackedHashConfig) -> jnp.ndarray:
+    """(L, T, 8F) f32, U[-1e-4, 1e-4] (tcnn's init)."""
+    return jax.random.uniform(
+        key, (cfg.n_levels, cfg.table_size, cfg.row_width), jnp.float32,
+        minval=-1e-4, maxval=1e-4)
+
+
+def _cell_keys(x, cfg: PackedHashConfig):
+    """x: (N, 3) in [0,1] -> keys (L, N) int32 in [0, L*T), frac (L, N, 3).
+
+    Dense levels (res^3 <= T) use the row-major cell index; finer levels the
+    instant-ngp xor-prime hash of the CELL coordinate."""
+    res = jnp.asarray(cfg.resolutions, jnp.int32)            # (L,)
+    T = cfg.table_size
+    dense = jnp.asarray([r ** 3 <= T for r in cfg.resolutions])
+    pos = x[None] * res[:, None, None].astype(x.dtype)       # (L, N, 3)
+    c0 = jnp.clip(jnp.floor(pos), 0,
+                  (res[:, None, None] - 1).astype(x.dtype)).astype(jnp.int32)
+    frac = pos - c0.astype(x.dtype)
+    dense_idx = (c0[..., 0] * res[:, None] + c0[..., 1]) * res[:, None] \
+        + c0[..., 2]
+    cu = c0.astype(jnp.uint32)
+    h = ((cu[..., 0] * jnp.uint32(_PRIMES[0]))
+         ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
+         ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))) & jnp.uint32(T - 1)
+    idx = jnp.where(dense[:, None], dense_idx, h.astype(jnp.int32))
+    idx = jnp.clip(idx, 0, T - 1)
+    level_off = (jnp.arange(cfg.n_levels, dtype=jnp.int32) * T)[:, None]
+    return idx + level_off, frac
+
+
+def _corner_weights(frac):
+    """frac: (..., 3) -> (..., 8) trilinear weights; corner c uses offset
+    bit k = (c >> k) & 1 on dim k."""
+    f = frac[..., None, :]                                   # (..., 1, 3)
+    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
+                        for c in range(8)], frac.dtype)      # (8, 3)
+    w = jnp.where(offs == 1, f, 1.0 - f)                     # (..., 8, 3)
+    return w[..., 0] * w[..., 1] * w[..., 2]
+
+
+def _corner_weight_grads(frac):
+    """d w_c / d frac_k: (..., 8, 3)."""
+    f = frac[..., None, :]
+    offs = jnp.asarray([[(c >> k) & 1 for c2 in [c] for k in range(3)]
+                        for c in range(8)], frac.dtype)
+    term = jnp.where(offs == 1, f, 1.0 - f)                  # (..., 8, 3)
+    sign = jnp.where(offs == 1, 1.0, -1.0)
+    grads = []
+    for k in range(3):
+        others = [term[..., j] for j in range(3) if j != k]
+        grads.append(sign[..., k] * others[0] * others[1])
+    return jnp.stack(grads, -1)                              # (..., 8, 3)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def packed_hash_encode(table, x, cfg: PackedHashConfig):
+    """table: (L, T, 8F) f32; x: (N, 3) in [0, 1] -> (N, L*F)."""
+    out, _ = _encode_fwd_impl(table, x, cfg)
+    return out
+
+
+def _encode_fwd_impl(table, x, cfg: PackedHashConfig):
+    L, T, W = table.shape
+    F = cfg.n_features
+    keys, frac = _cell_keys(x, cfg)                          # (L,N),(L,N,3)
+    gd = jnp.dtype(cfg.table_dtype)
+    rows = jnp.take(table.astype(gd).reshape(L * T, W),
+                    keys.reshape(-1), axis=0)                # (L*N, W)
+    rows = rows.reshape(L, x.shape[0], 8, F).astype(jnp.float32)
+    w = _corner_weights(frac)                                # (L, N, 8)
+    feat = jnp.einsum("lnc,lncf->lnf", w, rows)
+    out = jnp.moveaxis(feat, 0, 1).reshape(x.shape[0], L * F)
+    return out, (keys, frac, rows, w)
+
+
+def _fwd(table, x, cfg):
+    out, res = _encode_fwd_impl(table, x, cfg)
+    return out, res + (x.shape[0], table.shape)
+
+
+def _bwd(cfg, res, g):
+    keys, frac, rows, w, n, tshape = res
+    L, T, W = tshape
+    F = cfg.n_features
+    gl = jnp.moveaxis(g.reshape(n, L, F), 1, 0)              # (L, N, F)
+
+    # ---- dx (needed for pose refinement) ----
+    dwdf = _corner_weight_grads(frac)                        # (L, N, 8, 3)
+    # dout/dfrac = sum_c dw_c ⊗ rows_c·g
+    rg = jnp.einsum("lncf,lnf->lnc", rows, gl)               # (L, N, 8)
+    dfrac = jnp.einsum("lnc,lnck->lnk", rg, dwdf)            # (L, N, 3)
+    resv = jnp.asarray(cfg.resolutions, jnp.float32)
+    dx = jnp.sum(dfrac * resv[:, None, None], axis=0)        # (N, 3)
+
+    # ---- dtable: sort + cumsum + marker merge (no scatter) ----
+    NL = L * n
+    LT = L * T
+    k_contrib = keys.reshape(-1)                             # (NL,)
+    pos = jnp.arange(NL, dtype=jnp.int32)
+    k_all = jnp.concatenate([k_contrib,
+                             jnp.arange(LT, dtype=jnp.int32)])
+    p_all = jnp.concatenate([pos, jnp.full((LT,), NL, jnp.int32)])
+    ks, ps = jax.lax.sort((k_all, p_all), num_keys=2)
+
+    is_contrib = ps < NL
+    safe = jnp.where(is_contrib, ps, 0)
+    w_flat = w.reshape(NL, 8)
+    g_flat = gl.reshape(NL, F)
+    wp = jnp.take(w_flat, safe, axis=0)
+    gp = jnp.take(g_flat, safe, axis=0)
+    payload = (wp[:, :, None] * gp[:, None, :]).reshape(NL + LT, W)
+    payload = jnp.where(is_contrib[:, None], payload, 0.0)
+    csum = jnp.cumsum(payload, axis=0)                       # (NL+LT, W)
+
+    # extract marker rows in key order: among markers keys are unique and
+    # ascending, so sorting (marker? key : BIG, stream_pos) puts the LT
+    # markers first, ordered by key
+    stream = jnp.arange(NL + LT, dtype=jnp.int32)
+    mk = jnp.where(is_contrib, jnp.int32(LT), ks)
+    _, mrows = jax.lax.sort((mk, stream), num_keys=1)
+    q = jax.lax.dynamic_slice_in_dim(mrows, 0, LT)           # (LT,)
+    A = jnp.take(csum, q, axis=0)                            # (LT, W)
+    dtab = jnp.diff(A, axis=0, prepend=jnp.zeros((1, W), A.dtype))
+    return dtab.reshape(L, T, W), dx
+
+
+packed_hash_encode.defvjp(_fwd, _bwd)
+
+
+def packed_hash_encode_ref(table, x, cfg: PackedHashConfig):
+    """Naive per-corner reference (8 separate vertex... cell gathers) for
+    testing the fused op — same math, no packing tricks."""
+    L, T, W = table.shape
+    F = cfg.n_features
+    keys, frac = _cell_keys(x, cfg)
+    w = _corner_weights(frac)                                # (L, N, 8)
+    outs = []
+    for l in range(L):
+        rows = table[l][keys[l] - l * T]                     # (N, 8F)
+        rows = rows.reshape(-1, 8, F)
+        outs.append(jnp.einsum("nc,ncf->nf", w[l], rows))
+    return jnp.concatenate(outs, axis=-1).reshape(x.shape[0], L * F) \
+        if False else jnp.moveaxis(jnp.stack(outs), 0, 1).reshape(
+            x.shape[0], L * F)

@@ -58,8 +58,8 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
         batch = sample_batch(k1, scene, local_bs)
 
         def loss_fn(params):
-            return loss_and_results(params, state["occ"], scene, batch, k2,
-                                    cfg)
+            occ = {"occ": state["occ"], "occ_u8": state["occ_u8"]}
+            return loss_and_results(params, occ, scene, batch, k2, cfg)
 
         (loss, results), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
@@ -77,7 +77,8 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
                        lr=cosine_lr(cfg)(state["step"]))
         new_state = dict(params=params, opt_state=opt_state,
                          density_grid=state["density_grid"],
-                         occ=state["occ"], step=state["step"] + 1)
+                         occ=state["occ"], occ_u8=state["occ_u8"],
+                         step=state["step"] + 1)
         return new_state, metrics
 
     sharded = shard_map(per_replica, mesh=mesh,

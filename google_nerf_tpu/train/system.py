@@ -28,7 +28,10 @@ import optax
 from google_nerf_tpu.core.rays import axisangle_to_R, get_rays
 from google_nerf_tpu.models.ngp import NGPConfig, init_ngp, ngp_density
 from google_nerf_tpu.models.rendering import MAX_SAMPLES, render_train
-from google_nerf_tpu.ops.grid import mark_invisible_cells, update_density_grid
+from google_nerf_tpu.ops.grid import (mark_invisible_cells,
+                                      pack_occupancy_u8,
+                                      update_density_grid)
+from google_nerf_tpu.ops.march_seg import required_dilation_radius
 from google_nerf_tpu.train.losses import NeRFLoss
 
 SQRT3 = 3.0 ** 0.5
@@ -54,6 +57,10 @@ class TrainConfig:
     samples_budget: int = 0                # 0 = no compaction (eval all
                                            # padded slots); else MLP/encoder
                                            # run on <= budget real samples
+    march: str = "seg"                     # "seg" (two-phase, bounded
+                                           # scenes) | "dense"
+    seg: int = 8                           # candidates per segment
+    n_keep: int = 32                       # live segments kept per ray
 
     @property
     def density_threshold(self) -> float:
@@ -105,6 +112,7 @@ def init_train_state(key, cfg: TrainConfig, K, poses, img_wh) -> Dict[str, Any]:
     opt_state = tx.init(params)
     return dict(params=params, opt_state=opt_state,
                 density_grid=density_grid, occ=occ,
+                occ_u8=jnp.zeros_like(occ, jnp.uint8),
                 step=jnp.zeros((), jnp.int32))
 
 
@@ -138,17 +146,23 @@ def sample_batch(key, scene: Dict[str, Any], batch_size: int):
 
 def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
     """The differentiable part of a train step (shared by the single-chip
-    and data-parallel paths)."""
+    and data-parallel paths).  occ: dict with "occ" (bool grid) and
+    "occ_u8" (packed dilated grid for the segment marcher)."""
     loss_obj = NeRFLoss(cfg.lambda_opacity, cfg.lambda_depth)
     poses = refined_poses(params, scene["poses"], batch["img_idxs"])
     dirs = scene["directions"][batch["pix_idxs"]]
     rays_o, rays_d = get_rays(dirs, poses)
-    results = render_train(params, cfg.model, occ, rays_o, rays_d, key,
+    results = render_train(params, cfg.model, occ["occ"], rays_o, rays_d,
+                           key,
                            exp_step_factor=cfg.exp_step_factor,
                            T_threshold=cfg.T_threshold,
                            k_samples=cfg.k_samples,
                            max_samples=cfg.max_samples,
-                           samples_budget=cfg.samples_budget)
+                           samples_budget=cfg.samples_budget,
+                           occ_u8=(occ["occ_u8"]
+                                   if cfg.march == "seg"
+                                   and cfg.exp_step_factor == 0.0 else None),
+                           seg=cfg.seg, n_keep=cfg.n_keep)
     total, _ = loss_obj.total(results, batch)
     return total, results
 
@@ -163,7 +177,9 @@ def apply_grads(state, grads, cfg: TrainConfig):
 
 def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     def loss_fn(params):
-        return loss_and_results(params, state["occ"], scene, batch, key, cfg)
+        return loss_and_results(
+            params, {"occ": state["occ"], "occ_u8": state["occ_u8"]},
+            scene, batch, key, cfg)
 
     (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state["params"])
@@ -180,7 +196,7 @@ def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     )
     new_state = dict(params=params, opt_state=opt_state,
                      density_grid=state["density_grid"], occ=state["occ"],
-                     step=state["step"] + 1)
+                     occ_u8=state["occ_u8"], step=state["step"] + 1)
     return new_state, metrics
 
 
@@ -207,6 +223,9 @@ def grid_update_step(state, key, *, cfg: TrainConfig, warmup: bool):
     out = dict(state)
     out["density_grid"] = new_grid
     out["occ"] = occ
+    out["occ_u8"] = pack_occupancy_u8(
+        occ, required_dilation_radius(cfg.seg, m.grid_size,
+                                      cfg.max_samples, m.scale))
     return out
 
 

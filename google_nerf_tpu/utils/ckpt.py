@@ -71,3 +71,34 @@ def slim_state(state: Dict[str, Any], save_poses: bool = False):
 def save_slim_ckpt(path: str, state: Dict[str, Any],
                    save_poses: bool = False):
     save_ckpt(path, slim_state(state, save_poses))
+
+
+def save_pytree(path: str, tree) -> None:
+    """Generic nested-dict pytree -> .npz (keys are '/'-joined paths).
+    Used by the depth (LeReS) stack for torch-free checkpoints."""
+    import numpy as np
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk(tree, ())
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str):
+    """Inverse of save_pytree."""
+    import numpy as np
+    data = np.load(path, allow_pickle=False)
+    tree: Dict[str, Any] = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
