@@ -52,14 +52,23 @@ def required_dilation_radius(seg: int, grid_size: int, max_samples: int,
 def _occ_bits_lookup(occ_u8, xyz, dt, cascades: int, scale: float,
                      grid_size: int, bit: int):
     """Cascaded lookup of one bit of the packed occupancy byte grid."""
-    mip = jnp.maximum(mip_from_pos(xyz, cascades),
-                      mip_from_dt(dt, grid_size, cascades))
-    mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0), scale)
-    nf = jnp.clip(0.5 * (xyz / mip_bound[..., None] + 1.0) * grid_size,
-                  0.0, grid_size - 1.0)
-    n = nf.astype(jnp.int32)
-    idx = ((mip * grid_size + n[..., 0]) * grid_size + n[..., 1]) \
-        * grid_size + n[..., 2]
+    if cascades == 1:
+        # single-cascade fast path: mip == 0 always, bound = min(0.5, scale)
+        bound = min(0.5, scale)
+        nf = jnp.clip((0.5 / bound) * xyz + 0.5, 0.0,
+                      1.0 - 0.5 / grid_size) * grid_size
+        n = nf.astype(jnp.int32)
+        idx = (n[..., 0] * grid_size + n[..., 1]) * grid_size + n[..., 2]
+    else:
+        mip = jnp.maximum(mip_from_pos(xyz, cascades),
+                          mip_from_dt(dt, grid_size, cascades))
+        mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0),
+                                scale)
+        nf = jnp.clip(0.5 * (xyz / mip_bound[..., None] + 1.0) * grid_size,
+                      0.0, grid_size - 1.0)
+        n = nf.astype(jnp.int32)
+        idx = ((mip * grid_size + n[..., 0]) * grid_size + n[..., 1]) \
+            * grid_size + n[..., 2]
     byte = jnp.take(occ_u8.reshape(-1), idx, axis=0)
     return (byte >> bit) & 1 > 0
 
@@ -91,6 +100,8 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
     hit = t1 >= 0
     t0 = jnp.maximum(t1, 0.0) + dt * noise
     n_segs = max_samples // seg
+    n_keep = min(n_keep, n_segs)
+    k_samples = min(k_samples, n_keep * seg)
 
     # ---- phase 1: dilated test at segment centers ----
     js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)

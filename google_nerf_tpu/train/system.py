@@ -60,7 +60,7 @@ class TrainConfig:
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
-    n_keep: int = 32                       # live segments kept per ray
+    n_keep: int = 16                       # live segments kept per ray
 
     @property
     def density_threshold(self) -> float:
