@@ -57,6 +57,29 @@ def main():
     dt = time.time() - t0
 
     rays_per_sec = n_timed * cfg.batch_size / dt
+    # ---- 800x800 novel-view render FPS (reference: ngp_pl/test.py:33,
+    # published 32.44 avg FPS on a 2080 Ti, BASELINE.md) ----
+    from google_nerf_tpu.core.rays import get_ray_directions, get_rays
+    from google_nerf_tpu.models.rendering import render_test
+
+    w = h = 800
+    K800 = jnp.asarray([[w * 1.1, 0, w / 2], [0, w * 1.1, h / 2], [0, 0, 1]])
+    dirs800 = get_ray_directions(h, w, K800)
+    pose = jnp.broadcast_to(jnp.asarray(ds.poses[0]), (h * w, 3, 4))
+    rays_o, rays_d = get_rays(dirs800, pose)
+
+    def render_frame():
+        return render_test(state["params"], cfg.model, state["occ"],
+                           rays_o, rays_d, T_threshold=1e-2)["rgb"]
+
+    out = render_frame()
+    jax.block_until_ready(out)
+    t0 = time.time()
+    n_frames = 5
+    outs = [render_frame() for _ in range(n_frames)]
+    jax.block_until_ready(outs)
+    fps = n_frames / (time.time() - t0)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -66,6 +89,8 @@ def main():
             "steady_state_steps_per_sec": round(n_timed / dt, 2),
             "train_psnr_at_1024_steps": round(float(metrics["psnr"]), 2),
             "s_per_ray": round(float(metrics["s_per_ray"]), 2),
+            "render_fps_800": round(fps, 2),
+            "render_fps_800_vs_baseline": round(fps / 32.44, 3),
             "device": str(jax.devices()[0]),
         },
     }))

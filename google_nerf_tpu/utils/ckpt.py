@@ -102,3 +102,61 @@ def load_pytree(path: str):
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
     return tree
+
+
+def _flatten_paths(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):  # match jax tree_flatten's dict-key order
+            out.update(_flatten_paths(tree[k], prefix + (str(k),)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_paths(v, prefix + (str(i),)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def load_ckpt_filtered(path: str, target: Dict[str, Any],
+                       include_prefixes=("params",),
+                       exclude_prefixes=()) -> Dict[str, Any]:
+    """Prefix-filtered partial load (reference `extract_model_state_dict` /
+    `load_ckpt`, `ngp_pl/utils.py:4-25`): restore only the leaves whose
+    '/'-joined path starts with one of `include_prefixes` (and none of
+    `exclude_prefixes`); all other leaves keep the `target` values.
+
+    Tolerates checkpoints with a different tree (e.g. a slim ckpt loaded
+    into a full TrainState): leaves absent from the checkpoint keep the
+    target values, extra checkpoint leaves are ignored.
+    """
+    loaded = load_ckpt(path, target=None) if _HAVE_ORBAX else None
+    if loaded is None:
+        # npz fallback cannot restore without a matching structure; try the
+        # full target first, else fail over to target as-is
+        try:
+            loaded = load_ckpt(path, target=target)
+        except Exception:
+            return target
+    src = _flatten_paths(loaded)
+    dst = _flatten_paths(target)
+
+    def want(key: str) -> bool:
+        return (any(key.startswith(p) for p in include_prefixes)
+                and not any(key.startswith(p) for p in exclude_prefixes))
+
+    merged = {}
+    for key, tv in dst.items():
+        if key in src and want(key):
+            sv = np.asarray(src[key])
+            if tv is not None and hasattr(tv, "shape") \
+                    and tuple(sv.shape) != tuple(np.shape(tv)):
+                merged[key] = tv           # shape mismatch: keep target
+            else:
+                merged[key] = sv
+        else:
+            merged[key] = tv
+    # rebuild with the target's treedef
+    flat, treedef = jax.tree_util.tree_flatten(target)
+    keys = list(_flatten_paths(target).keys())
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [merged[k] for k in keys])
