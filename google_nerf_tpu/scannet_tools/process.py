@@ -14,6 +14,8 @@ import argparse
 import glob
 import os
 
+import numpy as np
+
 from google_nerf_tpu.scannet_tools.sensor_data import SensorData
 
 
@@ -101,3 +103,49 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# NYU40 label mapping (reference `process_scannet/util.py:34-45` +
+# `map_label_image`, `prepare_scannet_data.py:59-70`) and the per-scene
+# scale table (`process_scannet/scannet_scales.txt`).
+# ---------------------------------------------------------------------------
+
+SCANNET_SCENE_SCALES = {
+    "scene0000_00": 4.6, "scene0000_01": 4.52, "scene0079_00": 6.31,
+    "scene0134_00": 2.86, "scene0158_00": 2.61, "scene0316_00": 2.91,
+    "scene0521_00": 2.76, "scene0553_00": 1.71, "scene0616_00": 2.97,
+    "scene0653_00": 3.26,
+}
+
+
+def read_label_mapping(path: str, label_from: str = "raw_category",
+                       label_to: str = "nyu40id"):
+    """Parse the ScanNet `scannetv2-labels.combined.tsv` into a mapping.
+    Integer-looking source labels are returned as ints."""
+    import csv
+    mapping = {}
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            mapping[row[label_from]] = int(row[label_to])
+    try:
+        return {int(k): v for k, v in mapping.items()}
+    except (ValueError, TypeError):
+        return mapping
+
+
+def map_label_image(image, mapping) -> "np.ndarray":
+    """Vectorized label-id remap of a (H, W) int image (the reference loops
+    over unique ids; here one lookup-table gather does all of them)."""
+    image = np.asarray(image)
+    max_id = max(int(image.max()), max(mapping, default=0))
+    lut = np.zeros(max_id + 1, dtype=np.uint16)
+    for k, v in mapping.items():
+        if isinstance(k, int) and 0 <= k <= max_id:
+            lut[k] = v
+    return lut[image]
+
+
+def scene_scale(scene_id: str, default: float = 1.0) -> float:
+    """Per-scene normalisation scale (scannet_scales.txt)."""
+    return SCANNET_SCENE_SCALES.get(scene_id, default)

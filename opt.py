@@ -90,6 +90,15 @@ def get_opts(argv=None):
     parser.add_argument('--platform', type=str, default=None,
                         choices=[None, 'cpu', 'tpu'],
                         help='force a JAX platform (default: auto)')
+    parser.add_argument('--log_dir', type=str, default=None,
+                        help='scalar-log dir (JSONL + TensorBoard when '
+                             'tensorboardX is available); default '
+                             'results/<dataset>/<exp>/logs')
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='capture a jax.profiler trace over this many '
+                             'steps after warmup (0 = off)')
+    parser.add_argument('--debug_nans', action='store_true', default=False,
+                        help='enable jax_debug_nans (detect_anomaly analog)')
     parser.add_argument('--samples_budget', type=int, default=-1,
                         help='max field-network samples per step via '
                              'compaction; -1 = 16*batch_size, 0 = off')

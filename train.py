@@ -136,6 +136,11 @@ def main(hparams, video_fps=30):
     apply_platform(hparams)
     import jax.numpy as jnp
 
+    from google_nerf_tpu.utils.logging import (ScalarLogger, TrainingStats,
+                                               debug_mode, profile_trace)
+    if hparams.debug_nans:
+        debug_mode(nans=True)
+
     from google_nerf_tpu.data import dataset_dict
     from google_nerf_tpu.parallel.dp import (make_dp_train_step, make_mesh,
                                              replicate)
@@ -193,10 +198,24 @@ def main(hparams, video_fps=30):
         print(f'data-parallel over {n_dev} devices')
 
     total_steps = cfg.total_steps
+    log_dir = hparams.log_dir or (os.path.join(val_dir, 'logs')
+                                  if val_dir else None)
+    logger = ScalarLogger(log_dir)
+    stats = TrainingStats(total_steps, log_interval=100, logger=logger)
+    profiler_ctx = None
     t0 = time.time()
     rays_done = 0
     metrics = {}
     for step in range(int(state["step"]), total_steps):
+        if hparams.profile_steps and step == min(200, total_steps // 2):
+            profiler_ctx = profile_trace(os.path.join(
+                log_dir or ckpt_dir, 'profile'))
+            profiler_ctx.__enter__()
+        if hparams.profile_steps and profiler_ctx is not None and                 step == min(200, total_steps // 2) + hparams.profile_steps:
+            jax.block_until_ready(metrics)
+            profiler_ctx.__exit__(None, None, None)
+            profiler_ctx = None
+        stats.iter_tic()
         if step % cfg.grid_update_interval == 0:
             state = grid_update_step(
                 state, jax.random.fold_in(key, 2 * step + 1), cfg=cfg,
@@ -209,12 +228,15 @@ def main(hparams, video_fps=30):
         rays_done += cfg.batch_size
         if (step + 1) % 100 == 0:
             jax.block_until_ready(metrics)
+            stats.iter_toc()
             dt = time.time() - t0
-            print(f'step {step + 1}/{total_steps} '
-                  f'loss={float(metrics["loss"]):.4g} '
-                  f'psnr={float(metrics["psnr"]):.2f} '
-                  f's/ray={float(metrics["s_per_ray"]):.1f} '
-                  f'rays/s={rays_done / dt:.0f}')
+            stats.update({k: float(v) for k, v in metrics.items()})
+            stats.log_iter_stats(step + 1,
+                                 extra={'rays_per_sec': rays_done / dt})
+        else:
+            stats.iter_toc()
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
     jax.block_until_ready(state)
     train_time = time.time() - t0
     print(f'Total training time: {train_time:.1f}s')
@@ -226,6 +248,8 @@ def main(hparams, video_fps=30):
 
     logs = validate(hparams, cfg, state, test_dataset, val_dir)
     print('test:', logs)
+    logger.log(total_steps, {f'test/{k}': v for k, v in logs.items()})
+    logger.close()
     if val_dir and hparams.dataset_name == 'nsvf' and \
             'Synthetic' in hparams.root_dir:
         save_videos(val_dir, fps=video_fps)
