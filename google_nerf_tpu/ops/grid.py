@@ -108,24 +108,36 @@ def _erode(grid):
 def update_density_grid(density_grid, density_fn, key, *, scale: float,
                         density_threshold: float, warmup: bool,
                         decay: float = 0.95, erode: bool = False,
-                        eval_chunks: int = 8):
+                        eval_chunks: int = 8, axis_name=None):
     """One density-grid maintenance step.
 
     density_grid: (C, G, G, G) float32 (negatives = permanently invisible);
     density_fn: (M, 3) world xyz -> (M,) sigma.
     Returns (new_density_grid, occ_bool (C, G, G, G)).
+
+    With `axis_name` (inside shard_map/pmap), the sampled-cell density
+    evaluation is SHARDED over the mesh — each replica evaluates a
+    1/n_replicas slice of the cells and the per-cell maxima are pmax-merged
+    (SURVEY.md §5.8: the TPU-native analog of vren's replicated grid
+    update), so the update costs 1/n of the single-chip version while every
+    replica ends with the identical grid.
     """
     C, G = density_grid.shape[0], density_grid.shape[1]
     flat = density_grid.reshape(C, -1)
     tmp = jnp.zeros_like(flat)
+    n_rep = (jax.lax.axis_size(axis_name) if axis_name else 1)
+    rep = (jax.lax.axis_index(axis_name) if axis_name else 0)
 
     for c in range(C):
         kc = jax.random.fold_in(key, c)
         if warmup:
-            coords = cell_coords(G)
             idx = jnp.arange(G ** 3, dtype=jnp.int32)
+            if axis_name:
+                idx = idx.reshape(n_rep, -1)[rep]
+            coords = jnp.stack([idx // (G * G), (idx // G) % G, idx % G], -1)
         else:
-            m = G ** 3 // 4
+            m = G ** 3 // 4 // n_rep
+            kc = jax.random.fold_in(kc, rep) if axis_name else kc
             k1, k2, k3 = jax.random.split(kc, 3)
             coords_u = jax.random.randint(k1, (m, 3), 0, G, dtype=jnp.int32)
             idx_u = (coords_u[:, 0] * G + coords_u[:, 1]) * G + coords_u[:, 2]
@@ -140,6 +152,8 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
         sigmas = jax.lax.map(density_fn, pts).reshape(-1)
         tmp = tmp.at[c, idx].max(sigmas)
 
+    if axis_name:
+        tmp = jax.lax.pmax(tmp, axis_name)
     new = jnp.where(flat < 0, flat, jnp.maximum(flat * decay, tmp))
     new = new.reshape(density_grid.shape)
     if erode:

@@ -97,3 +97,85 @@ def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = jax.sharding.NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
+                        axis_name: str = "data"):
+    """Sharded density-grid maintenance: each replica evaluates 1/n of the
+    sampled cells, pmax merges the maxima (SURVEY.md §5.8)."""
+    from google_nerf_tpu.models.ngp import ngp_density
+    from google_nerf_tpu.ops.grid import update_density_grid
+    from google_nerf_tpu.ops.march_seg import required_dilation_radius
+    from google_nerf_tpu.ops.grid import pack_occupancy_u8
+
+    m = cfg.model
+
+    def build(warmup: bool):
+        def per_replica(state, key):
+            def density_fn(x):
+                return ngp_density(state["params"], m, x)
+
+            new_grid, occ = update_density_grid(
+                state["density_grid"], density_fn, key[0], scale=m.scale,
+                density_threshold=cfg.density_threshold, warmup=warmup,
+                erode=cfg.erode, axis_name=axis_name)
+            out = dict(state)
+            out["density_grid"] = new_grid
+            out["occ"] = occ
+            out["occ_u8"] = pack_occupancy_u8(
+                occ, required_dilation_radius(cfg.seg, m.grid_size,
+                                              cfg.max_samples, m.scale))
+            return out
+
+        return shard_map(per_replica, mesh=mesh,
+                         in_specs=(P(), P(axis_name)),
+                         out_specs=P(), check_vma=False)
+
+    sharded = {w: build(w) for w in (False, True)}
+
+    @partial(jax.jit, static_argnames=("warmup",))
+    def step(state, key, warmup: bool):
+        n = mesh.shape[axis_name]
+        keys = jax.random.split(key, n)
+        return sharded[bool(warmup)](state, keys)
+
+    return step
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialisation (the NCCL init_process_group analog,
+    reference `LeReS Train/tools/train.py:462-465`).
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
+    args are None; a single-host run (no coordinator) is a no-op.  Returns
+    the process index.
+    """
+    import os
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=int(num_processes
+                          or os.environ.get("JAX_NUM_PROCESSES", 1)),
+        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)))
+    return jax.process_index()
+
+
+def shard_scene_for_host(scene, n_hosts: int, host_id: int):
+    """Host-sharded image store: each host keeps 1/n of the images (the
+    DDP-sampler analog for multi-host data loading).  Per-replica batch
+    sampling then draws only from the local shard."""
+    import numpy as np
+    images = scene["images"]
+    n_img = images.shape[0]
+    idx = np.arange(host_id, n_img, n_hosts)
+    out = dict(scene)
+    out["images"] = images[idx]
+    out["poses"] = scene["poses"][idx]
+    if "depths" in scene and scene["depths"] is not None:
+        out["depths"] = scene["depths"][idx]
+    return out
