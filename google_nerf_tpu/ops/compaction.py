@@ -29,18 +29,36 @@ class PackPlan(NamedTuple):
     n_valid: jnp.ndarray    # () total valid samples (pre-budget)
 
 
-def plan_packing(valid: jnp.ndarray, budget: int) -> PackPlan:
-    """valid: (R, K) bool -> packing plan for budget B."""
+def plan_packing(valid: jnp.ndarray, budget: int,
+                 sample_major: bool = True) -> PackPlan:
+    """valid: (R, K) bool -> packing plan for budget B.
+
+    sample_major (default): budget slots are filled in sample-slot-major
+    order (all rays' sample 0, then sample 1, ...), so when the budget
+    truncates, every ray keeps its NEAR samples and only far tails drop —
+    matching the reference marcher's per-ray truncation semantics
+    (`custom_functions.py:92-97`).  Ray-major filling (False) would starve
+    whole trailing rays, which poisons their pixels' gradients toward the
+    background.
+    """
+    R, K = valid.shape
     flat = valid.reshape(-1)
     n = flat.shape[0]
     budget = min(budget, n)
     iota = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(flat, iota, n)
-    sorted_key = jax.lax.sort(key)  # valid indices first, in order
-    src_idx = jax.lax.dynamic_slice_in_dim(sorted_key, 0, budget)
-    slot_valid = src_idx < n
+    if sample_major:
+        rank = (jnp.arange(K, dtype=jnp.int32)[None, :] * R
+                + jnp.arange(R, dtype=jnp.int32)[:, None]).reshape(-1)
+        pos = (jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
+               .reshape(K, R).T.reshape(-1)) - 1
+    else:
+        rank = iota
+        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    key = jnp.where(flat, rank, n)
+    sorted_key, sorted_src = jax.lax.sort((key, iota), num_keys=1)
+    src_idx = jax.lax.dynamic_slice_in_dim(sorted_src, 0, budget)
+    slot_valid = jax.lax.dynamic_slice_in_dim(sorted_key, 0, budget) < n
     src_idx = jnp.where(slot_valid, src_idx, 0)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     keep = flat & (pos < budget)
     pos = jnp.where(keep, pos, budget - 1)
     return PackPlan(src_idx, pos, keep, slot_valid, flat.sum())

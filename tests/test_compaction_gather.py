@@ -24,12 +24,18 @@ def test_pack_unpack_roundtrip():
 
 def test_pack_respects_budget():
     valid = jnp.ones((4, 8), bool)
+    # sample-major (default): every ray keeps its FIRST 4 sample slots
     plan = plan_packing(valid, 16)  # 32 valid > 16 budget
     x = jnp.arange(32.0)[:, None]
-    un = np.asarray(unpack(pack(x, plan), plan))[:, 0]
-    # first 16 flat slots survive, rest dropped to 0
-    np.testing.assert_allclose(un[:16], np.arange(16.0))
-    np.testing.assert_allclose(un[16:], 0.0)
+    un = np.asarray(unpack(pack(x, plan), plan))[:, 0].reshape(4, 8)
+    for r in range(4):
+        np.testing.assert_allclose(un[r, :4], np.arange(8 * r, 8 * r + 4))
+        np.testing.assert_allclose(un[r, 4:], 0.0)
+    # ray-major option: first 16 flat slots survive (old semantics)
+    plan_rm = plan_packing(valid, 16, sample_major=False)
+    un_rm = np.asarray(unpack(pack(x, plan_rm), plan_rm))[:, 0]
+    np.testing.assert_allclose(un_rm[:16], np.arange(16.0))
+    np.testing.assert_allclose(un_rm[16:], 0.0)
 
 
 def test_pack_unpack_gradients_match_dense():
