@@ -33,16 +33,32 @@ _SIGMA_MAX = 80.0
 _EDGE = 0.012  # soft-edge width
 
 
-def analytic_field(xyz: jnp.ndarray):
-    """xyz: (..., 3) -> (sigma (...,), rgb (..., 3))."""
+_SHELL = 0.035  # shell thickness for style="shell"
+
+
+def analytic_field(xyz: jnp.ndarray, style: str = "solid"):
+    """xyz: (..., 3) -> (sigma (...,), rgb (..., 3)).
+
+    style="solid": filled objects (opaque interiors).
+    style="shell": the same surfaces as hollow shells — the realized
+    samples-per-ray then matches real benchmark scenes (thin structures
+    whose interiors the occupancy grid prunes), which is what bench.py
+    should measure.
+    """
     sigs, cols = [], []
     for (c, r, col) in _SPHERES:
         d = jnp.linalg.norm(xyz - jnp.asarray(c), axis=-1)
-        sigs.append(jax.nn.sigmoid((r - d) / _EDGE))
+        inside = jax.nn.sigmoid((r - d) / _EDGE)
+        if style == "shell":
+            inside = inside * jax.nn.sigmoid((d - (r - _SHELL)) / _EDGE)
+        sigs.append(inside)
         cols.append(jnp.asarray(col))
     bc, bh, bcol = (jnp.asarray(v) for v in _BOX)
     db = jnp.max(jnp.abs(xyz - bc) - bh, axis=-1)
-    sigs.append(jax.nn.sigmoid(-db / _EDGE))
+    inside = jax.nn.sigmoid(-db / _EDGE)
+    if style == "shell":
+        inside = inside * jax.nn.sigmoid((db + _SHELL) / _EDGE)
+    sigs.append(inside)
     cols.append(bcol)
     s = jnp.stack(sigs, -1)                       # (..., n_obj)
     sigma = _SIGMA_MAX * jnp.max(s, -1)
@@ -77,8 +93,9 @@ def _fibonacci_poses(n: int, radius: float, seed: int = 0) -> np.ndarray:
     return np.stack(poses)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "scale"))
-def _integrate_gt(rays_o, rays_d, n_steps: int = 512, scale: float = 0.5):
+@partial(jax.jit, static_argnames=("n_steps", "scale", "style"))
+def _integrate_gt(rays_o, rays_d, n_steps: int = 512, scale: float = 0.5,
+                  style: str = "solid"):
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     d = rays_d / norm
     hits = clamp_near(
@@ -90,7 +107,7 @@ def _integrate_gt(rays_o, rays_d, n_steps: int = 512, scale: float = 0.5):
     ts = t1[:, None] + (t2 - t1)[:, None] * i[None, :]
     deltas = jnp.broadcast_to(((t2 - t1) / n_steps)[:, None], ts.shape)
     xyz = rays_o[:, None] + ts[..., None] * d[:, None]
-    sigma, rgb = analytic_field(xyz)
+    sigma, rgb = analytic_field(xyz, style)
     valid = jnp.broadcast_to((hits[:, 0] >= 0)[:, None], ts.shape)
     out = composite_rays_train(sigma, rgb, deltas, ts, valid)
     return out["rgb"] + 1.0 * (1 - out["opacity"][:, None])  # white bg
@@ -110,6 +127,7 @@ class SyntheticDataset:
     scale: float = 0.5
     cam_radius: float = 1.2
     seed: int = 0
+    style: str = "solid"            # "solid" | "shell" (thin structures)
 
     def __post_init__(self):
         w, h = (int(self.img_wh[0] * self.downsample),
@@ -135,7 +153,8 @@ class SyntheticDataset:
             o = jnp.concatenate([o, jnp.zeros((pad, 3))])
             d = jnp.concatenate([d, jnp.ones((pad, 3))])
         rgb = [np.asarray(_integrate_gt(o[i:i + chunk], d[i:i + chunk],
-                                        scale=self.scale))
+                                        scale=self.scale,
+                                        style=self.style))
                for i in range(0, o.shape[0], chunk)]
         rgb = np.concatenate(rgb)[:self.n_images * w * h]
         self.rays = np.clip(rgb.reshape(self.n_images, w * h, 3),

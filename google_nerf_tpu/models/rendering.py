@@ -69,10 +69,17 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                              max_samples=max_samples,
                              k_samples=k_samples, noise=noise)
     R, K = m["ts"].shape
+    ray_mask = jnp.ones((R,), bool)
     if samples_budget and samples_budget < R * K:
         # evaluate the field only on (up to budget) REAL samples — the
-        # TPU-native stand-in for the reference's CSR compaction
-        plan = plan_packing(m["valid"], samples_budget)
+        # TPU-native stand-in for the reference's CSR compaction.  Packing
+        # is ray-major; rays whose samples did not all fit are flagged in
+        # ray_mask=False and must be EXCLUDED from the loss (their render
+        # is incomplete) — gradients then stay unbiased and the budget acts
+        # as a dynamic batch-size cap, exactly like training on fewer rays.
+        plan = plan_packing(m["valid"], samples_budget, sample_major=False)
+        keep2d = plan.keep.reshape(R, K)
+        ray_mask = ~jnp.any(m["valid"] & ~keep2d, axis=-1)
         sig_p, rgb_p = ngp_apply(params, cfg,
                                  pack(m["xyzs"].reshape(-1, 3), plan),
                                  pack(m["dirs"].reshape(-1, 3), plan))
@@ -89,6 +96,7 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
     out["rgb"] = out["rgb"] + bg * (1.0 - out["opacity"][:, None])
     out["total_samples"] = m["total_samples"]
     out["valid"] = m["valid"]
+    out["ray_mask"] = ray_mask
     return out
 
 

@@ -65,8 +65,12 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
             loss_fn, has_aux=True)(state["params"])
         grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
+        rm = results.get("ray_mask", jnp.ones((), bool))
+        rmw = jnp.broadcast_to(rm[..., None] if rm.ndim else rm,
+                               results["rgb"].shape)
         mse = jax.lax.pmean(
-            jnp.mean((results["rgb"] - batch["rgb"]) ** 2), axis_name)
+            jnp.sum(jnp.where(rmw, (results["rgb"] - batch["rgb"]) ** 2,
+                              0.0)) / jnp.maximum(rmw.sum(), 1), axis_name)
         s_per_ray = jax.lax.pmean(
             results["total_samples"] / local_bs, axis_name)
 

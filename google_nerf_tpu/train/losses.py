@@ -48,5 +48,18 @@ class NeRFLoss:
         return d
 
     def total(self, results, batch):
+        """Mean over rays; rays whose render was truncated by the sample
+        budget (results["ray_mask"] False) are excluded so truncation never
+        biases gradients — it only shrinks the effective batch."""
         d = self(results, batch)
-        return sum(v.mean() for v in d.values()), d
+        mask = results.get("ray_mask")
+        if mask is None:
+            return sum(v.mean() for v in d.values()), d
+        denom = jnp.maximum(mask.sum(), 1)
+
+        def ray_mean(v):
+            m = mask.reshape((-1,) + (1,) * (v.ndim - 1))
+            return jnp.sum(jnp.where(m, v, 0.0)) / (
+                denom * (v[0].size if v.ndim > 1 else 1))
+
+        return sum(ray_mean(v) for v in d.values()), d

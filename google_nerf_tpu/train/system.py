@@ -187,7 +187,12 @@ def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
     params = optax.apply_updates(state["params"], updates)
 
-    mse = jnp.mean((results["rgb"] - batch["rgb"]) ** 2)
+    rm = results.get("ray_mask", jnp.ones((), bool))
+    rmw = jnp.broadcast_to(rm[..., None] if rm.ndim else rm,
+                           results["rgb"].shape)
+    mse = (jnp.sum(jnp.where(rmw, (results["rgb"] - batch["rgb"]) ** 2,
+                             0.0))
+           / jnp.maximum(rmw.sum(), 1))
     metrics = dict(
         loss=loss,
         psnr=-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
