@@ -60,7 +60,7 @@ def main():
     # ---- 800x800 novel-view render FPS (reference: ngp_pl/test.py:33,
     # published 32.44 avg FPS on a 2080 Ti, BASELINE.md) ----
     from google_nerf_tpu.core.rays import get_ray_directions, get_rays
-    from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.models.render_test_fast import render_test_fast
 
     w = h = 800
     K800 = jnp.asarray([[w * 1.1, 0, w / 2], [0, w * 1.1, h / 2], [0, 0, 1]])
@@ -69,8 +69,9 @@ def main():
     rays_o, rays_d = get_rays(dirs800, pose)
 
     def render_frame():
-        return render_test(state["params"], cfg.model, state["occ"],
-                           rays_o, rays_d, T_threshold=1e-2)["rgb"]
+        return render_test_fast(state["params"], cfg.model,
+                                state["occ_u8"], rays_o, rays_d,
+                                T_threshold=1e-2)["rgb"]
 
     out = render_frame()
     jax.block_until_ready(out)

@@ -1,0 +1,209 @@
+"""Fast test-time renderer: alive-ray bucket compaction inside a
+`lax.while_loop`.
+
+Replaces the first-cut chunked renderer (models/rendering.py
+`_render_test_chunk`) whose every round re-marched and re-evaluated the
+ENTIRE ray chunk (measured 0.03 FPS at 800^2).  The reference gets its
+test-time speed from host-synced alive-index compaction
+(`ngp_pl/models/rendering.py:43-114`); the TPU-native equivalent keeps
+static shapes and no host sync:
+
+  * per-iteration, the first BUCKET alive rays are compacted to the front
+    with one `lax.top_k` and only they march/evaluate;
+  * marching uses the dilated-occupancy segment windows (ops/march_seg
+    lookup) — one coarse byte per `seg` candidates, exact bits only inside
+    live segments, whole-window skips for empty space;
+  * field evaluation runs on budget-packed REAL samples only;
+  * results scatter back to the full chunk state with one unique-index
+    scatter of BUCKET rows.
+
+Total gathers per frame approach the information-theoretic floor
+(sum over rays of samples-until-termination x L levels) instead of
+rounds x chunk x candidates.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
+from google_nerf_tpu.ops.compaction import pack, plan_packing, unpack
+from google_nerf_tpu.ops.march_seg import _occ_bits_lookup
+from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
+
+SQRT3 = 3.0 ** 0.5
+NEAR_DISTANCE = 0.05
+
+
+def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
+                  grid_size, max_samples, seg, n_segs, n_keep, k):
+    """March one window of n_segs*seg candidates from per-ray t_cur.
+
+    Returns ts (B, k), valid (B, k), t_next (B,): past the window if it had
+    <= k hits, else just past the k-th hit (resume point)."""
+    B = rays_o.shape[0]
+    dt = SQRT3 / max_samples
+    js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)
+    ts_mid = t_cur[:, None] + js[None, :] * dt
+    xyz_mid = rays_o[:, None, :] + ts_mid[..., None] * rays_d[:, None, :]
+    live = _occ_bits_lookup(occ_u8, xyz_mid, jnp.full_like(ts_mid, dt),
+                            cascades, scale, grid_size, bit=1)
+    seg_t0 = t_cur[:, None] + (jnp.arange(n_segs, dtype=jnp.float32)
+                               * seg)[None, :] * dt
+    live = live & (seg_t0 < t2[:, None])
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, live.shape, 1)
+    score = jnp.where(live, -iota, jnp.int32(-(n_segs + 1)))
+    svals, sidx = jax.lax.top_k(score, n_keep)
+    svalid = svals > -(n_segs + 1)
+
+    off = jnp.arange(seg, dtype=jnp.float32)
+    ts_c = t_cur[:, None, None] + (sidx.astype(jnp.float32)[..., None] * seg
+                                   + off) * dt                # (B, nk, seg)
+    xyz_c = rays_o[:, None, None, :] \
+        + ts_c[..., None] * rays_d[:, None, None, :]
+    occ = _occ_bits_lookup(occ_u8, xyz_c, jnp.full_like(ts_c, dt),
+                           cascades, scale, grid_size, bit=0)
+    ok = (occ & (ts_c < t2[:, None, None]) & svalid[..., None]
+          ).reshape(B, -1)
+    ts_flat = ts_c.reshape(B, -1)
+
+    n_cand = ok.shape[-1]
+    iota2 = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+    score2 = jnp.where(ok, -iota2, jnp.int32(-(n_cand + 1)))
+    vals2, idx2 = jax.lax.top_k(score2, k)
+    valid = vals2 > -(n_cand + 1)
+    ts = jnp.where(valid, jnp.take_along_axis(ts_flat, idx2, 1), 0.0)
+
+    count = ok.sum(-1)
+    window_end = t_cur + (n_segs * seg) * dt
+    last_t = jnp.max(jnp.where(valid, ts, 0.0), axis=-1)
+    t_next = jnp.where(count <= k, window_end, last_t + dt)
+    return ts, valid, t_next, dt
+
+
+@partial(jax.jit, static_argnames=("cfg", "exp_step_factor", "T_threshold",
+                                   "bucket", "k", "seg", "n_segs", "n_keep",
+                                   "max_samples", "max_iters",
+                                   "sample_budget"))
+def _render_chunk_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
+                       exp_step_factor: float, T_threshold: float,
+                       bucket: int, k: int, seg: int, n_segs: int,
+                       n_keep: int, max_samples: int, max_iters: int,
+                       sample_budget: int):
+    R = rays_o.shape[0]
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_du = rays_d / norm
+    hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+
+    st = dict(
+        t_cur=jnp.maximum(hits[:, 0], 0.0),
+        T=jnp.ones(R),
+        rgb=jnp.zeros((R, 3)),
+        depth=jnp.zeros(R),
+        opacity=jnp.zeros(R),
+        alive=(hits[:, 0] >= 0) & (hits[:, 1] > hits[:, 0]),
+        it=jnp.int32(0),
+    )
+
+    def cond(st):
+        return (st["it"] < max_iters) & st["alive"].any()
+
+    def body(st):
+        # ---- compact first `bucket` alive rays to the front ----
+        iota = jnp.arange(R, dtype=jnp.int32)
+        score = jnp.where(st["alive"], -iota, jnp.int32(-(R + 1)))
+        svals, ridx = jax.lax.top_k(score, bucket)
+        is_real = svals > -(R + 1)
+        o = rays_o[ridx]
+        d = rays_du[ridx]
+        tc = st["t_cur"][ridx]
+        tf = jnp.where(is_real, t2[ridx], 0.0)
+
+        ts, valid, t_next, dt = _march_window(
+            o, d, tc, tf, occ_u8, cascades=cfg.cascades, scale=cfg.scale,
+            grid_size=cfg.grid_size, max_samples=max_samples, seg=seg,
+            n_segs=n_segs, n_keep=n_keep, k=k)
+        valid = valid & is_real[:, None]
+
+        xyzs = o[:, None, :] + ts[..., None] * d[:, None, :]
+        dirs = jnp.broadcast_to(d[:, None, :], xyzs.shape)
+        plan = plan_packing(valid, sample_budget, sample_major=False)
+        sig_p, col_p = ngp_apply(params, cfg,
+                                 pack(xyzs.reshape(-1, 3), plan),
+                                 pack(dirs.reshape(-1, 3), plan))
+        sig = unpack(sig_p, plan).reshape(bucket, k)
+        col = unpack(col_p, plan).reshape(bucket, k, 3)
+        # rays whose samples were budget-truncated must resume where the
+        # kept samples end, not past the window
+        keep2d = plan.keep.reshape(bucket, k)
+        trunc = jnp.any(valid & ~keep2d, axis=-1)
+        last_kept_t = jnp.max(jnp.where(valid & keep2d, ts, 0.0), axis=-1)
+        # never move backward: a fully-starved ray retries from t_cur
+        t_next = jnp.maximum(jnp.where(trunc, last_kept_t + dt, t_next), tc)
+        valid = valid & keep2d
+
+        # ---- front-to-back accumulate this window's samples ----
+        Tb = st["T"][ridx]
+        alphas = jnp.where(valid, 1.0 - jnp.exp(-sig * dt), 0.0)
+        trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+        trans = jnp.concatenate([jnp.ones((bucket, 1)), trans[:, :-1]], 1)
+        w = alphas * trans * Tb[:, None]
+        rgb_add = jnp.einsum("bk,bkc->bc", w, col)
+        dep_add = jnp.sum(w * ts, -1)
+        opa_add = w.sum(-1)
+        T_new = Tb * trans[:, -1] * (1.0 - alphas[:, -1])
+
+        alive_new = (T_new > T_threshold) & (t_next < tf) & is_real
+
+        def scat(full, upd):
+            return full.at[ridx].set(
+                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                          upd, full[ridx]), unique_indices=True)
+
+        return dict(
+            t_cur=scat(st["t_cur"], t_next),
+            T=scat(st["T"], T_new),
+            rgb=scat(st["rgb"], st["rgb"][ridx] + rgb_add),
+            depth=scat(st["depth"], st["depth"][ridx] + dep_add),
+            opacity=scat(st["opacity"], st["opacity"][ridx] + opa_add),
+            alive=scat(st["alive"], alive_new),
+            it=st["it"] + 1,
+        )
+
+    st = jax.lax.while_loop(cond, body, st)
+    bg = 1.0 if exp_step_factor == 0.0 else 0.0
+    rgb = st["rgb"] + bg * (1.0 - st["opacity"][:, None])
+    return dict(rgb=rgb, opacity=st["opacity"], depth=st["depth"])
+
+
+def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
+                     exp_step_factor: float = 0.0, T_threshold: float = 1e-2,
+                     chunk: int = 262144, bucket: int = 32768, k: int = 32,
+                     seg: int = 8, n_segs: int = 32, n_keep: int = 8,
+                     max_samples: int = 1024):
+    """Full-image fast renderer (bounded scenes; occ_u8 from
+    grid.pack_occupancy_u8)."""
+    R = rays_o.shape[0]
+    # every iteration retires >= bucket ray-windows; a ray needs at most
+    # max_samples/(n_segs*seg) windows
+    windows_per_ray = max_samples // (n_segs * seg) + 2
+    max_iters = (R * windows_per_ray) // bucket + 64
+    outs = []
+    pad = (-R) % chunk
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+    rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
+    for i in range(0, R + pad, chunk):
+        outs.append(_render_chunk_fast(
+            params, cfg, occ_u8, ro[i:i + chunk], rd[i:i + chunk],
+            exp_step_factor=exp_step_factor, T_threshold=T_threshold,
+            bucket=min(bucket, chunk), k=k, seg=seg, n_segs=n_segs,
+            n_keep=n_keep, max_samples=max_samples,
+            max_iters=max_iters, sample_budget=min(bucket, chunk) * k // 4))
+    return {key: jnp.concatenate([o[key] for o in outs])[:R]
+            for key in outs[0]}

@@ -25,9 +25,12 @@ def run(hparams):
     from google_nerf_tpu.core.rays import get_rays
     from google_nerf_tpu.data import dataset_dict
     from google_nerf_tpu.eval.metrics import psnr
+    from google_nerf_tpu.models.render_test_fast import render_test_fast
     from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.ops.grid import pack_occupancy_u8
+    from google_nerf_tpu.ops.march_seg import required_dilation_radius
     from google_nerf_tpu.train.system import init_train_state
-    from google_nerf_tpu.utils.ckpt import load_ckpt, slim_state
+    from google_nerf_tpu.utils.ckpt import load_ckpt_filtered
 
     kwargs = dataset_kwargs(hparams)
     dataset = dataset_dict[hparams.dataset_name](
@@ -37,23 +40,36 @@ def run(hparams):
 
     full = init_train_state(jax.random.PRNGKey(0), cfg, dataset.K,
                             dataset.poses, dataset.img_wh)
-    target = slim_state(full, save_poses=hparams.optimize_ext)
-    try:
-        state = load_ckpt(hparams.ckpt_path, target=target)
-    except Exception:
-        state = load_ckpt(hparams.ckpt_path, target=full)
+    # prefix-filtered partial load (reference `ngp_pl/utils.py:20-25`):
+    # restores whatever the (slim or full) checkpoint provides and keeps
+    # freshly-initialised values for the rest
+    state = load_ckpt_filtered(hparams.ckpt_path, full,
+                               include_prefixes=("params", "occ", "step",
+                                                 "density_grid"))
 
     w, h = dataset.img_wh
+    occ_u8 = state.get("occ_u8")
+    if occ_u8 is None or not bool((jnp.asarray(occ_u8) > 0).any()):
+        occ_u8 = pack_occupancy_u8(
+            jnp.asarray(state["occ"]),
+            required_dilation_radius(8, cfg.model.grid_size,
+                                     cfg.max_samples, cfg.model.scale))
     directions = jnp.asarray(dataset.directions)
     psnrs, times = [], []
     for i in range(len(dataset.poses)):
         rays_o, rays_d = get_rays(directions,
                                   jnp.asarray(dataset.poses[i]))
         t0 = time.time()
-        out = render_test(state["params"], cfg.model, state["occ"],
-                          rays_o, rays_d,
-                          exp_step_factor=cfg.exp_step_factor,
-                          T_threshold=1e-2, max_samples=cfg.max_samples)
+        if cfg.exp_step_factor == 0.0:
+            out = render_test_fast(state["params"], cfg.model, occ_u8,
+                                   rays_o, rays_d, T_threshold=1e-2,
+                                   max_samples=cfg.max_samples)
+        else:
+            out = render_test(state["params"], cfg.model, state["occ"],
+                              rays_o, rays_d,
+                              exp_step_factor=cfg.exp_step_factor,
+                              T_threshold=1e-2,
+                              max_samples=cfg.max_samples)
         jax.block_until_ready(out["rgb"])
         times.append(time.time() - t0)
         if len(dataset.rays) > 0:

@@ -70,6 +70,7 @@ def validate(hparams, cfg, state, test_dataset, val_dir=None):
 
     from google_nerf_tpu.core.rays import get_rays
     from google_nerf_tpu.eval.metrics import LPIPS, psnr, ssim
+    from google_nerf_tpu.models.render_test_fast import render_test_fast
     from google_nerf_tpu.models.rendering import render_test
     from google_nerf_tpu.train.system import refined_poses
 
@@ -83,10 +84,15 @@ def validate(hparams, cfg, state, test_dataset, val_dir=None):
             pose = refined_poses(state["params"],
                                  pose[None], jnp.asarray([i]))[0]
         rays_o, rays_d = get_rays(directions, pose)
-        out = render_test(state["params"], cfg.model, state["occ"],
-                          rays_o, rays_d,
-                          exp_step_factor=cfg.exp_step_factor,
-                          max_samples=cfg.max_samples)
+        if cfg.exp_step_factor == 0.0 and "occ_u8" in state:
+            out = render_test_fast(state["params"], cfg.model,
+                                   state["occ_u8"], rays_o, rays_d,
+                                   max_samples=cfg.max_samples)
+        else:
+            out = render_test(state["params"], cfg.model, state["occ"],
+                              rays_o, rays_d,
+                              exp_step_factor=cfg.exp_step_factor,
+                              max_samples=cfg.max_samples)
         rgb_pred = out["rgb"].reshape(h, w, 3)
         if len(test_dataset.rays) > 0:
             rgb_gt = jnp.asarray(test_dataset.rays[i]).reshape(h, w, 3)
