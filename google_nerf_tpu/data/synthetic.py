@@ -147,16 +147,18 @@ class SyntheticDataset:
         o, d = jax.vmap(lambda p: get_rays(dirs, p))(jnp.asarray(self.poses))
         o = o.reshape(-1, 3)
         d = d.reshape(-1, 3)
-        chunk = min(32768, o.shape[0])
+        chunk = min(1 << 20, o.shape[0])
         pad = (-o.shape[0]) % chunk
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3))])
             d = jnp.concatenate([d, jnp.ones((pad, 3))])
-        rgb = [np.asarray(_integrate_gt(o[i:i + chunk], d[i:i + chunk],
-                                        scale=self.scale,
-                                        style=self.style))
-               for i in range(0, o.shape[0], chunk)]
-        rgb = np.concatenate(rgb)[:self.n_images * w * h]
+        # async-dispatch all chunks, fetch once (keeps the tunnel pipelined)
+        parts = [_integrate_gt(o[i:i + chunk], d[i:i + chunk],
+                               scale=self.scale, style=self.style)
+                 for i in range(0, o.shape[0], chunk)]
+        jax.block_until_ready(parts)
+        rgb = np.concatenate([np.asarray(p) for p in parts])[
+            :self.n_images * w * h]
         self.rays = np.clip(rgb.reshape(self.n_images, w * h, 3),
                             0.0, 1.0).astype(np.float32)
 

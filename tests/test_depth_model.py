@@ -173,3 +173,22 @@ def test_weight_conversion_resnet18_torchvision_names():
     merged = merge_converted(variables, converted)
     out = DepthNet(cfg).apply(merged, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cimle_decoder_site():
+    """--cimle_version v3..v6 puts the AdaIN injection in the decoder
+    (`Train/lib/models/network_auxi.py:319-566` variants)."""
+    cfg = DepthModelConfig(backbone="resnet18", d_latent=8,
+                           cimle_site="decoder")
+    variables = init_depth_model(jax.random.PRNGKey(0), cfg, (32, 32))
+    m = DepthNet(cfg)
+    rgb = jnp.ones((1, 32, 32, 3))
+    d0 = m.apply(variables, rgb, z=jnp.zeros((1, 8)))
+    d1 = m.apply(variables, rgb, z=jnp.ones((1, 8)) * 2)
+    assert d0.shape == (1, 32, 32, 1)
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # style params live under the decoder, not the encoder
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    style_keys = [k for k in flat if any("style" in str(p) for p in k)]
+    assert style_keys and all(k[0] == "decoder" for k in style_keys)
