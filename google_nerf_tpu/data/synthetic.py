@@ -147,7 +147,7 @@ class SyntheticDataset:
         o, d = jax.vmap(lambda p: get_rays(dirs, p))(jnp.asarray(self.poses))
         o = o.reshape(-1, 3)
         d = d.reshape(-1, 3)
-        chunk = min(1 << 20, o.shape[0])
+        chunk = min(1 << 17, o.shape[0])  # (N,512,3) intermediates ~0.8GB
         pad = (-o.shape[0]) % chunk
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3))])
