@@ -41,7 +41,7 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  k_samples: int = 128, max_samples: int = MAX_SAMPLES,
                  samples_budget: int = 0, occ_u8=None, seg: int = 8,
-                 n_keep: int = 32):
+                 n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -60,7 +60,8 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                                  grid_size=cfg.grid_size,
                                  max_samples=max_samples,
                                  k_samples=k_samples, noise=noise,
-                                 seg=seg, n_keep=n_keep)
+                                 seg=seg, n_keep=n_keep, sup=sup,
+                                 n_keep_sup=n_keep_sup)
     else:
         m = march_rays_train(rays_o, rays_du, hits, occ_grid,
                              cascades=cfg.cascades, scale=cfg.scale,

@@ -166,13 +166,21 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
     return new, occ
 
 
-def pack_occupancy_u8(occ, dilation_radius: int = 2) -> jnp.ndarray:
-    """occ: (C, G, G, G) bool -> uint8 grid for the two-phase segment
-    marcher (ops/march_seg.py): bit0 = occupied, bit1 = occupied within
-    Chebyshev radius `dilation_radius` (a max-pool dilation).  One gather
-    serves both the coarse (dilated) and fine (exact) occupancy tests."""
-    k = 2 * dilation_radius + 1
-    dil = jax.lax.reduce_window(
-        occ, False, jax.lax.bitwise_or, (1, k, k, k), (1, 1, 1, 1),
-        [(0, 0)] + [(dilation_radius, dilation_radius)] * 3)
-    return (occ.astype(jnp.uint8) | (dil.astype(jnp.uint8) << 1))
+def pack_occupancy_u8(occ, dilation_radius: int = 2,
+                      super_radius: int = 0) -> jnp.ndarray:
+    """occ: (C, G, G, G) bool -> uint8 grid for the segment marchers
+    (ops/march_seg.py): bit0 = occupied, bit1 = occupied within Chebyshev
+    radius `dilation_radius`, bit2 (when super_radius > 0) = occupied
+    within `super_radius` (the super-segment skip of the 3-phase marcher).
+    One byte gather serves every phase's test."""
+    def dilate(r):
+        k = 2 * r + 1
+        return jax.lax.reduce_window(
+            occ, False, jax.lax.bitwise_or, (1, k, k, k), (1, 1, 1, 1),
+            [(0, 0)] + [(r, r)] * 3)
+
+    out = occ.astype(jnp.uint8) | (dilate(dilation_radius
+                                          ).astype(jnp.uint8) << 1)
+    if super_radius > 0:
+        out = out | (dilate(super_radius).astype(jnp.uint8) << 2)
+    return out

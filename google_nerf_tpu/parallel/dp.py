@@ -128,7 +128,10 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
             out["occ"] = occ
             out["occ_u8"] = pack_occupancy_u8(
                 occ, required_dilation_radius(cfg.seg, m.grid_size,
-                                              cfg.max_samples, m.scale))
+                                              cfg.max_samples, m.scale),
+                super_radius=(required_dilation_radius(
+                    cfg.seg * cfg.sup, m.grid_size, cfg.max_samples,
+                    m.scale) if cfg.sup > 1 else 0))
             return out
 
         return shard_map(per_replica, mesh=mesh,

@@ -61,6 +61,9 @@ class TrainConfig:
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
     n_keep: int = 16                       # live segments kept per ray
+    sup: int = 4                           # segments per super-segment
+                                           # (3-phase march; 0 = 2-phase)
+    n_keep_sup: int = 12                   # live super-segments kept
 
     @property
     def density_threshold(self) -> float:
@@ -162,7 +165,8 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
                            occ_u8=(occ["occ_u8"]
                                    if cfg.march == "seg"
                                    and cfg.exp_step_factor == 0.0 else None),
-                           seg=cfg.seg, n_keep=cfg.n_keep)
+                           seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
+                           n_keep_sup=cfg.n_keep_sup)
     total, _ = loss_obj.total(results, batch)
     return total, results
 
@@ -230,7 +234,10 @@ def grid_update_step(state, key, *, cfg: TrainConfig, warmup: bool):
     out["occ"] = occ
     out["occ_u8"] = pack_occupancy_u8(
         occ, required_dilation_radius(cfg.seg, m.grid_size,
-                                      cfg.max_samples, m.scale))
+                                      cfg.max_samples, m.scale),
+        super_radius=(required_dilation_radius(
+            cfg.seg * cfg.sup, m.grid_size, cfg.max_samples, m.scale)
+            if cfg.sup > 1 else 0))
     return out
 
 

@@ -84,3 +84,28 @@ def test_dilation_radius_monotone():
     assert required_dilation_radius(8, 128, 1024, 0.5) >= 1
     assert (required_dilation_radius(16, 128, 1024, 0.5)
             >= required_dilation_radius(8, 128, 1024, 0.5))
+
+
+@pytest.mark.parametrize("density", [0.005, 0.05])
+def test_three_phase_matches_dense(density):
+    occ, rays_o, rays_d, hits, noise = make_scene(
+        jax.random.fold_in(KEY, 33), density)
+    dense = march_rays_train(rays_o, rays_d, hits, occ, cascades=1,
+                             scale=SCALE, exp_step_factor=0.0, grid_size=G,
+                             max_samples=MAX_SAMPLES, k_samples=K,
+                             noise=noise)
+    seg, sup = 8, 4
+    r1 = required_dilation_radius(seg, G, MAX_SAMPLES, SCALE)
+    r2 = required_dilation_radius(seg * sup, G, MAX_SAMPLES, SCALE)
+    occ_u8 = pack_occupancy_u8(occ, r1, super_radius=r2)
+    out = march_rays_train_seg(rays_o, rays_d, hits, occ_u8, cascades=1,
+                               scale=SCALE, grid_size=G,
+                               max_samples=MAX_SAMPLES, k_samples=K,
+                               noise=noise, seg=seg,
+                               n_keep=MAX_SAMPLES // seg, sup=sup,
+                               n_keep_sup=MAX_SAMPLES // (seg * sup))
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(dense["valid"]))
+    np.testing.assert_allclose(np.asarray(out["ts"]),
+                               np.asarray(dense["ts"]), rtol=1e-5,
+                               atol=1e-6)
