@@ -181,3 +181,41 @@ def train_depth(key, cfg: DepthCfg, sampler, epochs: Optional[int] = None,
         if ckpt_fn is not None and (epoch + 1) % t.ckpt_epochs == 0:
             ckpt_fn(state, epoch)
     return state
+
+
+def calibrate_adain(key, state: DepthTrainState, sampler, cfg: DepthCfg,
+                    mcfg, n_batches: int = 4, n_z: int = 4):
+    """AdaIN-statistic calibration (trainer v3/v4 variants,
+    `Train/tools/train_v3.py` / `get_adain_init_act` +
+    `set_mean_var_shifts`, `Resnext_torch.py:464-476`): estimate the
+    per-channel mean and std of each AdaIN injection's activations over
+    data and random z, and store them as the calibration shifts so the
+    modulated activations start standardized."""
+    from google_nerf_tpu.depth.model import (get_adain_init_act,
+                                             set_mean_var_shifts)
+    sums, sqs, count = None, None, 0
+    idxs = sampler.epoch_indices(0)
+    for b in range(min(n_batches, len(idxs))):
+        ds_i, it_i = idxs[b]
+        item = sampler.datasets[ds_i].get_val(it_i)
+        rgb = jnp.asarray(item["rgb"])[None]
+        for zi in range(n_z):
+            z = jax.random.normal(jax.random.fold_in(key, b * 100 + zi),
+                                  (1, cfg.model.d_latent))
+            acts = get_adain_init_act(state.variables, mcfg, rgb, z)
+            ch_means = [jnp.mean(a, axis=tuple(range(a.ndim - 1)))
+                        for a in acts]
+            ch_sqs = [jnp.mean(a ** 2, axis=tuple(range(a.ndim - 1)))
+                      for a in acts]
+            if sums is None:
+                sums, sqs = ch_means, ch_sqs
+            else:
+                sums = [s + m for s, m in zip(sums, ch_means)]
+                sqs = [s + m for s, m in zip(sqs, ch_sqs)]
+            count += 1
+    means = [np.asarray(s / count) for s in sums]
+    variances = [np.asarray(jnp.sqrt(jnp.maximum(q / count - (s / count)
+                                                 ** 2, 0.0)))
+                 for s, q in zip(sums, sqs)]
+    state.variables = set_mean_var_shifts(state.variables, means, variances)
+    return state

@@ -123,3 +123,30 @@ def test_zcache_selects_argmin(tmp_path):
     assert z.shape == (2, 4)
     assert np.isfinite(z).all()
     assert not np.allclose(z[0], z[1])
+
+
+def test_calibrate_adain_sets_stats(tmp_path):
+    pytest.importorskip("cv2")
+    from google_nerf_tpu.depth.config import DepthCfg
+    from google_nerf_tpu.depth.data import (DepthAnnotationDataset,
+                                            MultiDatasetSampler)
+    from google_nerf_tpu.depth.trainer import calibrate_adain, init_trainer
+    import flax
+    root = str(tmp_path)
+    _write_demo_dataset(root, n=2, hw=32)
+    cfg = DepthCfg()
+    cfg = dataclasses.replace(
+        cfg,
+        dataset=dataclasses.replace(cfg.dataset, crop_size=(32, 32)),
+        model=dataclasses.replace(cfg.model, encoder="resnet18",
+                                  d_latent=4, cimle_version="v2"))
+    ds = DepthAnnotationDataset(root, "demo", cfg=cfg.dataset)
+    sampler = MultiDatasetSampler([ds])
+    state, _, mcfg = init_trainer(jax.random.PRNGKey(0), cfg)
+    before = flax.traverse_util.flatten_dict(
+        state.variables["adain_stats"])
+    assert all(np.allclose(v, 0) for v in before.values())
+    state = calibrate_adain(jax.random.PRNGKey(1), state, sampler, cfg,
+                            mcfg, n_batches=2, n_z=2)
+    after = flax.traverse_util.flatten_dict(state.variables["adain_stats"])
+    assert any(not np.allclose(np.asarray(v), 0) for v in after.values())
