@@ -110,7 +110,8 @@ def _integrate_gt(rays_o, rays_d, n_steps: int = 512, scale: float = 0.5,
     sigma, rgb = analytic_field(xyz, style)
     valid = jnp.broadcast_to((hits[:, 0] >= 0)[:, None], ts.shape)
     out = composite_rays_train(sigma, rgb, deltas, ts, valid)
-    return out["rgb"] + 1.0 * (1 - out["opacity"][:, None])  # white bg
+    # premultiplied rgb + alpha (callers composite the background)
+    return jnp.concatenate([out["rgb"], out["opacity"][:, None]], -1)
 
 
 @dataclasses.dataclass
@@ -157,9 +158,11 @@ class SyntheticDataset:
                                scale=self.scale, style=self.style)
                  for i in range(0, o.shape[0], chunk)]
         jax.block_until_ready(parts)
-        rgb = np.concatenate([np.asarray(p) for p in parts])[
-            :self.n_images * w * h]
-        self.rays = np.clip(rgb.reshape(self.n_images, w * h, 3),
+        rgba = np.concatenate([np.asarray(p) for p in parts])[
+            :self.n_images * w * h].reshape(self.n_images, w * h, 4)
+        self.alphas = np.clip(rgba[..., 3], 0.0, 1.0).astype(np.float32)
+        # white-composited images (the reference-facing view of the data)
+        self.rays = np.clip(rgba[..., :3] + (1 - self.alphas[..., None]),
                             0.0, 1.0).astype(np.float32)
 
     def __len__(self):
@@ -173,11 +176,16 @@ class SyntheticDataset:
                 "img_idxs": img_idxs, "pix_idxs": pix_idxs}
 
     def scene(self, images_uint8: bool = False, depths=None):
-        """Device-resident scene pytree for the fused train step."""
+        """Device-resident scene pytree for the fused train step.  Includes
+        per-ray ground-truth alpha so training can composite onto RANDOM
+        background colors — the standard cure for white-background floater
+        fog (fluff that renders white is invisible to a fixed-white loss
+        but fully supervised against a random background)."""
         imgs = self.rays
         if images_uint8:
             imgs = np.clip(imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
         s = dict(images=jnp.asarray(imgs),
+                 alphas=jnp.asarray(self.alphas),
                  poses=jnp.asarray(self.poses),
                  directions=jnp.asarray(self.directions))
         if depths is not None:

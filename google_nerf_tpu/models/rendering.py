@@ -41,7 +41,8 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  k_samples: int = 128, max_samples: int = MAX_SAMPLES,
                  samples_budget: int = 0, occ_u8=None, seg: int = 8,
-                 n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12):
+                 n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
+                 bg_color=None):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -93,7 +94,7 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         rgbs = rgbs.reshape(R, K, 3)
     out = composite_rays_train(sigmas, rgbs,
                                m["deltas"], m["ts"], m["valid"], T_threshold)
-    bg = _background(exp_step_factor)
+    bg = _background(exp_step_factor) if bg_color is None else bg_color
     out["rgb"] = out["rgb"] + bg * (1.0 - out["opacity"][:, None])
     out["total_samples"] = m["total_samples"]
     out["valid"] = m["valid"]

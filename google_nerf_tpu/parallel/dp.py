@@ -68,8 +68,9 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
         rm = results.get("ray_mask", jnp.ones((), bool))
         rmw = jnp.broadcast_to(rm[..., None] if rm.ndim else rm,
                                results["rgb"].shape)
+        target = results.get("rgb_target", batch["rgb"])
         mse = jax.lax.pmean(
-            jnp.sum(jnp.where(rmw, (results["rgb"] - batch["rgb"]) ** 2,
+            jnp.sum(jnp.where(rmw, (results["rgb"] - target) ** 2,
                               0.0)) / jnp.maximum(rmw.sum(), 1), axis_name)
         s_per_ray = jax.lax.pmean(
             results["total_samples"] / local_bs, axis_name)

@@ -57,6 +57,10 @@ class TrainConfig:
     samples_budget: int = 0                # 0 = no compaction (eval all
                                            # padded slots); else MLP/encoder
                                            # run on <= budget real samples
+    random_bg: bool = True                 # train against random background
+                                           # colors when the scene provides
+                                           # per-ray gt alpha (kills white-
+                                           # invisible floater fog)
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
@@ -142,6 +146,8 @@ def sample_batch(key, scene: Dict[str, Any], batch_size: int):
     if rgb.dtype == jnp.uint8:
         rgb = rgb.astype(jnp.float32) / 255.0
     batch = dict(rgb=rgb, img_idxs=img_idxs, pix_idxs=pix_idxs)
+    if "alphas" in scene:
+        batch["alpha"] = scene["alphas"][img_idxs, pix_idxs]
     if "depths" in scene and scene["depths"] is not None:
         batch["depth"] = scene["depths"][img_idxs, pix_idxs]
     return batch
@@ -155,6 +161,13 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
     poses = refined_poses(params, scene["poses"], batch["img_idxs"])
     dirs = scene["directions"][batch["pix_idxs"]]
     rays_o, rays_d = get_rays(dirs, poses)
+    bg_color = None
+    if cfg.random_bg and "alpha" in batch:
+        key, kbg = jax.random.split(key)
+        bg_color = jax.random.uniform(kbg, (3,))
+        # re-composite the white-bg ground truth onto the random bg
+        batch = dict(batch)
+        batch["rgb"] = batch["rgb"] - (1.0 - batch["alpha"])[:, None]             * (1.0 - bg_color)
     results = render_train(params, cfg.model, occ["occ"], rays_o, rays_d,
                            key,
                            exp_step_factor=cfg.exp_step_factor,
@@ -166,8 +179,10 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
                                    if cfg.march == "seg"
                                    and cfg.exp_step_factor == 0.0 else None),
                            seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
-                           n_keep_sup=cfg.n_keep_sup)
+                           n_keep_sup=cfg.n_keep_sup, bg_color=bg_color)
     total, _ = loss_obj.total(results, batch)
+    # telemetry: expose the target actually supervised (random-bg aware)
+    results["rgb_target"] = batch["rgb"]
     return total, results
 
 
@@ -194,8 +209,8 @@ def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     rm = results.get("ray_mask", jnp.ones((), bool))
     rmw = jnp.broadcast_to(rm[..., None] if rm.ndim else rm,
                            results["rgb"].shape)
-    mse = (jnp.sum(jnp.where(rmw, (results["rgb"] - batch["rgb"]) ** 2,
-                             0.0))
+    target = results.get("rgb_target", batch["rgb"])
+    mse = (jnp.sum(jnp.where(rmw, (results["rgb"] - target) ** 2, 0.0))
            / jnp.maximum(rmw.sum(), 1))
     metrics = dict(
         loss=loss,

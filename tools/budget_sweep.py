@@ -2,4 +2,4 @@ import sys
 sys.path.insert(0, "/root/repo")
 from tools.quality_matrix import run
 
-run("packed", 131072, steps=1500, k_samples=64)
+run("packed", 131072, steps=2000, k_samples=64, log2_size=16, test_views=4)

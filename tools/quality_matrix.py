@@ -9,7 +9,8 @@ import jax.numpy as jnp
 print = functools.partial(print, flush=True)
 
 
-def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2):
+def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2,
+        log2_size=16, test_views=0):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -17,9 +18,11 @@ def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2):
                                               init_train_state)
 
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
+                      packed_log2_size=log2_size,
                       compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=k_samples,
-                      num_epochs=30, lr=lr, samples_budget=budget)
+                      num_epochs=max(steps // 1000, 1), lr=lr,
+                      samples_budget=budget)
     ds = SyntheticDataset(split="train", n_images=64, img_wh=(256, 256))
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
@@ -35,10 +38,32 @@ def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2):
                                           cfg=cfg)
         if (i + 1) % 250 == 0:
             hist.append(float(metrics["psnr"]))
-            print(f"  [{encoder} b={budget} k={k_samples}] step {i+1}: "
+            print(f"  [{encoder} b={budget} k={k_samples} "
+                  f"T=2^{log2_size}] step {i+1}: "
                   f"psnr={hist[-1]:.2f} "
                   f"s_per_ray={float(metrics['s_per_ray']):.1f} "
                   f"({time.time()-t0:.0f}s)")
+    if test_views:
+        import numpy as np
+        from google_nerf_tpu.core.rays import get_rays
+        from google_nerf_tpu.eval.metrics import psnr as psnr_fn
+        from google_nerf_tpu.models.rendering import render_test
+        grid = np.asarray(state["density_grid"])
+        occ_frac = float(np.asarray(state["occ"]).mean())
+        print(f"  grid occ={occ_frac:.3f} "
+              f"q99={np.quantile(grid[grid>0], .99):.1f}")
+        ds_t = SyntheticDataset(split="test", n_images=test_views,
+                                img_wh=(256, 256))
+        dirs = jnp.asarray(ds_t.directions)
+        ps = []
+        for vi in range(test_views):
+            o, d = get_rays(dirs, jnp.asarray(ds_t.poses[vi]))
+            out = render_test(state["params"], cfg.model, state["occ"],
+                              o, d)
+            ps.append(float(psnr_fn(out["rgb"],
+                                    jnp.asarray(ds_t.rays[vi]))))
+        print(f"  test psnrs: {[round(p,2) for p in ps]} "
+              f"mean={sum(ps)/len(ps):.2f}")
     return hist
 
 
