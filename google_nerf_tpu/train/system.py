@@ -57,10 +57,12 @@ class TrainConfig:
     samples_budget: int = 0                # 0 = no compaction (eval all
                                            # padded slots); else MLP/encoder
                                            # run on <= budget real samples
-    random_bg: bool = True                 # train against random background
+    random_bg: bool = False                # train against random background
                                            # colors when the scene provides
-                                           # per-ray gt alpha (kills white-
-                                           # invisible floater fog)
+                                           # per-ray gt alpha — kills white-
+                                           # invisible floater fog (clear
+                                           # win at small scale; still under
+                                           # study at 256^2+, so opt-in)
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment

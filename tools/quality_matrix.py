@@ -10,7 +10,7 @@ print = functools.partial(print, flush=True)
 
 
 def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2,
-        log2_size=16, test_views=0):
+        log2_size=16, test_views=0, dtype="bfloat16"):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -19,7 +19,7 @@ def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2,
 
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
                       packed_log2_size=log2_size,
-                      compute_dtype=jnp.bfloat16)
+                      compute_dtype=jnp.dtype(dtype))
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=k_samples,
                       num_epochs=max(steps // 1000, 1), lr=lr,
                       samples_budget=budget)
