@@ -34,6 +34,9 @@ def main():
     p.add_argument("--style", default="shell", choices=["shell", "solid"])
     p.add_argument("--k_samples", type=int, default=64)
     p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--random_bg", action="store_true",
+                   help="train against random background colors (uses the "
+                        "procedural gt alpha; kills white-fog floaters)")
     p.add_argument("--out", default="benchmark_procedural800.json")
     args = p.parse_args()
 
@@ -61,6 +64,7 @@ def main():
     cfg = TrainConfig(model=model, batch_size=args.batch_size,
                       k_samples=args.k_samples, lr=args.lr,
                       num_epochs=args.num_epochs,
+                      random_bg=args.random_bg,
                       samples_budget=16 * args.batch_size)
     scene = ds.scene(images_uint8=True)
     key = jax.random.PRNGKey(0)

@@ -30,7 +30,7 @@ _SPHERES = (
 )
 _BOX = ((0.0, 0.20, 0.12), (0.20, 0.05, 0.14), (0.30, 0.85, 0.40))
 _SIGMA_MAX = 80.0
-_EDGE = 0.012  # soft-edge width
+_EDGE = 0.005  # soft-edge width (~3px at the 800^2 protocol)
 
 
 _SHELL = 0.035  # shell thickness for style="shell"

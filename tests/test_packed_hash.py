@@ -121,3 +121,38 @@ def test_jit_and_value_grad_compile(setup):
     v, grads = jax.value_and_grad(f)(table, x)
     assert np.isfinite(float(v))
     assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_table_gradient_precision_at_scale():
+    """The sort+cumsum+marker-merge backward must stay accurate when the
+    cumulative sums span many thousands of rows (guards against
+    catastrophic cancellation in the running-sum diffs)."""
+    cfg = PackedHashConfig(n_levels=4, n_features=2, log2_table_size=12,
+                           base_resolution=16, per_level_scale=2.0,
+                           table_dtype="float32")
+    key = jax.random.PRNGKey(0)
+    table = init_packed_hash(key, cfg) * 1e4
+    n = 16384
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (n, 3))
+    g = jax.random.normal(jax.random.fold_in(key, 2),
+                          (n, cfg.out_dim)) * 0.01
+
+    dt = jax.grad(lambda t: jnp.vdot(packed_hash_encode(t, x, cfg), g))(
+        table)
+
+    from google_nerf_tpu.ops.packed_hash import (_cell_keys,
+                                                 _corner_weights)
+    keys, frac = _cell_keys(x, cfg)
+    w = np.asarray(_corner_weights(frac), np.float64)
+    gl = np.moveaxis(np.asarray(g, np.float64).reshape(n, cfg.n_levels, 2),
+                     1, 0)
+    ref = np.zeros((cfg.n_levels, cfg.table_size, 16), np.float64)
+    k_np = np.asarray(keys)
+    for l in range(cfg.n_levels):
+        contrib = (w[l][:, :, None] * gl[l][:, None, :]).reshape(n, 16)
+        np.add.at(ref[l], k_np[l] - l * cfg.table_size, contrib)
+    err = np.abs(np.asarray(dt, np.float64) - ref)
+    sig = np.abs(ref) > 1e-6
+    rel = err[sig] / np.abs(ref[sig])
+    assert np.median(rel) < 1e-3
+    assert err.max() < 1e-5
