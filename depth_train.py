@@ -35,6 +35,10 @@ def get_args():
     p.add_argument("--out_dir", default="ckpts/depth")
     p.add_argument("--cfg_file", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir from a previous run (restores "
+                        "variables + optimizer + epoch, the reference's "
+                        "load_ckpt --resume semantics, net_tools.py:36-60)")
     p.add_argument("--options", nargs="*", default=[],
                    help="KEY VALUE config overrides (TRAIN.BASE_LR 0.01)")
     return p.parse_args()
@@ -81,14 +85,31 @@ def main():
     print(f"{len(datasets)} datasets, {len(sampler)} samples/epoch")
 
     os.makedirs(args.out_dir, exist_ok=True)
+    from google_nerf_tpu.utils.ckpt import load_ckpt, save_ckpt
 
     def ckpt_fn(state, epoch):
         path = os.path.join(args.out_dir, f"epoch{epoch + 1}.npz")
         save_pytree(path, jax.tree.map(lambda x: x, state.variables))
+        # resumable checkpoint: variables + optimizer + progress
+        save_ckpt(os.path.join(args.out_dir, f"resume_epoch{epoch + 1}"),
+                  dict(variables=state.variables,
+                       opt_state=state.opt_state,
+                       step=state.step, epoch=epoch + 1))
         print(f"saved {path}")
 
+    resume_from = None
+    if args.resume:
+        from google_nerf_tpu.depth.trainer import init_trainer
+        tmpl, _, _ = init_trainer(jax.random.PRNGKey(args.seed), cfg)
+        restored = load_ckpt(args.resume,
+                             target=dict(variables=tmpl.variables,
+                                         opt_state=tmpl.opt_state,
+                                         step=0, epoch=0))
+        resume_from = restored
+        print(f"resumed from {args.resume} (epoch {restored['epoch']})")
+
     state = train_depth(jax.random.PRNGKey(args.seed), cfg, sampler,
-                        ckpt_fn=ckpt_fn)
+                        ckpt_fn=ckpt_fn, resume=resume_from)
     final = os.path.join(args.out_dir, "final.npz")
     save_pytree(final, state.variables)
     print(f"saved {final}")

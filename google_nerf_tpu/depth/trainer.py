@@ -147,18 +147,26 @@ def recache_z(key, state: DepthTrainState, sampler, cfg: DepthCfg,
 
 
 def train_depth(key, cfg: DepthCfg, sampler, epochs: Optional[int] = None,
-                log=print, ckpt_fn: Optional[Callable] = None
-                ) -> DepthTrainState:
-    """The full cIMLE loop (`do_train`)."""
+                log=print, ckpt_fn: Optional[Callable] = None,
+                resume: Optional[Dict[str, Any]] = None) -> DepthTrainState:
+    """The full cIMLE loop (`do_train`).  `resume` is the dict written by
+    depth_train.py's resumable checkpoint (variables/opt_state/step/epoch,
+    matching the reference's `load_ckpt --resume`, net_tools.py:36-60)."""
     k_init, k_z, k_step = jax.random.split(key, 3)
     state, tx, mcfg = init_trainer(k_init, cfg)
+    start_epoch = 0
+    if resume is not None:
+        state.variables = resume["variables"]
+        state.opt_state = resume["opt_state"]
+        state.step = int(resume["step"])
+        start_epoch = int(resume["epoch"])
     lcfg = loss_config(cfg)
     step_fn = make_train_step(tx, mcfg, lcfg)
     t = cfg.train
     epochs = epochs if epochs is not None else t.epochs
     selected_z = None
-    for epoch in range(epochs):
-        if epoch % t.recache_epochs == 0:
+    for epoch in range(start_epoch, epochs):
+        if selected_z is None or epoch % t.recache_epochs == 0:
             log(f"epoch {epoch}: re-caching z")
             selected_z = recache_z(jax.random.fold_in(k_z, epoch), state,
                                    sampler, cfg, mcfg, lcfg, log=log)

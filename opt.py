@@ -61,8 +61,8 @@ def get_opts(argv=None):
                         help='number of instantngp levels')
 
     # ---- NEW flags (TPU framework) -------------------------------------
-    parser.add_argument('--xyz_encoder', type=str, default='hash',
-                        choices=['hash', 'freq'],
+    parser.add_argument('--xyz_encoder', type=str, default='packed',
+                        choices=['packed', 'hash', 'freq'],
                         help='xyz encoder: hash grid (performance path) or '
                              'frequency (the fork\'s current config)')
     parser.add_argument('--depth_loss_w', type=float, default=0.0,
@@ -87,6 +87,13 @@ def get_opts(argv=None):
     parser.add_argument('--max_samples', type=int, default=1024,
                         help='marching budget per ray (reference: 1024)')
     parser.add_argument('--log2_hashmap_size', type=int, default=19)
+    parser.add_argument('--packed_levels', type=int, default=8,
+                        help='levels of the packed-corner hash encoder')
+    parser.add_argument('--packed_log2_size', type=int, default=16,
+                        help='log2 cells per level (packed encoder)')
+    parser.add_argument('--random_bg', action='store_true', default=False,
+                        help='train against random background colors when '
+                             'the dataset provides per-ray alpha')
     parser.add_argument('--platform', type=str, default=None,
                         choices=[None, 'cpu', 'tpu'],
                         help='force a JAX platform (default: auto)')

@@ -45,6 +45,8 @@ def build_configs(hparams, scene_scale=None):
         scale=scale, encoder=hparams.xyz_encoder,
         num_levels=hparams.num_levels,
         log2_hashmap_size=hparams.log2_hashmap_size,
+        packed_levels=hparams.packed_levels,
+        packed_log2_size=hparams.packed_log2_size,
         grid_size=hparams.grid_size,
         compute_dtype=jnp.bfloat16 if hparams.bf16 else jnp.float32)
     exp_step_factor = (1 / 256 if hparams.dataset_name in
@@ -61,6 +63,7 @@ def build_configs(hparams, scene_scale=None):
         optimize_ext=hparams.optimize_ext,
         lambda_depth=hparams.depth_loss_w,
         samples_budget=budget,
+        random_bg=hparams.random_bg,
         erode=hparams.dataset_name == 'colmap')
     return cfg
 
