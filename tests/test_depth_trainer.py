@@ -150,3 +150,50 @@ def test_calibrate_adain_sets_stats(tmp_path):
                             mcfg, n_batches=2, n_z=2)
     after = flax.traverse_util.flatten_dict(state.variables["adain_stats"])
     assert any(not np.allclose(np.asarray(v), 0) for v in after.values())
+
+
+def test_resume_roundtrip(tmp_path):
+    pytest.importorskip("cv2")
+    from google_nerf_tpu.depth.config import DepthCfg
+    from google_nerf_tpu.depth.data import (DepthAnnotationDataset,
+                                            MultiDatasetSampler)
+    from google_nerf_tpu.depth.trainer import train_depth
+    from google_nerf_tpu.utils.ckpt import load_ckpt, save_ckpt
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _write_demo_dataset(root, n=4, hw=32)
+    cfg = DepthCfg()
+    cfg = dataclasses.replace(
+        cfg,
+        dataset=dataclasses.replace(cfg.dataset, crop_size=(32, 32)),
+        model=dataclasses.replace(cfg.model, encoder="resnet18",
+                                  d_latent=4),
+        train=dataclasses.replace(cfg.train, batch_size=2, num_latent=2,
+                                  latent_minibatch=2,
+                                  loss_mode="_meanstd-tanh_"))
+    ds = DepthAnnotationDataset(root, "demo", cfg=cfg.dataset)
+    sampler = MultiDatasetSampler([ds])
+    saved = {}
+
+    def ckpt_fn(state, epoch):
+        path = str(tmp_path / f"resume_e{epoch + 1}")
+        save_ckpt(path, dict(variables=state.variables,
+                             opt_state=state.opt_state,
+                             step=state.step, epoch=epoch + 1))
+        saved[epoch + 1] = path
+
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_epochs=1))
+    s1 = train_depth(jax.random.PRNGKey(0), cfg, sampler, epochs=1,
+                     log=lambda *_: None, ckpt_fn=ckpt_fn)
+    assert 1 in saved
+    from google_nerf_tpu.depth.trainer import init_trainer
+    tmpl, _, _ = init_trainer(jax.random.PRNGKey(0), cfg)
+    restored = load_ckpt(saved[1],
+                         target=dict(variables=tmpl.variables,
+                                     opt_state=tmpl.opt_state,
+                                     step=0, epoch=0))
+    assert int(restored["epoch"]) == 1
+    s2 = train_depth(jax.random.PRNGKey(0), cfg, sampler, epochs=2,
+                     log=lambda *_: None, resume=restored)
+    assert s2.step > s1.step  # continued past the restored state
