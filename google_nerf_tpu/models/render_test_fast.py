@@ -190,10 +190,12 @@ def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     """Full-image fast renderer (bounded scenes; occ_u8 from
     grid.pack_occupancy_u8)."""
     R = rays_o.shape[0]
+    chunk = min(chunk, max(R, 1))         # don't pad tiny renders up
+    bucket = min(bucket, chunk)
     # every iteration retires >= bucket ray-windows; a ray needs at most
     # max_samples/(n_segs*seg) windows
     windows_per_ray = max_samples // (n_segs * seg) + 2
-    max_iters = (R * windows_per_ray) // bucket + 64
+    max_iters = (min(R, chunk) * windows_per_ray) // bucket + 64
     outs = []
     pad = (-R) % chunk
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
