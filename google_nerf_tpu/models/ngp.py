@@ -47,6 +47,7 @@ class NGPConfig:
     packed_levels: int = 8
     packed_features: int = 2
     packed_log2_size: int = 16
+    packed_max_res: int = 0          # 0 = reference N_max (2048*scale)
     grid_size: int = 128
     sigma_width: int = 64
     geo_feat_dim: int = 16
@@ -71,7 +72,8 @@ class NGPConfig:
         return packed_config_for_scale(
             self.scale, n_levels=self.packed_levels,
             n_features=self.packed_features,
-            log2_table_size=self.packed_log2_size)
+            log2_table_size=self.packed_log2_size,
+            max_resolution=self.packed_max_res)
 
     @property
     def xyz_feat_dim(self) -> int:

@@ -70,11 +70,15 @@ class PackedHashConfig:
 
 
 def packed_config_for_scale(scale: float, n_levels: int = 8,
+                            max_resolution: int = 0,
                             **kw) -> PackedHashConfig:
     """Same N_min..N_max span as the reference hash grid
-    (`networks.py:29-31`: N_max = 2048*scale), fewer/fatter levels."""
+    (`networks.py:29-31`: N_max = 2048*scale), fewer/fatter levels.
+    `max_resolution` overrides N_max (cap the finest level to the content/
+    image bandwidth — unconstrained fine levels destabilize training on
+    low-frequency content, see DESIGN_NOTES.md)."""
     n_min = kw.pop("base_resolution", 16)
-    n_max = max(2048 * scale, n_min + 1)
+    n_max = max(max_resolution or 2048 * scale, n_min + 1)
     b = float(np.exp(np.log(n_max / n_min) / max(n_levels - 1, 1)))
     return PackedHashConfig(n_levels=n_levels, base_resolution=n_min,
                             per_level_scale=b, **kw)
