@@ -10,7 +10,8 @@ print = functools.partial(print, flush=True)
 
 
 def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2,
-        log2_size=16, test_views=0, dtype="bfloat16"):
+        log2_size=16, test_views=0, dtype="bfloat16", max_res=0,
+        random_bg=True):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -18,11 +19,11 @@ def run(encoder, budget, steps=1000, k_samples=64, lr=1e-2,
                                               init_train_state)
 
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
-                      packed_log2_size=log2_size,
+                      packed_log2_size=log2_size, packed_max_res=max_res,
                       compute_dtype=jnp.dtype(dtype))
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=k_samples,
                       num_epochs=max(steps // 1000, 1), lr=lr,
-                      samples_budget=budget)
+                      samples_budget=budget, random_bg=random_bg)
     ds = SyntheticDataset(split="train", n_images=64, img_wh=(256, 256))
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
