@@ -13,6 +13,7 @@ trains with, so a correct model/renderer can reach very high PSNR.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -153,13 +154,32 @@ class SyntheticDataset:
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3))])
             d = jnp.concatenate([d, jnp.ones((pad, 3))])
-        # async-dispatch all chunks, fetch once (keeps the tunnel pipelined)
-        parts = [_integrate_gt(o[i:i + chunk], d[i:i + chunk],
-                               scale=self.scale, style=self.style)
-                 for i in range(0, o.shape[0], chunk)]
-        jax.block_until_ready(parts)
-        rgba = np.concatenate([np.asarray(p) for p in parts])[
-            :self.n_images * w * h].reshape(self.n_images, w * h, 4)
+        # the dense 512-step GT integration is expensive (minutes at 256^2+),
+        # so completed renders are cached on disk keyed by every scene param
+        cache_dir = os.environ.get(
+            "GNT_GT_CACHE", os.path.expanduser("~/.cache/google_nerf_tpu"))
+        cache_key = (f"gt_{self.split.split('_')[0]}_{self.n_images}x{w}x{h}"
+                     f"_s{self.scale}_r{self.cam_radius}_seed{seed}"
+                     f"_{self.style}.npz")
+        cache_path = os.path.join(cache_dir, cache_key)
+        if os.path.exists(cache_path):
+            rgba = np.load(cache_path)["rgba"].astype(np.float32)
+        else:
+            # async-dispatch all chunks, fetch once (keeps the tunnel
+            # pipelined)
+            parts = [_integrate_gt(o[i:i + chunk], d[i:i + chunk],
+                                   scale=self.scale, style=self.style)
+                     for i in range(0, o.shape[0], chunk)]
+            jax.block_until_ready(parts)
+            rgba = np.concatenate([np.asarray(p) for p in parts])[
+                :self.n_images * w * h].reshape(self.n_images, w * h, 4)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                np.savez_compressed(cache_path + f".tmp{os.getpid()}.npz",
+                                    rgba=rgba.astype(np.float16))
+                os.replace(cache_path + f".tmp{os.getpid()}.npz", cache_path)
+            except OSError:
+                pass
         self.alphas = np.clip(rgba[..., 3], 0.0, 1.0).astype(np.float32)
         # white-composited images (the reference-facing view of the data)
         self.rays = np.clip(rgba[..., :3] + (1 - self.alphas[..., None]),

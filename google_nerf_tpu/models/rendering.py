@@ -42,7 +42,8 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  k_samples: int = 128, max_samples: int = MAX_SAMPLES,
                  samples_budget: int = 0, occ_u8=None, seg: int = 8,
                  n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
-                 bg_color=None):
+                 bg_color=None, exclude_incomplete: str = "none",
+                 incomplete_floor: float = 0.5):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -94,6 +95,27 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         rgbs = rgbs.reshape(R, K, 3)
     out = composite_rays_train(sigmas, rgbs,
                                m["deltas"], m["ts"], m["valid"], T_threshold)
+    if exclude_incomplete != "none" and "truncated" in m:
+        # A ray whose march dropped real content (k_samples/n_keep caps)
+        # AND whose transmittance never converged has an incompletely
+        # rendered color: supervising it biases gradients toward explaining
+        # the pixel with only the near content.  Fog inflates occupancy and
+        # hence selects exactly the foggy rays for this bias (the reference
+        # never truncates per-ray: it marches to T<thresh or t2,
+        # `rendering.py:71-101`), so such rays are excluded from the loss.
+        # Mode "floor": exclusion engages only while it keeps at least
+        # `incomplete_floor` of the batch — during occupancy-grid warmup
+        # (grid fully occupied) nearly EVERY ray is truncated+unconverged
+        # and hard exclusion would starve training entirely.
+        unconverged = out["opacity"] < 1.0 - T_threshold
+        surv = ray_mask & ~(m["truncated"] & unconverged)
+        if exclude_incomplete == "hard":
+            ray_mask = surv
+        else:
+            # fraction relative to rays the budget kept, so heavy budget
+            # masking early in training doesn't permanently disable this
+            frac = surv.sum() / jnp.maximum(ray_mask.sum(), 1)
+            ray_mask = jnp.where(frac >= incomplete_floor, surv, ray_mask)
     bg = _background(exp_step_factor) if bg_color is None else bg_color
     out["rgb"] = out["rgb"] + bg * (1.0 - out["opacity"][:, None])
     out["total_samples"] = m["total_samples"]

@@ -140,6 +140,8 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         pick, seg_valid = _first_k(live, min(n_keep, live.shape[-1]))
         seg_idx = jnp.take_along_axis(seg_global, pick, 1)
         n_keep = pick.shape[-1]
+        # more live work existed than the phase budgets could carry
+        truncated = (live_sup.sum(-1) > nk_sup) | (live.sum(-1) > n_keep)
     else:
         # ---- phase 1: dilated test at segment centers ----
         js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)
@@ -152,6 +154,7 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
                                      * seg)[None, :] * dt
         live = live & (seg_start_t < t2[:, None]) & hit[:, None]
         seg_idx, seg_valid = _first_k(live, n_keep)          # (R, n_keep)
+        truncated = live.sum(-1) > n_keep
 
     # ---- phase 2: exact test inside kept segments ----
     base = seg_idx.astype(jnp.float32) * seg                 # (R, n_keep)
@@ -167,9 +170,10 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
     ts_flat = jax.lax.stop_gradient(ts_c).reshape(R, -1)
 
     idx, valid = _first_k(cand_ok, k_samples)
+    truncated = truncated | (cand_ok.sum(-1) > k_samples)
     ts = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
     deltas = jnp.where(valid, dt, 0.0)
     xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
     return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts, valid=valid,
-                total_samples=valid.sum())
+                truncated=truncated, total_samples=valid.sum())

@@ -141,6 +141,7 @@ def march_rays_train(rays_o, rays_d, hits_t, occ_grid, *, cascades: int,
     xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
     return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts, valid=valid,
+                truncated=cand_ok.sum(-1) > k_samples,
                 total_samples=valid.sum())
 
 

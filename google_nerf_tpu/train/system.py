@@ -63,6 +63,21 @@ class TrainConfig:
                                            # invisible floater fog (clear
                                            # win at small scale; still under
                                            # study at 256^2+, so opt-in)
+    exclude_incomplete: str = "none"       # "none" | "hard" | "floor": drop
+                                           # rays whose march truncated real
+                                           # content before transmittance
+                                           # converged (unbiased gradients;
+                                           # see models/rendering.py).
+                                           # "floor" keeps >= incomplete_floor
+                                           # of the batch supervised.
+    incomplete_floor: float = 0.5
+    random_bg_per_ray: bool = True         # one random bg color PER RAY
+                                           # (False = one per batch).  A
+                                           # per-batch color is a moving
+                                           # target fog can chase step-to-
+                                           # step; per-ray colors make
+                                           # transparency the only loss
+                                           # minimiser at fog points.
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
@@ -166,7 +181,9 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
     bg_color = None
     if cfg.random_bg and "alpha" in batch:
         key, kbg = jax.random.split(key)
-        bg_color = jax.random.uniform(kbg, (3,))
+        bg_shape = ((batch["rgb"].shape[0], 3) if cfg.random_bg_per_ray
+                    else (3,))
+        bg_color = jax.random.uniform(kbg, bg_shape)
         # re-composite the white-bg ground truth onto the random bg
         batch = dict(batch)
         batch["rgb"] = batch["rgb"] - (1.0 - batch["alpha"])[:, None]             * (1.0 - bg_color)
@@ -181,7 +198,9 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
                                    if cfg.march == "seg"
                                    and cfg.exp_step_factor == 0.0 else None),
                            seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
-                           n_keep_sup=cfg.n_keep_sup, bg_color=bg_color)
+                           n_keep_sup=cfg.n_keep_sup, bg_color=bg_color,
+                           exclude_incomplete=cfg.exclude_incomplete,
+                           incomplete_floor=cfg.incomplete_floor)
     total, _ = loss_obj.total(results, batch)
     # telemetry: expose the target actually supervised (random-bg aware)
     results["rgb_target"] = batch["rgb"]
@@ -218,6 +237,7 @@ def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
         loss=loss,
         psnr=-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)),
         s_per_ray=results["total_samples"] / batch["rgb"].shape[0],
+        mask_frac=(rm.mean() if rm.ndim else jnp.ones(())),
         lr=cosine_lr(cfg)(state["step"]),
     )
     new_state = dict(params=params, opt_state=opt_state,

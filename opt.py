@@ -94,6 +94,14 @@ def get_opts(argv=None):
     parser.add_argument('--random_bg', action='store_true', default=False,
                         help='train against random background colors when '
                              'the dataset provides per-ray alpha')
+    parser.add_argument('--random_bg_per_batch', action='store_true',
+                        default=False,
+                        help='one random bg color per batch instead of the '
+                             'default per-ray colors')
+    parser.add_argument('--exclude_incomplete', type=str, default='none',
+                        choices=['none', 'hard', 'floor'],
+                        help='drop rays whose march truncated content before '
+                             'transmittance converged (see models/rendering)')
     parser.add_argument('--platform', type=str, default=None,
                         choices=[None, 'cpu', 'tpu'],
                         help='force a JAX platform (default: auto)')

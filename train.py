@@ -64,6 +64,8 @@ def build_configs(hparams, scene_scale=None):
         lambda_depth=hparams.depth_loss_w,
         samples_budget=budget,
         random_bg=hparams.random_bg,
+        random_bg_per_ray=not hparams.random_bg_per_batch,
+        exclude_incomplete=hparams.exclude_incomplete,
         erode=hparams.dataset_name == 'colmap')
     return cfg
 
