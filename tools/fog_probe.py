@@ -40,7 +40,7 @@ def main():
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.eval.metrics import psnr as psnr_fn
     from google_nerf_tpu.models.ngp import NGPConfig
-    from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.models.render_test_fast import render_test_fast
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
                                               grid_update_step,
                                               init_train_state)
@@ -71,7 +71,8 @@ def main():
         ps = []
         for vi in range(args.test_views):
             o, d = get_rays(dirs_t, jnp.asarray(ds_t.poses[vi]))
-            out = render_test(state["params"], cfg.model, state["occ"], o, d)
+            out = render_test_fast(state["params"], cfg.model,
+                                   state["occ_u8"], o, d)
             ps.append(float(psnr_fn(out["rgb"], jnp.asarray(ds_t.rays[vi]))))
         return float(np.mean(ps))
 
