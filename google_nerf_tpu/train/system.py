@@ -78,6 +78,15 @@ class TrainConfig:
                                            # step; per-ray colors make
                                            # transparency the only loss
                                            # minimiser at fog points.
+    weight_decay: float = 0.0              # decoupled L2 on the ENCODER
+                                           # TABLE only (AdamW-style).
+                                           # Colliding/stale table entries
+                                           # that stop receiving gradient
+                                           # decay to 0, where the bias-free
+                                           # sigma MLP yields trunc_exp(0)=1
+                                           # < density_threshold — so stale
+                                           # fog cells die instead of
+                                           # ratcheting in the EMA grid.
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
@@ -107,8 +116,20 @@ def cosine_lr(cfg: TrainConfig):
     return schedule
 
 
+_TABLE_KEYS = ("packed_table", "hash_table")
+
+
 def make_optimizer(cfg: TrainConfig):
-    net_tx = optax.adam(cosine_lr(cfg), eps=1e-15)
+    if cfg.weight_decay > 0:
+        def table_mask(params):
+            return {k: jax.tree.map(lambda _: k in _TABLE_KEYS, v)
+                    for k, v in params.items()}
+
+        # adamw's state pytree is identical to adam's -> ckpt compatible
+        net_tx = optax.adamw(cosine_lr(cfg), eps=1e-15,
+                             weight_decay=cfg.weight_decay, mask=table_mask)
+    else:
+        net_tx = optax.adam(cosine_lr(cfg), eps=1e-15)
     if not cfg.optimize_ext:
         return net_tx
     pose_tx = optax.adam(1e-6)  # hard-coded lr, train.py:117-118

@@ -114,6 +114,9 @@ def get_opts(argv=None):
                              'steps after warmup (0 = off)')
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
+    parser.add_argument('--weight_decay', type=float, default=0.0,
+                        help='decoupled L2 on the encoder table (kills '
+                             'stale/colliding entries -> fog control)')
     parser.add_argument('--samples_budget', type=int, default=-1,
                         help='max field-network samples per step via '
                              'compaction; -1 = 16*batch_size, 0 = off')

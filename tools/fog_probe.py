@@ -29,6 +29,7 @@ def main():
     p.add_argument("--n_keep_sup", type=int, default=12)
     p.add_argument("--style", default="solid")
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--test_every", type=int, default=500)
     p.add_argument("--test_views", type=int, default=4)
@@ -53,6 +54,7 @@ def main():
                       random_bg=args.bg != "none",
                       random_bg_per_ray=args.bg == "ray",
                       exclude_incomplete=args.exclude,
+                      weight_decay=args.wd,
                       n_keep=args.n_keep, n_keep_sup=args.n_keep_sup)
     wh = (args.res, args.res)
     ds = SyntheticDataset(split="train", n_images=64, img_wh=wh,
