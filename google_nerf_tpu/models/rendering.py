@@ -43,7 +43,7 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  samples_budget: int = 0, occ_u8=None, seg: int = 8,
                  n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
                  bg_color=None, exclude_incomplete: str = "none",
-                 incomplete_floor: float = 0.5):
+                 incomplete_floor: float = 0.5, backfill_rgb=None):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -95,7 +95,27 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         rgbs = rgbs.reshape(R, K, 3)
     out = composite_rays_train(sigmas, rgbs,
                                m["deltas"], m["ts"], m["valid"], T_threshold)
-    if exclude_incomplete != "none" and "truncated" in m:
+    if exclude_incomplete == "backfill" and "truncated" in m:
+        # Truncation-bias fix WITHOUT dropping rays: a truncated ray whose
+        # transmittance never converged has an incomplete render C_prefix +
+        # T_end*bg; supervising that against gt pushes the prefix to explain
+        # the whole pixel -> near-camera fog (measured: sigma_q99 ~500 at
+        # k=64).  Hard exclusion instead unsupervises exactly the content
+        # rays and collapses the scene (measured: occ -> 0.09, test 13 dB).
+        # Backfill composites the RESIDUAL TRANSMITTANCE ONTO THE GT PIXEL
+        # for those rays: pred = C_prefix + T_end*gt.  An empty prefix gives
+        # pred == gt (zero loss, zero pressure to invent content) while
+        # spurious prefix fog still contradicts the pixel and is cleared.
+        # Gradient bias toward false content is removed; no supervision is
+        # thrown away.  (backfill_rgb: the final, bg-recomposited target.)
+        unconverged = out["opacity"] < 1.0 - T_threshold
+        fill = m["truncated"] & unconverged
+        if backfill_rgb is not None:
+            bgb = jnp.broadcast_to(bg_color if bg_color is not None
+                                   else _background(exp_step_factor),
+                                   backfill_rgb.shape)
+            bg_color = jnp.where(fill[:, None], backfill_rgb, bgb)
+    elif exclude_incomplete != "none" and "truncated" in m:
         # A ray whose march dropped real content (k_samples/n_keep caps)
         # AND whose transmittance never converged has an incompletely
         # rendered color: supervising it biases gradients toward explaining

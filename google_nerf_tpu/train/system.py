@@ -63,7 +63,8 @@ class TrainConfig:
                                            # invisible floater fog (clear
                                            # win at small scale; still under
                                            # study at 256^2+, so opt-in)
-    exclude_incomplete: str = "none"       # "none" | "hard" | "floor": drop
+    exclude_incomplete: str = "none"       # "none" | "hard" | "floor" |
+                                           # "backfill": drop
                                            # rays whose march truncated real
                                            # content before transmittance
                                            # converged (unbiased gradients;
@@ -221,7 +222,8 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
                            seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
                            n_keep_sup=cfg.n_keep_sup, bg_color=bg_color,
                            exclude_incomplete=cfg.exclude_incomplete,
-                           incomplete_floor=cfg.incomplete_floor)
+                           incomplete_floor=cfg.incomplete_floor,
+                           backfill_rgb=batch["rgb"])
     total, _ = loss_obj.total(results, batch)
     # telemetry: expose the target actually supervised (random-bg aware)
     results["rgb_target"] = batch["rgb"]

@@ -99,7 +99,7 @@ def get_opts(argv=None):
                         help='one random bg color per batch instead of the '
                              'default per-ray colors')
     parser.add_argument('--exclude_incomplete', type=str, default='none',
-                        choices=['none', 'hard', 'floor'],
+                        choices=['none', 'hard', 'floor', 'backfill'],
                         help='drop rays whose march truncated content before '
                              'transmittance converged (see models/rendering)')
     parser.add_argument('--platform', type=str, default=None,

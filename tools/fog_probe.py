@@ -19,7 +19,7 @@ print = functools.partial(print, flush=True)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bg", choices=["none", "batch", "ray"], default="ray")
-    p.add_argument("--exclude", choices=["none", "hard", "floor"],
+    p.add_argument("--exclude", choices=["none", "hard", "floor", "backfill"],
                    default="floor")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--encoder", default="packed")
