@@ -23,6 +23,9 @@ def main():
                    default="floor")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--encoder", default="packed")
+    p.add_argument("--levels", type=int, default=8)
+    p.add_argument("--feats", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--budget", type=int, default=131072)
     p.add_argument("--k", type=int, default=64)
     p.add_argument("--n_keep", type=int, default=16)
@@ -47,8 +50,9 @@ def main():
                                               init_train_state)
 
     model = NGPConfig(scale=0.5, encoder=args.encoder,
+                      packed_levels=args.levels, packed_features=args.feats,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, k_samples=args.k,
+    cfg = TrainConfig(model=model, batch_size=args.batch, k_samples=args.k,
                       num_epochs=max(args.steps // 1000, 1), lr=args.lr,
                       samples_budget=args.budget,
                       random_bg=args.bg != "none",
