@@ -33,6 +33,11 @@ def main():
     p.add_argument("--n_test", type=int, default=8)
     p.add_argument("--style", default="shell", choices=["shell", "solid"])
     p.add_argument("--k_samples", type=int, default=64)
+    p.add_argument("--n_keep", type=int, default=16)
+    p.add_argument("--n_keep_sup", type=int, default=12)
+    p.add_argument("--exclude", default="none",
+                   choices=["none", "hard", "floor", "backfill"])
+    p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--random_bg", action="store_true",
                    help="train against random background colors (uses the "
@@ -65,6 +70,9 @@ def main():
                       k_samples=args.k_samples, lr=args.lr,
                       num_epochs=args.num_epochs,
                       random_bg=args.random_bg,
+                      exclude_incomplete=args.exclude,
+                      weight_decay=args.wd,
+                      n_keep=args.n_keep, n_keep_sup=args.n_keep_sup,
                       samples_budget=16 * args.batch_size)
     scene = ds.scene(images_uint8=True)
     key = jax.random.PRNGKey(0)
