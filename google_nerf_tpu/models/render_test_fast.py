@@ -56,8 +56,19 @@ def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
 
     iota = jax.lax.broadcasted_iota(jnp.int32, live.shape, 1)
     score = jnp.where(live, -iota, jnp.int32(-(n_segs + 1)))
-    svals, sidx = jax.lax.top_k(score, n_keep)
+    nk1 = min(n_keep + 1, n_segs)          # +1: detect dropped live segments
+    svals1, sidx1 = jax.lax.top_k(score, nk1)
+    svals, sidx = svals1[:, :n_keep], sidx1[:, :n_keep]
     svalid = svals > -(n_segs + 1)
+    # a live segment beyond the n_keep kept ones: the window must RESUME at
+    # its start, not skip to window_end (skipping dropped content made the
+    # render depend on chunk/bucket grouping and under-rendered dense areas)
+    if nk1 > n_keep:
+        overflow = svals1[:, n_keep] > -(n_segs + 1)
+        overflow_t = t_cur + sidx1[:, n_keep].astype(jnp.float32) * seg * dt
+    else:
+        overflow = jnp.zeros(B, bool)
+        overflow_t = jnp.zeros(B)
 
     off = jnp.arange(seg, dtype=jnp.float32)
     ts_c = t_cur[:, None, None] + (sidx.astype(jnp.float32)[..., None] * seg
@@ -80,7 +91,8 @@ def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
     count = ok.sum(-1)
     window_end = t_cur + (n_segs * seg) * dt
     last_t = jnp.max(jnp.where(valid, ts, 0.0), axis=-1)
-    t_next = jnp.where(count <= k, window_end, last_t + dt)
+    t_next = jnp.where(count > k, last_t + dt,
+                       jnp.where(overflow, overflow_t, window_end))
     return ts, valid, t_next, dt
 
 
@@ -192,10 +204,16 @@ def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     R = rays_o.shape[0]
     chunk = min(chunk, max(R, 1))         # don't pad tiny renders up
     bucket = min(bucket, chunk)
-    # every iteration retires >= bucket ray-windows; a ray needs at most
-    # max_samples/(n_segs*seg) windows
+    # Iteration bound: an iteration either ran un-starved (every served ray
+    # retires a window / its hits: <= chunk*windows_per_ray/bucket such
+    # iterations) or exhausted the sample budget (>= sample_budget hits
+    # retired globally: <= chunk*max_samples/sample_budget such iterations).
+    # The old windows-only bound silently under-rendered dense scenes.  The
+    # loop exits early via alive.any(), so the slack is a scalar compare.
     windows_per_ray = max_samples // (n_segs * seg) + 2
-    max_iters = (min(R, chunk) * windows_per_ray) // bucket + 64
+    sample_budget = max(min(bucket, chunk) * k // 4, 1)
+    max_iters = ((min(R, chunk) * windows_per_ray) // bucket
+                 + (min(R, chunk) * max_samples) // sample_budget + 64)
     outs = []
     pad = (-R) % chunk
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
@@ -206,6 +224,6 @@ def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             exp_step_factor=exp_step_factor, T_threshold=T_threshold,
             bucket=min(bucket, chunk), k=k, seg=seg, n_segs=n_segs,
             n_keep=n_keep, max_samples=max_samples,
-            max_iters=max_iters, sample_budget=min(bucket, chunk) * k // 4))
+            max_iters=max_iters, sample_budget=sample_budget))
     return {key: jnp.concatenate([o[key] for o in outs])[:R]
             for key in outs[0]}

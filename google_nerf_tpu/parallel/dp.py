@@ -150,6 +150,31 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
     return step
 
 
+def render_test_fast_dp(params, cfg, occ_u8, rays_o, rays_d, mesh: Mesh,
+                        axis_name: str = "data", **kw):
+    """Data-parallel novel-view render: rays sharded over the mesh, each
+    replica runs the full fast renderer on its shard (chunks are independent,
+    so no collectives are needed — the TPU-native analog of the reference's
+    per-rank validation + `all_gather_ddp_if_available` metric gather,
+    `ngp_pl/train.py:218-227`; here the gather is the output sharding)."""
+    from google_nerf_tpu.models.render_test_fast import render_test_fast
+
+    n = mesh.shape[axis_name]
+    R = rays_o.shape[0]
+    pad = (-R) % n
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+    rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
+
+    def per_replica(params, occ_u8, o, d):
+        return render_test_fast(params, cfg, occ_u8, o, d, **kw)
+
+    sharded = shard_map(per_replica, mesh=mesh,
+                        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+                        out_specs=P(axis_name), check_vma=False)
+    out = sharded(replicate(params, mesh), replicate(occ_u8, mesh), ro, rd)
+    return {k: v[:R] for k, v in out.items()}
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> int:

@@ -71,13 +71,17 @@ def build_configs(hparams, scene_scale=None):
     return cfg
 
 
-def validate(hparams, cfg, state, test_dataset, val_dir=None):
+def validate(hparams, cfg, state, test_dataset, val_dir=None, mesh=None):
+    """Renders every test view and reports PSNR/SSIM(/LPIPS).  With a mesh,
+    each view's rays are sharded over the devices (the reference validates
+    per-rank and all-gathers metrics, `ngp_pl/train.py:218-227`)."""
     import jax.numpy as jnp
 
     from google_nerf_tpu.core.rays import get_rays
     from google_nerf_tpu.eval.metrics import LPIPS, psnr, ssim
     from google_nerf_tpu.models.render_test_fast import render_test_fast
     from google_nerf_tpu.models.rendering import render_test
+    from google_nerf_tpu.parallel.dp import render_test_fast_dp
     from google_nerf_tpu.train.system import refined_poses
 
     w, h = test_dataset.img_wh
@@ -91,9 +95,14 @@ def validate(hparams, cfg, state, test_dataset, val_dir=None):
                                  pose[None], jnp.asarray([i]))[0]
         rays_o, rays_d = get_rays(directions, pose)
         if cfg.exp_step_factor == 0.0 and "occ_u8" in state:
-            out = render_test_fast(state["params"], cfg.model,
-                                   state["occ_u8"], rays_o, rays_d,
-                                   max_samples=cfg.max_samples)
+            if mesh is not None and mesh.size > 1:
+                out = render_test_fast_dp(state["params"], cfg.model,
+                                          state["occ_u8"], rays_o, rays_d,
+                                          mesh, max_samples=cfg.max_samples)
+            else:
+                out = render_test_fast(state["params"], cfg.model,
+                                       state["occ_u8"], rays_o, rays_d,
+                                       max_samples=cfg.max_samples)
         else:
             out = render_test(state["params"], cfg.model, state["occ"],
                               rays_o, rays_d,
@@ -202,6 +211,7 @@ def main(hparams, video_fps=30):
     n_dev = (jax.device_count() if hparams.num_gpus in (-1, 0)
              else min(hparams.num_gpus, jax.device_count()))
     dp_step = None
+    mesh = None
     if n_dev > 1:
         mesh = make_mesh(n_dev)
         state = replicate(state, mesh)
@@ -258,7 +268,7 @@ def main(hparams, video_fps=30):
     save_slim_ckpt(os.path.join(ckpt_dir, f'epoch={epoch}_slim'), state,
                    save_poses=hparams.optimize_ext)
 
-    logs = validate(hparams, cfg, state, test_dataset, val_dir)
+    logs = validate(hparams, cfg, state, test_dataset, val_dir, mesh=mesh)
     print('test:', logs)
     logger.log(total_steps, {f'test/{k}': v for k, v in logs.items()})
     logger.close()
