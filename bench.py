@@ -28,8 +28,9 @@ def main():
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, k_samples=64,
-                      num_epochs=30, samples_budget=131072)
+    cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
+                      num_epochs=30, samples_budget=131072,
+                      random_bg=True, exclude_incomplete="backfill")
 
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))
     scene = ds.scene()

@@ -32,10 +32,10 @@ def main():
     p.add_argument("--n_train", type=int, default=100)
     p.add_argument("--n_test", type=int, default=8)
     p.add_argument("--style", default="shell", choices=["shell", "solid"])
-    p.add_argument("--k_samples", type=int, default=64)
-    p.add_argument("--n_keep", type=int, default=16)
-    p.add_argument("--n_keep_sup", type=int, default=12)
-    p.add_argument("--exclude", default="none",
+    p.add_argument("--k_samples", type=int, default=256)
+    p.add_argument("--n_keep", type=int, default=32)
+    p.add_argument("--n_keep_sup", type=int, default=24)
+    p.add_argument("--exclude", default="backfill",
                    choices=["none", "hard", "floor", "backfill"])
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--lpips_weights", default=None)

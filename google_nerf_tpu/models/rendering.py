@@ -43,7 +43,8 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  samples_budget: int = 0, occ_u8=None, seg: int = 8,
                  n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
                  bg_color=None, exclude_incomplete: str = "none",
-                 incomplete_floor: float = 0.5, backfill_rgb=None):
+                 incomplete_floor: float = 0.5, backfill_rgb=None,
+                 backfill_enable=None):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -108,8 +109,15 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         # spurious prefix fog still contradicts the pixel and is cleared.
         # Gradient bias toward false content is removed; no supervision is
         # thrown away.  (backfill_rgb: the final, bg-recomposited target.)
+        # During grid warmup EVERY ray is truncated (fully-occupied grid);
+        # backfilling then would never let content build (measured: training
+        # stalls with an empty scene).  `backfill_enable` (traced bool, e.g.
+        # step >= warmup_steps) keeps full supervision through warmup and
+        # turns the bias-free backfill on once truncation is the exception.
         unconverged = out["opacity"] < 1.0 - T_threshold
         fill = m["truncated"] & unconverged
+        if backfill_enable is not None:
+            fill = fill & backfill_enable
         if backfill_rgb is not None:
             bgb = jnp.broadcast_to(bg_color if bg_color is not None
                                    else _background(exp_step_factor),

@@ -59,7 +59,8 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
 
         def loss_fn(params):
             occ = {"occ": state["occ"], "occ_u8": state["occ_u8"]}
-            return loss_and_results(params, occ, scene, batch, k2, cfg)
+            return loss_and_results(params, occ, scene, batch, k2, cfg,
+                                    step=state["step"])
 
         (loss, results), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

@@ -44,7 +44,12 @@ class TrainConfig:
     num_epochs: int = 30                   # opt.py:26
     steps_per_epoch: int = 1000            # datasets/base.py:19-22
     batch_size: int = 8192                 # opt.py:24
-    k_samples: int = 128                   # padded samples per ray
+    k_samples: int = 256                   # padded samples per ray.  MUST be
+                                           # large enough that content rays
+                                           # are rarely truncated: chronic
+                                           # truncation creates floater fog
+                                           # (supervision bias) — see
+                                           # DESIGN_NOTES.md fog record.
     max_samples: int = MAX_SAMPLES
     exp_step_factor: float = 0.0
     optimize_ext: bool = False
@@ -63,7 +68,7 @@ class TrainConfig:
                                            # invisible floater fog (clear
                                            # win at small scale; still under
                                            # study at 256^2+, so opt-in)
-    exclude_incomplete: str = "none"       # "none" | "hard" | "floor" |
+    exclude_incomplete: str = "backfill"   # "none" | "hard" | "floor" |
                                            # "backfill": drop
                                            # rays whose march truncated real
                                            # content before transmittance
@@ -91,10 +96,10 @@ class TrainConfig:
     march: str = "seg"                     # "seg" (two-phase, bounded
                                            # scenes) | "dense"
     seg: int = 8                           # candidates per segment
-    n_keep: int = 16                       # live segments kept per ray
+    n_keep: int = 32                       # live segments kept per ray
     sup: int = 4                           # segments per super-segment
                                            # (3-phase march; 0 = 2-phase)
-    n_keep_sup: int = 12                   # live super-segments kept
+    n_keep_sup: int = 24                   # live super-segments kept
 
     @property
     def density_threshold(self) -> float:
@@ -192,10 +197,13 @@ def sample_batch(key, scene: Dict[str, Any], batch_size: int):
     return batch
 
 
-def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
+def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig,
+                     step=None):
     """The differentiable part of a train step (shared by the single-chip
     and data-parallel paths).  occ: dict with "occ" (bool grid) and
-    "occ_u8" (packed dilated grid for the segment marcher)."""
+    "occ_u8" (packed dilated grid for the segment marcher).  `step` (traced)
+    gates warmup-dependent behavior (backfill activation)."""
+    step_now = jnp.asarray(cfg.warmup_steps if step is None else step)
     loss_obj = NeRFLoss(cfg.lambda_opacity, cfg.lambda_depth)
     poses = refined_poses(params, scene["poses"], batch["img_idxs"])
     dirs = scene["directions"][batch["pix_idxs"]]
@@ -223,7 +231,8 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig):
                            n_keep_sup=cfg.n_keep_sup, bg_color=bg_color,
                            exclude_incomplete=cfg.exclude_incomplete,
                            incomplete_floor=cfg.incomplete_floor,
-                           backfill_rgb=batch["rgb"])
+                           backfill_rgb=batch["rgb"],
+                           backfill_enable=(step_now >= cfg.warmup_steps))
     total, _ = loss_obj.total(results, batch)
     # telemetry: expose the target actually supervised (random-bg aware)
     results["rgb_target"] = batch["rgb"]
@@ -242,7 +251,7 @@ def _train_step_impl(state, scene, batch, key, cfg: TrainConfig):
     def loss_fn(params):
         return loss_and_results(
             params, {"occ": state["occ"], "occ_u8": state["occ_u8"]},
-            scene, batch, key, cfg)
+            scene, batch, key, cfg, step=state["step"])
 
     (loss, results), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state["params"])

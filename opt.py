@@ -73,7 +73,7 @@ def get_opts(argv=None):
                              '(scannet)')
     parser.add_argument('--raw_scan_rootdir', type=str, default=None,
                         help='root of raw ScanNet scans (for the AABB mesh)')
-    parser.add_argument('--k_samples', type=int, default=128,
+    parser.add_argument('--k_samples', type=int, default=256,
                         help='padded samples per ray in training')
     parser.add_argument('--lpips_weights', type=str, default=None,
                         help='npz with LPIPS-vgg weights')
@@ -98,7 +98,12 @@ def get_opts(argv=None):
                         default=False,
                         help='one random bg color per batch instead of the '
                              'default per-ray colors')
-    parser.add_argument('--exclude_incomplete', type=str, default='none',
+    parser.add_argument('--n_keep', type=int, default=32,
+                        help='live segments kept per ray by the segment '
+                             'marcher (capacity = n_keep*8 candidates)')
+    parser.add_argument('--n_keep_sup', type=int, default=24,
+                        help='live super-segments kept (3-phase march)')
+    parser.add_argument('--exclude_incomplete', type=str, default='backfill',
                         choices=['none', 'hard', 'floor', 'backfill'],
                         help='drop rays whose march truncated content before '
                              'transmittance converged (see models/rendering)')

@@ -66,6 +66,7 @@ def build_configs(hparams, scene_scale=None):
         random_bg=hparams.random_bg,
         random_bg_per_ray=not hparams.random_bg_per_batch,
         exclude_incomplete=hparams.exclude_incomplete,
+        n_keep=hparams.n_keep, n_keep_sup=hparams.n_keep_sup,
         weight_decay=hparams.weight_decay,
         erode=hparams.dataset_name == 'colmap')
     return cfg
