@@ -25,6 +25,8 @@ def main():
     p.add_argument("--encoder", default="packed")
     p.add_argument("--levels", type=int, default=8)
     p.add_argument("--feats", type=int, default=2)
+    p.add_argument("--log2", type=int, default=16,
+                   help="packed encoder log2 table size per level")
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--budget", type=int, default=131072)
     p.add_argument("--k", type=int, default=64)
@@ -51,6 +53,7 @@ def main():
 
     model = NGPConfig(scale=0.5, encoder=args.encoder,
                       packed_levels=args.levels, packed_features=args.feats,
+                      packed_log2_size=args.log2,
                       compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(model=model, batch_size=args.batch, k_samples=args.k,
                       num_epochs=max(args.steps // 1000, 1), lr=args.lr,
