@@ -38,6 +38,12 @@ def main():
     p.add_argument("--exclude", default="backfill",
                    choices=["none", "hard", "floor", "backfill"])
     p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--encoder", default="packed",
+                   choices=["packed", "hash", "freq"])
+    p.add_argument("--levels", type=int, default=0,
+                   help="override encoder level count (0 = default)")
+    p.add_argument("--log2", type=int, default=0,
+                   help="override table log2 size (0 = default)")
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--random_bg", action="store_true",
                    help="train against random background colors (uses the "
@@ -64,8 +70,15 @@ def main():
                           style=args.style)
     print(f"  gt generation: {time.time()-t_gen:.0f}s", flush=True)
 
-    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
-                      compute_dtype=jnp.bfloat16)
+    enc_kw = {}
+    if args.levels:
+        enc_kw["packed_levels" if args.encoder == "packed"
+               else "num_levels"] = args.levels
+    if args.log2:
+        enc_kw["packed_log2_size" if args.encoder == "packed"
+               else "log2_hashmap_size"] = args.log2
+    model = NGPConfig(scale=0.5, encoder=args.encoder, grid_size=128,
+                      compute_dtype=jnp.bfloat16, **enc_kw)
     cfg = TrainConfig(model=model, batch_size=args.batch_size,
                       k_samples=args.k_samples, lr=args.lr,
                       num_epochs=args.num_epochs,
