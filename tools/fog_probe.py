@@ -23,10 +23,11 @@ def main():
                    default="floor")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--encoder", default="packed")
-    p.add_argument("--levels", type=int, default=8)
+    p.add_argument("--levels", type=int, default=0,
+                   help="encoder level-count override (0 = default)")
     p.add_argument("--feats", type=int, default=2)
-    p.add_argument("--log2", type=int, default=16,
-                   help="packed encoder log2 table size per level")
+    p.add_argument("--log2", type=int, default=0,
+                   help="table log2-size override (0 = default)")
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--budget", type=int, default=131072)
     p.add_argument("--k", type=int, default=64)
@@ -51,10 +52,16 @@ def main():
                                               grid_update_step,
                                               init_train_state)
 
+    enc_kw = {}
+    if args.levels:
+        enc_kw["packed_levels" if args.encoder == "packed"
+               else "num_levels"] = args.levels
+    if args.log2:
+        enc_kw["packed_log2_size" if args.encoder == "packed"
+               else "log2_hashmap_size"] = args.log2
     model = NGPConfig(scale=0.5, encoder=args.encoder,
-                      packed_levels=args.levels, packed_features=args.feats,
-                      packed_log2_size=args.log2,
-                      compute_dtype=jnp.bfloat16)
+                      packed_features=args.feats,
+                      compute_dtype=jnp.bfloat16, **enc_kw)
     cfg = TrainConfig(model=model, batch_size=args.batch, k_samples=args.k,
                       num_epochs=max(args.steps // 1000, 1), lr=args.lr,
                       samples_budget=args.budget,
