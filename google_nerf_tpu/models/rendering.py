@@ -23,6 +23,7 @@ from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
 from google_nerf_tpu.ops.compaction import pack, plan_packing, unpack
 from google_nerf_tpu.ops.composite import (composite_rays_test_round,
                                            composite_rays_train)
+from google_nerf_tpu.ops.stream_composite import composite_stream_train
 from google_nerf_tpu.ops.marching import (march_rays_test_round,
                                           march_rays_train)
 from google_nerf_tpu.ops.march_seg import march_rays_train_seg
@@ -44,7 +45,7 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
                  bg_color=None, exclude_incomplete: str = "none",
                  incomplete_floor: float = 0.5, backfill_rgb=None,
-                 backfill_enable=None):
+                 backfill_enable=None, stream: bool = True):
     """Training-time render. rays_o/rays_d: (R, 3), rays_d need not be unit.
 
     Returns dict: rgb (R,3), opacity, depth, depth_sq (R,), total_samples,
@@ -87,15 +88,26 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         sig_p, rgb_p = ngp_apply(params, cfg,
                                  pack(m["xyzs"].reshape(-1, 3), plan),
                                  pack(m["dirs"].reshape(-1, 3), plan))
-        sigmas = unpack(sig_p, plan).reshape(R, K)
-        rgbs = unpack(rgb_p, plan).reshape(R, K, 3)
+        if stream:
+            # composite in the packed stream (B rows) instead of unpacking
+            # to the padded (R, K) grid — ~3 full R*K passes saved
+            out = composite_stream_train(
+                plan, sig_p, rgb_p,
+                pack(m["deltas"].reshape(-1), plan),
+                pack(m["ts"].reshape(-1), plan), R, K, T_threshold)
+        else:
+            sigmas = unpack(sig_p, plan).reshape(R, K)
+            rgbs = unpack(rgb_p, plan).reshape(R, K, 3)
+            out = composite_rays_train(sigmas, rgbs, m["deltas"], m["ts"],
+                                       m["valid"], T_threshold)
     else:
         sigmas, rgbs = ngp_apply(params, cfg, m["xyzs"].reshape(-1, 3),
                                  m["dirs"].reshape(-1, 3))
         sigmas = sigmas.reshape(R, K)
         rgbs = rgbs.reshape(R, K, 3)
-    out = composite_rays_train(sigmas, rgbs,
-                               m["deltas"], m["ts"], m["valid"], T_threshold)
+        out = composite_rays_train(sigmas, rgbs,
+                                   m["deltas"], m["ts"], m["valid"],
+                                   T_threshold)
     if exclude_incomplete == "backfill" and "truncated" in m:
         # Truncation-bias fix WITHOUT dropping rays: a truncated ray whose
         # transmittance never converged has an incomplete render C_prefix +

@@ -1,0 +1,75 @@
+"""Front-to-back compositing directly over the ray-major packed sample
+stream — the budget-branch replacement for unpack + padded (R, K) composite.
+
+Why: with the capacity recipe (K=256) the padded path costs ~3 full passes
+over R*K = 2.1M slots (two `unpack` gathers + their VJPs + the padded
+cumsum) while only <= budget (131k) slots are real.  Ray-major packing
+(ops/compaction.py, sample_major=False) keeps each kept ray's samples
+CONTIGUOUS and in marching order inside the budget stream, so the whole
+composite runs on (B,) arrays:
+
+  * per-slot transmittance: inclusive cumsum of sigma*dt minus the value
+    carried at the ray's first slot (recovered with a boundary cummax —
+    valid because the cumsum is nondecreasing);
+  * per-ray reductions: cumsum-at-ray-end differences (R gathers).
+
+Semantics match ops/composite.composite_rays_train exactly for rays whose
+samples were all kept (ray_mask True); non-kept rays return zeros (they are
+excluded from the loss anyway).  Gradients flow via XLA autodiff exactly as
+in the padded path.
+
+Reference analog: `vren.composite_train_fw/bw` over the CSR sample stream
+(`ngp_pl/models/custom_functions.py:116-159`) — this IS the CSR layout,
+rebuilt with static shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
+                           T_threshold: float = 1e-4):
+    """plan: ray-major PackPlan over a (R, K) valid grid whose True entries
+    are a PREFIX of each row (the marchers guarantee this).
+    sig_p (B,), rgb_p (B, 3), dt_p (B,), ts_p (B,): packed per-sample data.
+    Returns dict: opacity, depth, depth_sq (R,), rgb (R, 3).
+    """
+    B = sig_p.shape[0]
+    sv = plan.slot_valid
+    # slot -> ray id; invalid tail slots get sentinel R (keeps ids sorted)
+    rid = jnp.where(sv, plan.src_idx // K, R)
+
+    sd = jnp.where(sv, sig_p * dt_p, 0.0)
+    cs = jnp.cumsum(sd)
+    excl = cs - sd                                   # exclusive cumsum
+    # value of `excl` at each ray's first slot, carried forward: excl is
+    # nondecreasing so a boundary-masked cummax recovers the carry
+    boundary = jnp.concatenate([jnp.ones((1,), bool), rid[1:] != rid[:-1]])
+    start_val = jax.lax.cummax(jnp.where(boundary, excl, -jnp.inf))
+    T_before = jnp.exp(-(excl - start_val))
+    alpha = 1.0 - jnp.exp(-sd)
+    include = sv & (T_before > T_threshold)
+    w = jnp.where(include, T_before * alpha, 0.0)
+
+    # per-ray [start, end] slot range: kept samples of ray r live at slots
+    # pos[r*K] .. pos[r*K + count_r - 1] (valid is a row prefix)
+    flat_first = jnp.arange(R, dtype=jnp.int32) * K
+    count = plan.keep.reshape(R, K).sum(-1)
+    start = jnp.take(plan.pos, flat_first)
+    last = jnp.take(plan.pos,
+                    flat_first + jnp.maximum(count - 1, 0))
+    has = count > 0
+
+    def ray_sum(v):
+        vc = jnp.cumsum(v)
+        hi = jnp.take(vc, last)
+        lo_idx = jnp.maximum(start - 1, 0)
+        lo = jnp.where(start > 0, jnp.take(vc, lo_idx), 0.0)
+        return jnp.where(has, hi - lo, 0.0)
+
+    opacity = ray_sum(w)
+    depth = ray_sum(w * ts_p)
+    depth_sq = ray_sum(w * ts_p * ts_p)
+    rgb = jnp.stack([ray_sum(w * rgb_p[:, c]) for c in range(3)], -1)
+    return dict(opacity=opacity, depth=depth, depth_sq=depth_sq, rgb=rgb)

@@ -20,8 +20,8 @@ def main():
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, k_samples=64,
-                      num_epochs=30, samples_budget=131072)
+    cfg = TrainConfig(model=model, batch_size=8192, num_epochs=30,
+                      samples_budget=131072, random_bg=True)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="shell")
     scene = ds.scene()
@@ -47,11 +47,17 @@ def main():
     rays_o, rays_d = get_rays(dirs800, pose)
 
     variants = [
+        # current default (post resume-fix: overflow windows now resume,
+        # so small n_keep forces many rounds on dilated-dense windows)
         dict(chunk=262144, bucket=32768, k=32, n_segs=32, n_keep=8),
-        dict(chunk=262144, bucket=16384, k=32, n_segs=32, n_keep=8),
-        dict(chunk=262144, bucket=65536, k=32, n_segs=32, n_keep=8),
-        dict(chunk=262144, bucket=32768, k=16, n_segs=16, n_keep=4),
-        dict(chunk=655360, bucket=65536, k=32, n_segs=64, n_keep=8),
+        # more segments processed per round
+        dict(chunk=262144, bucket=32768, k=64, n_segs=32, n_keep=16),
+        dict(chunk=262144, bucket=32768, k=64, n_segs=32, n_keep=24),
+        dict(chunk=262144, bucket=32768, k=128, n_segs=64, n_keep=32),
+        # wider empty-space windows + more capacity
+        dict(chunk=262144, bucket=65536, k=64, n_segs=64, n_keep=16),
+        dict(chunk=655360, bucket=65536, k=64, n_segs=64, n_keep=24),
+        dict(chunk=655360, bucket=131072, k=64, n_segs=64, n_keep=16),
     ]
     for v in variants:
         def frame():

@@ -60,7 +60,9 @@ def main():
                                  cfg=cfg)
         return (st, i + 1)
 
-    dt, _ = chain_time(e2e, (state, jnp.int32(600)), n=20)
+    # fused_train_step/grid_update_step donate their state: always continue
+    # from the carry returned by chain_time, never reuse a donated buffer
+    dt, (state, _) = chain_time(e2e, (state, jnp.int32(600)), n=20)
     print(f"fused step e2e:   {dt*1e3:7.1f} ms  "
           f"({cfg.batch_size/dt:,.0f} rays/s)")
 
@@ -70,7 +72,7 @@ def main():
                               warmup=False)
         return (st, i + 1)
 
-    dt, _ = chain_time(gupd, (state, jnp.int32(900)), n=5)
+    dt, (state, _) = chain_time(gupd, (state, jnp.int32(900)), n=5)
     print(f"grid update:      {dt*1e3:7.1f} ms (every 16 steps -> "
           f"{dt*1e3/16:.1f} ms/step amortised)")
 
