@@ -99,12 +99,13 @@ def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
 @partial(jax.jit, static_argnames=("cfg", "exp_step_factor", "T_threshold",
                                    "bucket", "k", "seg", "n_segs", "n_keep",
                                    "max_samples", "max_iters",
-                                   "sample_budget"))
+                                   "sample_budget", "apply_fn"))
 def _render_chunk_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                        exp_step_factor: float, T_threshold: float,
                        bucket: int, k: int, seg: int, n_segs: int,
                        n_keep: int, max_samples: int, max_iters: int,
-                       sample_budget: int):
+                       sample_budget: int, apply_fn=None):
+    field = apply_fn or ngp_apply
     R = rays_o.shape[0]
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_du = rays_d / norm
@@ -146,9 +147,9 @@ def _render_chunk_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
         xyzs = o[:, None, :] + ts[..., None] * d[:, None, :]
         dirs = jnp.broadcast_to(d[:, None, :], xyzs.shape)
         plan = plan_packing(valid, sample_budget, sample_major=False)
-        sig_p, col_p = ngp_apply(params, cfg,
-                                 pack(xyzs.reshape(-1, 3), plan),
-                                 pack(dirs.reshape(-1, 3), plan))
+        sig_p, col_p = field(params, cfg,
+                             pack(xyzs.reshape(-1, 3), plan),
+                             pack(dirs.reshape(-1, 3), plan))
         sig = unpack(sig_p, plan).reshape(bucket, k)
         col = unpack(col_p, plan).reshape(bucket, k, 3)
         # rays whose samples were budget-truncated must resume where the
@@ -198,7 +199,7 @@ def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                      exp_step_factor: float = 0.0, T_threshold: float = 1e-2,
                      chunk: int = 262144, bucket: int = 32768, k: int = 32,
                      seg: int = 8, n_segs: int = 32, n_keep: int = 8,
-                     max_samples: int = 1024):
+                     max_samples: int = 1024, apply_fn=None):
     """Full-image fast renderer (bounded scenes; occ_u8 from
     grid.pack_occupancy_u8)."""
     R = rays_o.shape[0]
@@ -224,6 +225,7 @@ def render_test_fast(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             exp_step_factor=exp_step_factor, T_threshold=T_threshold,
             bucket=min(bucket, chunk), k=k, seg=seg, n_segs=n_segs,
             n_keep=n_keep, max_samples=max_samples,
-            max_iters=max_iters, sample_budget=sample_budget))
+            max_iters=max_iters, sample_budget=sample_budget,
+            apply_fn=apply_fn))
     return {key: jnp.concatenate([o[key] for o in outs])[:R]
             for key in outs[0]}

@@ -1,0 +1,65 @@
+"""Baked sparse-voxel field: exactness at voxel corners, trilerp between,
+and the baked renderer approximating the live renderer.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from google_nerf_tpu.core.rays import get_rays
+from google_nerf_tpu.data.synthetic import SyntheticDataset
+from google_nerf_tpu.models.baked import (BakedConfig, bake, baked_field,
+                                          render_test_baked)
+from google_nerf_tpu.models.ngp import NGPConfig, init_ngp, ngp_density
+from google_nerf_tpu.models.render_test_fast import render_test_fast
+from google_nerf_tpu.ops.grid import pack_occupancy_u8
+
+
+def _setup():
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    # grow the table so the field is non-trivial
+    params["packed_table"] = params["packed_table"] * 1e3
+    occ = jnp.ones((cfg.cascades,) + (cfg.grid_size,) * 3, bool)
+    bcfg = BakedConfig(voxel_res=32, block=4)
+    baked = bake(params, cfg, occ, bcfg)
+    return cfg, params, occ, bcfg, baked
+
+
+def test_baked_exact_at_corners_and_trilerp_between():
+    cfg, params, occ, bcfg, baked = _setup()
+    s = min(1.0, cfg.scale)
+    V = bcfg.voxel_res
+    # voxel-corner positions: baked value == live field value exactly
+    ij = np.array([[3, 5, 7], [0, 0, 0], [31, 31, 31], [16, 8, 24]])
+    xyz = jnp.asarray((ij / V * 2.0 - 1.0) * s, jnp.float32)
+    sig_b, h_b = baked_field(baked, cfg, bcfg, xyz)
+    sig_l, h_l = ngp_density(params, cfg, xyz, return_feat=True)
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_l),
+                               rtol=0.02, atol=0.02)  # bf16 pool storage
+    # mid-voxel positions: baked = trilerp of the 8 corner field values
+    mid = jnp.asarray(((ij + 0.5) / V * 2.0 - 1.0) * s, jnp.float32)
+    _, h_mid = baked_field(baked, cfg, bcfg, mid)
+    corners = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                   indexing="ij"), -1).reshape(8, 3)
+    pts = jnp.asarray(((ij[:, None] + corners[None]) / V * 2.0 - 1.0) * s,
+                      jnp.float32).reshape(-1, 3)
+    _, h_c = ngp_density(params, cfg, pts, return_feat=True)
+    h_ref = np.asarray(h_c).reshape(len(ij), 8, -1).mean(1)
+    np.testing.assert_allclose(np.asarray(h_mid), h_ref, rtol=0.05,
+                               atol=0.05)
+
+
+def test_baked_renderer_matches_live():
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ_u8 = pack_occupancy_u8(occ, 2, super_radius=5)
+    kw = dict(k=8, seg=8, n_segs=8, n_keep=4, max_samples=64,
+              bucket=64, chunk=256)
+    live = render_test_fast(params, cfg, occ_u8, o, d, **kw)
+    bk = render_test_baked(baked, cfg, occ_u8, o, d, bcfg=bcfg, **kw)
+    # baked is an approximation (voxel trilerp of a smooth-ish random
+    # field): images must agree closely in the mean
+    err = float(jnp.abs(bk["rgb"] - live["rgb"]).mean())
+    assert err < 0.05, err
