@@ -119,6 +119,11 @@ def get_opts(argv=None):
                              'steps after warmup (0 = off)')
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
+    parser.add_argument('--bake', action='store_true', default=False,
+                        help='test.py: bake the field to a sparse voxel '
+                             'pool and render the baked serving path')
+    parser.add_argument('--bake_res', type=int, default=512,
+                        help='baked voxel resolution per axis')
     parser.add_argument('--weight_decay', type=float, default=0.0,
                         help='decoupled L2 on the encoder table (kills '
                              'stale/colliding entries -> fog control)')

@@ -54,13 +54,28 @@ def run(hparams):
             jnp.asarray(state["occ"]),
             required_dilation_radius(8, cfg.model.grid_size,
                                      cfg.max_samples, cfg.model.scale))
+    baked = bcfg = None
+    if getattr(hparams, "bake", False):
+        from google_nerf_tpu.models.baked import (BakedConfig, bake,
+                                                  render_test_baked)
+        bcfg = BakedConfig(voxel_res=hparams.bake_res)
+        t0 = time.time()
+        baked = bake(state["params"], cfg.model, jnp.asarray(state["occ"]),
+                     bcfg)
+        print(f'baked {baked["n_blocks"]} blocks in {time.time()-t0:.1f}s '
+              f'(pool {baked["pool"].nbytes / 2**20:.0f} MiB)')
+
     directions = jnp.asarray(dataset.directions)
     psnrs, times = [], []
     for i in range(len(dataset.poses)):
         rays_o, rays_d = get_rays(directions,
                                   jnp.asarray(dataset.poses[i]))
         t0 = time.time()
-        if cfg.exp_step_factor == 0.0:
+        if baked is not None:
+            out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
+                                    rays_d, bcfg=bcfg, T_threshold=1e-2,
+                                    max_samples=cfg.max_samples)
+        elif cfg.exp_step_factor == 0.0:
             out = render_test_fast(state["params"], cfg.model, occ_u8,
                                    rays_o, rays_d, T_threshold=1e-2,
                                    max_samples=cfg.max_samples)
