@@ -169,9 +169,18 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
     cand_ok = cand_ok.reshape(R, -1)
     ts_flat = jax.lax.stop_gradient(ts_c).reshape(R, -1)
 
-    idx, valid = _first_k(cand_ok, k_samples)
-    truncated = truncated | (cand_ok.sum(-1) > k_samples)
-    ts = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
+    if k_samples >= cand_ok.shape[-1]:
+        # full capacity: every candidate slot is kept, so the first-k
+        # compaction would be an identity permutation — skip its per-row
+        # sort entirely.  Valid slots are scattered (not a row prefix) but
+        # stay in ascending-t flat order, which is all downstream
+        # (plan_packing ray-major + stream composite) requires.
+        valid = cand_ok
+        ts = jnp.where(valid, ts_flat, 0.0)
+    else:
+        idx, valid = _first_k(cand_ok, k_samples)
+        truncated = truncated | (cand_ok.sum(-1) > k_samples)
+        ts = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
     deltas = jnp.where(valid, dt, 0.0)
     xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)

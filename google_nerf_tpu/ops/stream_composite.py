@@ -30,8 +30,9 @@ import jax.numpy as jnp
 
 def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
                            T_threshold: float = 1e-4):
-    """plan: ray-major PackPlan over a (R, K) valid grid whose True entries
-    are a PREFIX of each row (the marchers guarantee this).
+    """plan: ray-major PackPlan over a (R, K) valid grid; entries may be
+    scattered within a row but must be in ascending-t flat order (all
+    marchers guarantee this).
     sig_p (B,), rgb_p (B, 3), dt_p (B,), ts_p (B,): packed per-sample data.
     Returns dict: opacity, depth, depth_sq (R,), rgb (R, 3).
     """
@@ -52,14 +53,20 @@ def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
     include = sv & (T_before > T_threshold)
     w = jnp.where(include, T_before * alpha, 0.0)
 
-    # per-ray [start, end] slot range: kept samples of ray r live at slots
-    # pos[r*K] .. pos[r*K + count_r - 1] (valid is a row prefix)
-    flat_first = jnp.arange(R, dtype=jnp.int32) * K
-    count = plan.keep.reshape(R, K).sum(-1)
-    start = jnp.take(plan.pos, flat_first)
-    last = jnp.take(plan.pos,
-                    flat_first + jnp.maximum(count - 1, 0))
+    # per-ray [start, end] slot range.  Kept samples of a ray occupy a
+    # contiguous slot run (ray-major packing preserves flat order) but may
+    # be SCATTERED within the (R, K) row (the marcher's full-capacity path
+    # skips prefix compaction), so locate the first/last kept flat index
+    # per row explicitly.
+    keep2d = plan.keep.reshape(R, K)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    first_f = jnp.min(jnp.where(keep2d, kidx, K), axis=-1)
+    last_f = jnp.max(jnp.where(keep2d, kidx, -1), axis=-1)
+    count = keep2d.sum(-1)
     has = count > 0
+    base = jnp.arange(R, dtype=jnp.int32) * K
+    start = jnp.take(plan.pos, base + jnp.where(has, first_f, 0))
+    last = jnp.take(plan.pos, base + jnp.where(has, last_f, 0))
 
     def ray_sum(v):
         vc = jnp.cumsum(v)

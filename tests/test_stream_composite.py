@@ -66,3 +66,26 @@ def test_stream_gradients_match():
     g_str = jax.grad(loss_stream)(sig)
     np.testing.assert_allclose(np.asarray(g_str), np.asarray(g_pad),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_stream_scattered_valid():
+    """Full-capacity marcher rows have scattered (non-prefix) validity."""
+    R, K, budget = 48, 12, 400
+    key = jax.random.PRNGKey(3)
+    valid = jax.random.bernoulli(key, 0.4, (R, K))
+    sig = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (R, K))) * 20
+    rgb = jax.random.uniform(jax.random.fold_in(key, 2), (R, K, 3))
+    ts = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 3), (R, K)),
+                  axis=-1) + 0.1
+    dt = jnp.full((R, K), 0.01)
+    ref = composite_rays_train(sig, rgb, dt, ts, valid, 1e-4)
+    plan = plan_packing(valid, budget, sample_major=False)
+    keep2d = plan.keep.reshape(R, K)
+    ray_mask = np.asarray(~jnp.any(valid & ~keep2d, axis=-1))
+    got = composite_stream_train(
+        plan, pack(sig.reshape(-1), plan), pack(rgb.reshape(-1, 3), plan),
+        pack(dt.reshape(-1), plan), pack(ts.reshape(-1), plan), R, K, 1e-4)
+    for k in ("opacity", "depth", "depth_sq", "rgb"):
+        np.testing.assert_allclose(np.asarray(got[k])[ray_mask],
+                                   np.asarray(ref[k])[ray_mask],
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
