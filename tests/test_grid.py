@@ -101,3 +101,15 @@ def test_erode_kills_isolated_floater():
     # EMA decay then erode decay: 100 * 0.95 * 0.95
     np.testing.assert_allclose(float(new[0, 5, 5, 5]), 100 * 0.95 * 0.95,
                                rtol=1e-6)
+
+
+def test_segment_max_dense_vs_scatter():
+    from google_nerf_tpu.ops.grid import _segment_max_dense
+    key = jax.random.PRNGKey(11)
+    n, m = 257, 4096
+    idx = jax.random.randint(key, (m,), 0, n, dtype=jnp.int32)
+    vals = jnp.abs(jax.random.normal(jax.random.fold_in(key, 1), (m,))) * 50
+    ref = jnp.zeros((n,)).at[idx].max(vals)
+    got = _segment_max_dense(idx, vals, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=0)
