@@ -1,0 +1,163 @@
+"""One-shot test renderer: march every ray ONCE (train-style segment
+march), stream-composite with a transmittance carry, then re-pass only the
+straggler rays that had more content than one pass's capacity.
+
+Why: the while-loop renderer (render_test_fast) re-marches a window and
+runs a worst-case-padded field eval EVERY iteration for EVERY alive ray —
+measured ~50x the content volume at 800^2 (~10 s/frame, and a baked field
+changed nothing, proving iteration overhead dominates).  This renderer
+does the march exactly once for ~95% of rays:
+
+  pass 1: all rays, k samples each (3-phase march, budget-packed field,
+          stream composite)
+  pass 2+: alive stragglers compacted to chunk/straggler_div, resumed at
+          their last sample position
+
+Semantics: identical candidate lattice and compositing math as the other
+renderers; a ray's passes anchor the lattice at its resume t (the
+reference's iterative test marcher does the same,
+`ngp_pl/models/rendering.py:71-101`).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
+from google_nerf_tpu.ops.compaction import pack, plan_packing
+from google_nerf_tpu.ops.march_seg import march_rays_train_seg
+from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
+from google_nerf_tpu.ops.stream_composite import composite_stream_train
+
+SQRT3 = 3.0 ** 0.5
+NEAR_DISTANCE = 0.05
+
+
+@partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",
+                                   "sup", "n_keep_sup", "max_samples",
+                                   "budget", "apply_fn"))
+def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
+                 T_in, *, T_threshold: float, k: int, n_keep: int, sup: int,
+                 n_keep_sup: int, max_samples: int, budget: int,
+                 apply_fn=None):
+    """One march+composite pass from per-ray t_cur.  Returns per-pass
+    accumulations (already scaled by T_in) and the updated carry."""
+    field = apply_fn or ngp_apply
+    R = rays_o.shape[0]
+    dt = SQRT3 / max_samples
+    hits = jnp.stack([jnp.where(t_cur < t2, t_cur, -1.0), t2], 1)
+    m = march_rays_train_seg(rays_o, rays_d, hits, occ_u8,
+                             cascades=cfg.cascades, scale=cfg.scale,
+                             grid_size=cfg.grid_size,
+                             max_samples=max_samples, k_samples=k,
+                             noise=jnp.zeros(R), seg=8, n_keep=n_keep,
+                             sup=sup, n_keep_sup=n_keep_sup)
+    K = m["ts"].shape[1]
+    plan = plan_packing(m["valid"], budget, sample_major=False)
+    keep2d = plan.keep.reshape(R, K)
+    processed = ~jnp.any(m["valid"] & ~keep2d, axis=-1)
+    sig_p, rgb_p = field(params, cfg,
+                         pack(m["xyzs"].reshape(-1, 3), plan),
+                         pack(m["dirs"].reshape(-1, 3), plan))
+    out = composite_stream_train(plan, sig_p, rgb_p,
+                                 pack(m["deltas"].reshape(-1), plan),
+                                 pack(m["ts"].reshape(-1), plan),
+                                 R, K, T_threshold)
+    # scale this pass's contributions by the carried transmittance;
+    # unprocessed (budget-dropped) rays contribute nothing and retry
+    sc = jnp.where(processed, T_in, 0.0)
+    T_new = jnp.where(processed, T_in * jnp.exp(-out["tau"]), T_in)
+    t_next = jnp.where(processed & m["truncated"],
+                       out["t_last"] + dt, t2)
+    t_next = jnp.where(processed, jnp.maximum(t_next, t_cur), t_cur)
+    alive = (T_new > T_threshold) & (t_next < t2) \
+        & (m["truncated"] | ~processed)
+    return dict(rgb=sc[:, None] * out["rgb"], opacity=sc * out["opacity"],
+                depth=sc * out["depth"], T=T_new, t_next=t_next,
+                alive=alive)
+
+
+def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
+                        exp_step_factor: float = 0.0,
+                        T_threshold: float = 1e-2, chunk: int = 131072,
+                        k: int = 64, n_keep: int = 16, sup: int = 4,
+                        n_keep_sup: int = 16, max_samples: int = 1024,
+                        passes: int = 4, straggler_div: int = 4,
+                        budget_div: int = 4, apply_fn=None):
+    """Full-image one-shot renderer (bounded scenes)."""
+    R = rays_o.shape[0]
+    chunk = min(chunk, max(R, 1))
+    pad = (-R) % chunk
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+    rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
+    outs = []
+    for i in range(0, R + pad, chunk):
+        outs.append(_render_chunk_oneshot(
+            params, cfg, occ_u8, ro[i:i + chunk], rd[i:i + chunk],
+            T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+            n_keep_sup=n_keep_sup, max_samples=max_samples, passes=passes,
+            straggler_div=straggler_div, budget_div=budget_div,
+            apply_fn=apply_fn))
+    cat = {kk: jnp.concatenate([o[kk] for o in outs])[:R]
+           for kk in outs[0]}
+    bg = 1.0 if exp_step_factor == 0.0 else 0.0
+    cat["rgb"] = cat["rgb"] + bg * (1.0 - cat["opacity"][:, None])
+    return cat
+
+
+def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
+                          T_threshold, k, n_keep, sup, n_keep_sup,
+                          max_samples, passes, straggler_div, budget_div,
+                          apply_fn):
+    R = rays_o.shape[0]
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_du = rays_d / norm
+    hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+    t_cur = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0),
+                      jnp.inf)
+
+    p = _render_pass(params, cfg, occ_u8, rays_o, rays_du, t_cur, t2,
+                     jnp.ones(R), T_threshold=T_threshold, k=k,
+                     n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
+                     max_samples=max_samples, budget=R * k // budget_div,
+                     apply_fn=apply_fn)
+    rgb, opacity, depth = p["rgb"], p["opacity"], p["depth"]
+    T, t_cur, alive = p["T"], p["t_next"], p["alive"]
+
+    sr = max(R // straggler_div, 1)
+    for _ in range(passes - 1):
+        # compact up to sr alive rays to the front
+        iota = jnp.arange(R, dtype=jnp.int32)
+        score = jnp.where(alive, -iota, jnp.int32(-(R + 1)))
+        svals, ridx = jax.lax.top_k(score, sr)
+        is_real = svals > -(R + 1)
+        q = _render_pass(params, cfg, occ_u8, rays_o[ridx], rays_du[ridx],
+                         jnp.where(is_real, t_cur[ridx], jnp.inf),
+                         jnp.where(is_real, t2[ridx], 0.0),
+                         jnp.where(is_real, T[ridx], 0.0),
+                         T_threshold=T_threshold, k=k, n_keep=n_keep,
+                         sup=sup, n_keep_sup=n_keep_sup,
+                         max_samples=max_samples,
+                         budget=sr * k // max(budget_div // 2, 1),
+                         apply_fn=apply_fn)
+
+        def scat(full, add_or_new, mode="add"):
+            cur = full[ridx]
+            upd = cur + add_or_new if mode == "add" else add_or_new
+            return full.at[ridx].set(
+                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                          upd, cur), unique_indices=True)
+
+        rgb = scat(rgb, q["rgb"])
+        opacity = scat(opacity, q["opacity"])
+        depth = scat(depth, q["depth"])
+        T = scat(T, q["T"], "set")
+        t_cur = scat(t_cur, q["t_next"], "set")
+        alive = scat(alive, q["alive"] & is_real, "set")
+
+    return dict(rgb=rgb, opacity=opacity, depth=depth)

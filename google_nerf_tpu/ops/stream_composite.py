@@ -79,4 +79,9 @@ def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
     depth = ray_sum(w * ts_p)
     depth_sq = ray_sum(w * ts_p * ts_p)
     rgb = jnp.stack([ray_sum(w * rgb_p[:, c]) for c in range(3)], -1)
-    return dict(opacity=opacity, depth=depth, depth_sq=depth_sq, rgb=rgb)
+    # aux for multi-pass rendering: per-ray included optical depth (gives
+    # the transmittance multiplier exp(-tau)) and last kept sample t
+    tau = ray_sum(jnp.where(include, sd, 0.0))
+    t_last = jnp.where(has, jnp.take(ts_p, last), 0.0)
+    return dict(opacity=opacity, depth=depth, depth_sq=depth_sq, rgb=rgb,
+                tau=tau, t_last=t_last)

@@ -1,0 +1,41 @@
+"""One-shot test renderer vs the while-loop fast renderer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from google_nerf_tpu.core.rays import get_rays
+from google_nerf_tpu.data.synthetic import SyntheticDataset
+from google_nerf_tpu.models.ngp import NGPConfig, init_ngp
+from google_nerf_tpu.models.render_test_fast import render_test_fast
+from google_nerf_tpu.models.render_test_oneshot import render_test_oneshot
+from google_nerf_tpu.ops.grid import pack_occupancy_u8
+from google_nerf_tpu.ops.march_seg import required_dilation_radius
+
+
+def test_oneshot_matches_fast():
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(24, 20))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(3), 0.15, (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    r = required_dilation_radius(8, cfg.grid_size, ms, cfg.scale)
+    rs = required_dilation_radius(32, cfg.grid_size, ms, cfg.scale)
+    occ_u8 = pack_occupancy_u8(occ, r, super_radius=rs)
+
+    ref = render_test_fast(params, cfg, occ_u8, o, d, max_samples=ms,
+                           k=8, seg=8, n_segs=8, n_keep=4, bucket=64,
+                           chunk=480, T_threshold=1e-4)
+    got = render_test_oneshot(params, cfg, occ_u8, o, d, max_samples=ms,
+                              k=16, n_keep=8, sup=4, n_keep_sup=8,
+                              chunk=480, passes=6, straggler_div=2,
+                              T_threshold=1e-4)
+    # both walk the same t1-anchored lattice on pass/round one; stragglers
+    # re-anchor slightly differently, so compare at image level
+    err = float(jnp.abs(got["rgb"] - ref["rgb"]).mean())
+    errmax = float(jnp.abs(got["opacity"] - ref["opacity"]).mean())
+    assert err < 0.02, err
+    assert errmax < 0.03, errmax
