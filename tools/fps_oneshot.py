@@ -1,0 +1,96 @@
+"""FPS of the one-shot renderer (live + baked) at 800^2."""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+print = functools.partial(print, flush=True)
+
+
+def main():
+    from google_nerf_tpu.core.rays import get_rays
+    from google_nerf_tpu.data.synthetic import SyntheticDataset
+    from google_nerf_tpu.eval.metrics import psnr as psnr_fn
+    from google_nerf_tpu.models.baked import (BakedConfig, bake,
+                                              make_baked_apply)
+    from google_nerf_tpu.models.ngp import NGPConfig
+    from google_nerf_tpu.models.render_test_oneshot import render_test_oneshot
+    from google_nerf_tpu.ops.grid import pack_occupancy_u8
+    from google_nerf_tpu.ops.march_seg import required_dilation_radius
+    from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              grid_update_step,
+                                              init_train_state)
+
+    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+                      compute_dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=model, batch_size=8192, num_epochs=3,
+                      samples_budget=131072, random_bg=True)
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
+                          style="shell")
+    scene = ds.scene()
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
+    for i in range(3000):
+        if i % 16 == 0:
+            state = grid_update_step(state, jax.random.fold_in(key, 2*i+1),
+                                     cfg=cfg, warmup=i < cfg.warmup_steps)
+        state, metrics = fused_train_step(state, scene,
+                                          jax.random.fold_in(key, 2*i),
+                                          cfg=cfg)
+    jax.block_until_ready(state)
+    print(f"trained: psnr={float(metrics['psnr']):.1f} "
+          f"occ={float(state['occ'].mean()):.3f}")
+
+    bcfg = BakedConfig(voxel_res=512, block=8)
+    t0 = time.time()
+    baked = bake(state["params"], cfg.model, state["occ"], bcfg)
+    print(f"bake {time.time()-t0:.0f}s {baked['n_blocks']} blocks")
+    baked_fn = make_baked_apply(bcfg)
+
+    ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
+                            style="shell")
+    o, d = get_rays(jnp.asarray(ds_t.directions),
+                    jnp.asarray(ds_t.poses[0]))
+    gt = jnp.asarray(ds_t.rays[0])
+
+    occ_cache = {}
+
+    def get_occ(ms):
+        if ms not in occ_cache:
+            occ_cache[ms] = pack_occupancy_u8(
+                state["occ"],
+                required_dilation_radius(8, 128, ms, 0.5),
+                super_radius=required_dilation_radius(32, 128, ms, 0.5))
+        return occ_cache[ms]
+
+    variants = [
+        ("live ms1024", None, dict(max_samples=1024, chunk=131072)),
+        ("baked ms1024", baked_fn, dict(max_samples=1024, chunk=131072)),
+        ("baked ms1024 c256k", baked_fn, dict(max_samples=1024,
+                                              chunk=262144)),
+        ("baked ms512", baked_fn, dict(max_samples=512, chunk=262144)),
+        ("baked ms256", baked_fn, dict(max_samples=256, chunk=262144,
+                                       k=32)),
+        ("baked ms512 k48", baked_fn, dict(max_samples=512, chunk=262144,
+                                           k=48, n_keep=12)),
+    ]
+    for name, fn, v in variants:
+        p = baked if fn is not None else state["params"]
+
+        def frame():
+            return render_test_oneshot(p, cfg.model, get_occ(
+                v["max_samples"]), o, d, T_threshold=1e-2, apply_fn=fn,
+                **v)["rgb"]
+        out = frame()
+        jax.block_until_ready(out)
+        t0 = time.time()
+        outs = [frame() for _ in range(3)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / 3
+        print(f"{name} {v}: {dt*1e3:.0f} ms = {1/dt:.2f} FPS | "
+              f"psnr {float(psnr_fn(out, gt)):.2f}")
+
+
+if __name__ == "__main__":
+    main()
