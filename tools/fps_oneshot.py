@@ -67,13 +67,7 @@ def main():
     variants = [
         ("live ms1024", None, dict(max_samples=1024, chunk=131072)),
         ("baked ms1024", baked_fn, dict(max_samples=1024, chunk=131072)),
-        ("baked ms1024 c256k", baked_fn, dict(max_samples=1024,
-                                              chunk=262144)),
-        ("baked ms512", baked_fn, dict(max_samples=512, chunk=262144)),
-        ("baked ms256", baked_fn, dict(max_samples=256, chunk=262144,
-                                       k=32)),
-        ("baked ms512 k48", baked_fn, dict(max_samples=512, chunk=262144,
-                                           k=48, n_keep=12)),
+        ("baked ms512", baked_fn, dict(max_samples=512, chunk=131072)),
     ]
     for name, fn, v in variants:
         p = baked if fn is not None else state["params"]
