@@ -49,7 +49,7 @@ class BakedConfig:
 
 
 def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
-         chunk: int = 262144):
+         chunk: int = 1048576):
     """Evaluate the trained field onto a sparse voxel pool.
 
     occ: (C, G, G, G) bool occupancy (only cascade 0 is baked; the baked
@@ -95,8 +95,10 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
     cgrid = np.stack(np.meshgrid(cg, cg, cg, indexing="ij"),
                      -1).reshape(-1, 3)                        # ((Bk+1)^3, 3)
     F = bcfg.feat_dim
-    eval_fn = jax.jit(lambda x: ngp_density(params, cfg, x,
-                                            return_feat=True)[1])
+    # evaluate + downcast on device so each round transfers bf16-as-f16
+    # (the bake is dispatch/transfer bound, not compute bound)
+    eval_fn = jax.jit(lambda x: ngp_density(
+        params, cfg, x, return_feat=True)[1].astype(jnp.float16))
     n_cg = (Bk + 1) ** 3
     blocks_per_chunk = max(chunk // n_cg, 1)
     pool = np.empty((n_blocks * Bk ** 3, 8 * F), np.float16)
