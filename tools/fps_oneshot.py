@@ -24,7 +24,10 @@ def main():
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, num_epochs=3,
+    # num_epochs=30 matches bench.py's TrainConfig exactly -> the fused
+    # train program hits the remote compile cache (fresh compiles can cost
+    # tens of minutes on this tunnel)
+    cfg = TrainConfig(model=model, batch_size=8192, num_epochs=30,
                       samples_budget=131072, random_bg=True)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="shell")
