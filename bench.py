@@ -61,7 +61,8 @@ def main():
     # ---- 800x800 novel-view render FPS (reference: ngp_pl/test.py:33,
     # published 32.44 avg FPS on a 2080 Ti, BASELINE.md) ----
     from google_nerf_tpu.core.rays import get_ray_directions, get_rays
-    from google_nerf_tpu.models.render_test_fast import render_test_fast
+    from google_nerf_tpu.models.render_test_oneshot import \
+        render_test_oneshot
 
     w = h = 800
     K800 = jnp.asarray([[w * 1.1, 0, w / 2], [0, w * 1.1, h / 2], [0, 0, 1]])
@@ -70,9 +71,11 @@ def main():
     rays_o, rays_d = get_rays(dirs800, pose)
 
     def render_frame():
-        return render_test_fast(state["params"], cfg.model,
-                                state["occ_u8"], rays_o, rays_d,
-                                T_threshold=1e-2)["rgb"]
+        # one-shot renderer (march each ray once, straggler re-passes);
+        # state["occ_u8"] already carries the sup bit (cfg.sup=4 packing)
+        return render_test_oneshot(state["params"], cfg.model,
+                                   state["occ_u8"], rays_o, rays_d,
+                                   T_threshold=1e-2)["rgb"]
 
     out = render_frame()
     jax.block_until_ready(out)

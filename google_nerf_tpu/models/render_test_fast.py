@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
 from google_nerf_tpu.ops.compaction import pack, plan_packing, unpack
-from google_nerf_tpu.ops.march_seg import _occ_bits_lookup
+from google_nerf_tpu.ops.march_seg import (_occ_bits_lookup,
+                                           _occ_block_lookup,
+                                           _seg_live_block, _word_group)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
 SQRT3 = 3.0 ** 0.5
@@ -45,13 +47,18 @@ def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
     <= k hits, else just past the k-th hit (resume point)."""
     B = rays_o.shape[0]
     dt = SQRT3 / max_samples
-    js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)
-    ts_mid = t_cur[:, None] + js[None, :] * dt
-    xyz_mid = rays_o[:, None, :] + ts_mid[..., None] * rays_d[:, None, :]
-    live = _occ_bits_lookup(occ_u8, xyz_mid, jnp.full_like(ts_mid, dt),
-                            cascades, scale, grid_size, bit=1)
     seg_t0 = t_cur[:, None] + (jnp.arange(n_segs, dtype=jnp.float32)
                                * seg)[None, :] * dt
+    if cascades == 1 and _word_group(seg, dt, scale, grid_size) == seg:
+        live = _seg_live_block(occ_u8, rays_o, rays_d, seg_t0, seg, dt,
+                               scale, grid_size)
+    else:
+        js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)
+        ts_mid = t_cur[:, None] + js[None, :] * dt
+        xyz_mid = rays_o[:, None, :] \
+            + ts_mid[..., None] * rays_d[:, None, :]
+        live = _occ_bits_lookup(occ_u8, xyz_mid, jnp.full_like(ts_mid, dt),
+                                cascades, scale, grid_size, bit=1)
     live = live & (seg_t0 < t2[:, None])
 
     iota = jax.lax.broadcasted_iota(jnp.int32, live.shape, 1)
@@ -75,8 +82,12 @@ def _march_window(rays_o, rays_d, t_cur, t2, occ_u8, *, cascades, scale,
                                    + off) * dt                # (B, nk, seg)
     xyz_c = rays_o[:, None, None, :] \
         + ts_c[..., None] * rays_d[:, None, None, :]
-    occ = _occ_bits_lookup(occ_u8, xyz_c, jnp.full_like(ts_c, dt),
-                           cascades, scale, grid_size, bit=0)
+    g = _word_group(seg, dt, scale, grid_size) if cascades == 1 else 1
+    if g > 1:
+        occ = _occ_block_lookup(occ_u8, xyz_c, scale, grid_size, g)
+    else:
+        occ = _occ_bits_lookup(occ_u8, xyz_c, jnp.full_like(ts_c, dt),
+                               cascades, scale, grid_size, bit=0)
     ok = (occ & (ts_c < t2[:, None, None]) & svalid[..., None]
           ).reshape(B, -1)
     ts_flat = ts_c.reshape(B, -1)

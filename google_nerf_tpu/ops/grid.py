@@ -202,19 +202,42 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
 
 def pack_occupancy_u8(occ, dilation_radius: int = 2,
                       super_radius: int = 0) -> jnp.ndarray:
-    """occ: (C, G, G, G) bool -> uint8 grid for the segment marchers
-    (ops/march_seg.py): bit0 = occupied, bit1 = occupied within Chebyshev
-    radius `dilation_radius`, bit2 (when super_radius > 0) = occupied
-    within `super_radius` (the super-segment skip of the 3-phase marcher).
-    One byte gather serves every phase's test."""
+    """occ: (C, G, G, G) bool -> packed int32 word grid for the segment
+    marchers (ops/march_seg.py).  Per-cell bit layout:
+
+      bit 0            occupied (this cell)
+      bit 1            occupied within Chebyshev radius `dilation_radius`
+      bit 2            occupied within `super_radius` (3-phase marcher;
+                       only when super_radius > 0)
+      bits 3..29       exact occupancy of the 3x3x3 FORWARD block: bit
+                       3 + dx*9 + dy*3 + dz = occ[cell + (dx, dy, dz)],
+                       (dx, dy, dz) in {0, 1, 2}^3 (out-of-grid = 0).
+                       One word gather therefore answers the exact test
+                       for EVERY candidate of a marching group whose cell
+                       span is <= 2 per axis (march_seg phase 2) — 8x
+                       fewer gather rows than a per-candidate lookup.
+
+    bit 3 duplicates bit 0 (dx=dy=dz=0) so per-candidate callers keep
+    using bit 0 unchanged.  (Name kept from the original uint8 layout —
+    the array has been int32 since the block-word upgrade.)"""
     def dilate(r):
         k = 2 * r + 1
         return jax.lax.reduce_window(
             occ, False, jax.lax.bitwise_or, (1, k, k, k), (1, 1, 1, 1),
             [(0, 0)] + [(r, r)] * 3)
 
-    out = occ.astype(jnp.uint8) | (dilate(dilation_radius
-                                          ).astype(jnp.uint8) << 1)
+    out = occ.astype(jnp.int32) | (dilate(dilation_radius
+                                          ).astype(jnp.int32) << 1)
     if super_radius > 0:
-        out = out | (dilate(super_radius).astype(jnp.uint8) << 2)
+        out = out | (dilate(super_radius).astype(jnp.int32) << 2)
+    # forward 3^3 block bits: shifted copies with zero padding at the far
+    # faces (occ[c + d] for d in {0,1,2}^3)
+    G = occ.shape[1]
+    padded = jnp.pad(occ, [(0, 0)] + [(0, 2)] * 3)
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                blk = padded[:, dx:dx + G, dy:dy + G, dz:dz + G]
+                out = out | (blk.astype(jnp.int32)
+                             << (3 + dx * 9 + dy * 3 + dz))
     return out

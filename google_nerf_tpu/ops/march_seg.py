@@ -73,6 +73,62 @@ def _occ_bits_lookup(occ_u8, xyz, dt, cascades: int, scale: float,
     return (byte >> bit) & 1 > 0
 
 
+def _word_group(seg: int, dt: float, scale: float, grid_size: int) -> int:
+    """Largest divisor g of `seg` such that g consecutive candidates span
+    < 2 cells per axis — then the 3^3 block word at the group's min cell
+    (pack_occupancy_u8 bits 3..29) answers the exact test for the whole
+    group with ONE gather.  Returns 1 when no grouping is safe."""
+    bound = min(0.5, scale)
+    g = seg
+    while g > 1 and (g - 1) * dt * grid_size / (2.0 * bound) >= 2.0:
+        g //= 2
+    return g
+
+
+def _cell_index_single(xyz, scale: float, grid_size: int):
+    """Single-cascade cell integer coords (same mapping as
+    _occ_bits_lookup's fast path)."""
+    bound = min(0.5, scale)
+    nf = jnp.clip((0.5 / bound) * xyz + 0.5, 0.0,
+                  1.0 - 0.5 / grid_size) * grid_size
+    return nf.astype(jnp.int32)
+
+
+def _occ_block_lookup(occ_u8, xyz, scale: float, grid_size: int, g: int):
+    """Exact-occupancy test via 3^3 block words, one gather per group of
+    g consecutive candidates.  xyz: (..., n, 3), n divisible by g ->
+    (..., n) bool.  Requires: single cascade, group cell-span < 2 per
+    axis (guaranteed by _word_group)."""
+    n = _cell_index_single(xyz, scale, grid_size)            # (..., n, 3)
+    ng = n.reshape(n.shape[:-2] + (n.shape[-2] // g, g, 3))
+    m = jnp.minimum(ng.min(-2), grid_size - 3)               # (..., q, 3)
+    widx = (m[..., 0] * grid_size + m[..., 1]) * grid_size + m[..., 2]
+    w = jnp.take(occ_u8.reshape(-1), widx, axis=0)           # (..., q)
+    d = ng - m[..., None, :]                                 # in {0,1,2}
+    bit = 3 + (d[..., 0] * 9 + d[..., 1] * 3 + d[..., 2])
+    return ((w[..., None] >> bit) & 1 > 0).reshape(n.shape[:-1])
+
+
+def _seg_live_block(occ_u8, rays_o, rays_d, t_first, seg: int, dt,
+                    scale: float, grid_size: int):
+    """Exact-conservative segment liveness via ONE block-word gather per
+    segment: any set bit of the 3^3 block anchored at the min endpoint
+    cell.  Valid when the segment's candidates span < 2 cells per axis
+    (_word_group(seg) == seg).  Tighter than the Chebyshev-dilated bit1
+    test (27 cells vs (2r+1)^3), so fewer false-live segments compete for
+    the n_keep budget.  rays_o/rays_d broadcast against t_first (...,)."""
+    expand = (slice(None),) + (None,) * (t_first.ndim - 1) + (slice(None),)
+    o, d = rays_o[expand], rays_d[expand]
+    xyz_a = o + t_first[..., None] * d
+    xyz_b = o + (t_first + (seg - 1) * dt)[..., None] * d
+    na = _cell_index_single(xyz_a, scale, grid_size)
+    nb = _cell_index_single(xyz_b, scale, grid_size)
+    m = jnp.minimum(jnp.minimum(na, nb), grid_size - 3)
+    widx = (m[..., 0] * grid_size + m[..., 1]) * grid_size + m[..., 2]
+    w = jnp.take(occ_u8.reshape(-1), widx, axis=0)
+    return (w >> 3) != 0
+
+
 def _first_k(mask, K: int):
     n = mask.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim - 1)
@@ -91,7 +147,7 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
                          n_keep_sup: int = 12):
     """Constant-step segment marcher -> padded (R, K) samples.
 
-    occ_u8: (C, G, G, G) uint8 from grid.pack_occupancy_u8 (the dilation
+    occ_u8: (C, G, G, G) packed int32 from grid.pack_occupancy_u8 (the dilation
     radius must be >= required_dilation_radius(seg, ...)).  With `sup` > 1
     a third coarse phase tests super-segments of `sup` segments against
     bit2 (pack with super_radius >= required_dilation_radius(sup*seg, ...))
@@ -124,15 +180,22 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         nk_sup = min(n_keep_sup, n_sup)
         sup_idx, sup_valid = _first_k(live_sup, nk_sup)      # (R, nk_sup)
 
-        # ---- phase 1: segment centers inside live super-segments ----
+        # ---- phase 1: segment liveness inside live super-segments ----
         sub = jnp.arange(sup, dtype=jnp.float32)
-        js = (sup_idx.astype(jnp.float32)[..., None] * sup + sub) * seg             + (seg - 1) / 2                                  # (R, nk_sup, sup)
-        ts_mid = t0[:, None, None] + js * dt
-        xyz_mid = rays_o[:, None, None, :]             + ts_mid[..., None] * rays_d[:, None, None, :]
-        live = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_mid),
-                                jnp.full_like(ts_mid, dt), cascades, scale,
-                                grid_size, bit=1)
-        seg_start_t = ts_mid - (seg - 1) / 2 * dt
+        js0 = (sup_idx.astype(jnp.float32)[..., None] * sup + sub) * seg
+        seg_start_t = t0[:, None, None] + js0 * dt           # (R, nk_sup, sup)
+        if cascades == 1 and _word_group(seg, dt, scale, grid_size) == seg:
+            live = _seg_live_block(occ_u8, rays_o,
+                                   jax.lax.stop_gradient(rays_d),
+                                   jax.lax.stop_gradient(seg_start_t), seg,
+                                   dt, scale, grid_size)
+        else:
+            ts_mid = seg_start_t + (seg - 1) / 2 * dt
+            xyz_mid = rays_o[:, None, None, :] \
+                + ts_mid[..., None] * rays_d[:, None, None, :]
+            live = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_mid),
+                                    jnp.full_like(ts_mid, dt), cascades,
+                                    scale, grid_size, bit=1)
         live = (live & (seg_start_t < t2[:, None, None])
                 & sup_valid[..., None]).reshape(R, -1)
         seg_global = (sup_idx[..., None] * sup
@@ -143,15 +206,23 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         # more live work existed than the phase budgets could carry
         truncated = (live_sup.sum(-1) > nk_sup) | (live.sum(-1) > n_keep)
     else:
-        # ---- phase 1: dilated test at segment centers ----
-        js = (jnp.arange(n_segs, dtype=jnp.float32) * seg + (seg - 1) / 2)
-        ts_mid = t0[:, None] + js[None, :] * dt              # (R, S)
-        xyz_mid = rays_o[:, None, :] + ts_mid[..., None] * rays_d[:, None, :]
-        live = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_mid),
-                                jnp.full_like(ts_mid, dt), cascades, scale,
-                                grid_size, bit=1)
+        # ---- phase 1: per-segment liveness ----
         seg_start_t = t0[:, None] + (jnp.arange(n_segs, dtype=jnp.float32)
-                                     * seg)[None, :] * dt
+                                     * seg)[None, :] * dt    # (R, S)
+        if cascades == 1 and _word_group(seg, dt, scale, grid_size) == seg:
+            live = _seg_live_block(occ_u8, rays_o,
+                                   jax.lax.stop_gradient(rays_d),
+                                   jax.lax.stop_gradient(seg_start_t), seg,
+                                   dt, scale, grid_size)
+        else:
+            js = (jnp.arange(n_segs, dtype=jnp.float32) * seg
+                  + (seg - 1) / 2)
+            ts_mid = t0[:, None] + js[None, :] * dt
+            xyz_mid = rays_o[:, None, :] \
+                + ts_mid[..., None] * rays_d[:, None, :]
+            live = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_mid),
+                                    jnp.full_like(ts_mid, dt), cascades,
+                                    scale, grid_size, bit=1)
         live = live & (seg_start_t < t2[:, None]) & hit[:, None]
         seg_idx, seg_valid = _first_k(live, n_keep)          # (R, n_keep)
         truncated = live.sum(-1) > n_keep
@@ -162,9 +233,16 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
     ts_c = t0[:, None, None] + (base[..., None] + off) * dt  # (R, nk, seg)
     xyz_c = rays_o[:, None, None, :] \
         + ts_c[..., None] * rays_d[:, None, None, :]
-    occ = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_c),
-                           jnp.full_like(ts_c, dt), cascades, scale,
-                           grid_size, bit=0)
+    g = _word_group(seg, dt, scale, grid_size) if cascades == 1 else 1
+    if g > 1:
+        # grouped exact test: one block-word gather per g candidates
+        # (8x fewer gather rows at the flagship config)
+        occ = _occ_block_lookup(occ_u8, jax.lax.stop_gradient(xyz_c),
+                                scale, grid_size, g)
+    else:
+        occ = _occ_bits_lookup(occ_u8, jax.lax.stop_gradient(xyz_c),
+                               jnp.full_like(ts_c, dt), cascades, scale,
+                               grid_size, bit=0)
     cand_ok = (occ & (ts_c < t2[:, None, None]) & seg_valid[..., None])
     cand_ok = cand_ok.reshape(R, -1)
     ts_flat = jax.lax.stop_gradient(ts_c).reshape(R, -1)

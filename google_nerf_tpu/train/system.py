@@ -163,7 +163,7 @@ def init_train_state(key, cfg: TrainConfig, K, poses, img_wh) -> Dict[str, Any]:
     opt_state = tx.init(params)
     return dict(params=params, opt_state=opt_state,
                 density_grid=density_grid, occ=occ,
-                occ_u8=jnp.zeros_like(occ, jnp.uint8),
+                occ_u8=jnp.zeros_like(occ, jnp.int32),
                 step=jnp.zeros((), jnp.int32))
 
 

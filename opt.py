@@ -119,6 +119,11 @@ def get_opts(argv=None):
                              'steps after warmup (0 = off)')
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
+    parser.add_argument('--renderer', choices=['fast', 'oneshot'],
+                        default='fast',
+                        help='test.py renderer: "fast" = while-loop alive-'
+                             'bucket renderer, "oneshot" = single train-'
+                             'style march + straggler re-passes')
     parser.add_argument('--bake', action='store_true', default=False,
                         help='test.py: bake the field to a sparse voxel '
                              'pool and render the baked serving path')

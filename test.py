@@ -48,12 +48,16 @@ def run(hparams):
                                                  "density_grid"))
 
     w, h = dataset.img_wh
-    occ_u8 = state.get("occ_u8")
-    if occ_u8 is None or not bool((jnp.asarray(occ_u8) > 0).any()):
-        occ_u8 = pack_occupancy_u8(
-            jnp.asarray(state["occ"]),
-            required_dilation_radius(8, cfg.model.grid_size,
-                                     cfg.max_samples, cfg.model.scale))
+    renderer = getattr(hparams, "renderer", "fast")
+    # always repack from the raw occupancy: the packed layout is derived
+    # data and checkpoints written before a layout change (e.g. the 3^3
+    # block-word upgrade) would otherwise march empty space
+    occ_u8 = pack_occupancy_u8(
+        jnp.asarray(state["occ"]),
+        required_dilation_radius(8, cfg.model.grid_size,
+                                 cfg.max_samples, cfg.model.scale),
+        super_radius=required_dilation_radius(
+            32, cfg.model.grid_size, cfg.max_samples, cfg.model.scale))
     baked = bcfg = None
     if getattr(hparams, "bake", False):
         from google_nerf_tpu.models.baked import (BakedConfig, bake,
@@ -71,7 +75,20 @@ def run(hparams):
         rays_o, rays_d = get_rays(directions,
                                   jnp.asarray(dataset.poses[i]))
         t0 = time.time()
-        if baked is not None:
+        if renderer == "oneshot" and cfg.exp_step_factor == 0.0:
+            from google_nerf_tpu.models.render_test_oneshot import \
+                render_test_oneshot
+            if baked is not None:
+                from google_nerf_tpu.models.baked import make_baked_apply
+                out = render_test_oneshot(
+                    baked, cfg.model, occ_u8, rays_o, rays_d,
+                    T_threshold=1e-2, max_samples=cfg.max_samples,
+                    apply_fn=make_baked_apply(bcfg))
+            else:
+                out = render_test_oneshot(
+                    state["params"], cfg.model, occ_u8, rays_o, rays_d,
+                    T_threshold=1e-2, max_samples=cfg.max_samples)
+        elif baked is not None:
             out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
                                     rays_d, bcfg=bcfg, T_threshold=1e-2,
                                     max_samples=cfg.max_samples)

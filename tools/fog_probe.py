@@ -31,6 +31,8 @@ def main():
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--budget", type=int, default=131072)
     p.add_argument("--k", type=int, default=64)
+    p.add_argument("--max_samples", type=int, default=1024,
+                   help="candidate-lattice resolution (dt = sqrt3/this)")
     p.add_argument("--n_keep", type=int, default=16)
     p.add_argument("--n_keep_sup", type=int, default=12)
     p.add_argument("--style", default="solid")
@@ -63,6 +65,7 @@ def main():
                       packed_features=args.feats,
                       compute_dtype=jnp.bfloat16, **enc_kw)
     cfg = TrainConfig(model=model, batch_size=args.batch, k_samples=args.k,
+                      max_samples=args.max_samples,
                       num_epochs=max(args.steps // 1000, 1), lr=args.lr,
                       samples_budget=args.budget,
                       random_bg=args.bg != "none",

@@ -198,6 +198,18 @@ def main(hparams, video_fps=30):
                              train_dataset.img_wh)
     if hparams.ckpt_path:
         state = load_ckpt(hparams.ckpt_path, target=state)
+        # repack the derived marching grid: checkpoints written before a
+        # packed-layout change would otherwise march empty space until the
+        # next grid update
+        from google_nerf_tpu.ops.grid import pack_occupancy_u8
+        from google_nerf_tpu.ops.march_seg import required_dilation_radius
+        state["occ_u8"] = pack_occupancy_u8(
+            jnp.asarray(state["occ"]),
+            required_dilation_radius(cfg.seg, cfg.model.grid_size,
+                                     cfg.max_samples, cfg.model.scale),
+            super_radius=(required_dilation_radius(
+                cfg.seg * cfg.sup, cfg.model.grid_size, cfg.max_samples,
+                cfg.model.scale) if cfg.sup > 1 else 0))
         print(f'Loaded checkpoint {hparams.ckpt_path} '
               f'(step {int(state["step"])})')
 
