@@ -41,14 +41,26 @@ def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
     # slot -> ray id; invalid tail slots get sentinel R (keeps ids sorted)
     rid = jnp.where(sv, plan.src_idx // K, R)
 
-    sd = jnp.where(sv, sig_p * dt_p, 0.0)
-    cs = jnp.cumsum(sd)
-    excl = cs - sd                                   # exclusive cumsum
-    # value of `excl` at each ray's first slot, carried forward: excl is
-    # nondecreasing so a boundary-masked cummax recovers the carry
+    # optical depth per slot, capped: exp(-80) is 1.8e-35 (0 vs any
+    # T_threshold) and 1-exp(-x) saturates to 1.0 in f32 beyond x~17, so
+    # the cap changes no observable output — but it keeps a TruncExp
+    # overflow (sigma = inf on one bad training step) from poisoning the
+    # stream-wide cumsums below with inf - inf = NaN for every LATER ray.
+    sd = jnp.minimum(jnp.where(sv, sig_p * dt_p, 0.0), 80.0)
+    # per-ray exclusive optical-depth prefix via a SEGMENTED (reset at ray
+    # boundary) scan.  The earlier formulation subtracted a global-cumsum
+    # carry (excl - start_val), which (a) turns one inf slot into NaN for
+    # all later rays and (b) loses precision late in the stream once the
+    # global cumsum grows past ~1e5 (catastrophic cancellation in f32).
     boundary = jnp.concatenate([jnp.ones((1,), bool), rid[1:] != rid[:-1]])
-    start_val = jax.lax.cummax(jnp.where(boundary, excl, -jnp.inf))
-    T_before = jnp.exp(-(excl - start_val))
+
+    def combine(a, b):
+        s1, r1 = a
+        s2, r2 = b
+        return jnp.where(r2, s2, s1 + s2), r1 | r2
+
+    seg_incl, _ = jax.lax.associative_scan(combine, (sd, boundary))
+    T_before = jnp.exp(-(seg_incl - sd))
     alpha = 1.0 - jnp.exp(-sd)
     include = sv & (T_before > T_threshold)
     w = jnp.where(include, T_before * alpha, 0.0)

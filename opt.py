@@ -120,10 +120,17 @@ def get_opts(argv=None):
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
     parser.add_argument('--renderer', choices=['fast', 'oneshot'],
-                        default='fast',
-                        help='test.py renderer: "fast" = while-loop alive-'
-                             'bucket renderer, "oneshot" = single train-'
-                             'style march + straggler re-passes')
+                        default='oneshot',
+                        help='test.py renderer: "oneshot" = single train-'
+                             'style march + straggler re-passes (fastest), '
+                             '"fast" = while-loop alive-bucket renderer')
+    parser.add_argument('--render_max_samples', type=int, default=512,
+                        help='test-time candidate-lattice resolution for '
+                             'the oneshot renderer.  512 measured ~lossless '
+                             'vs 1024 on the procedural scene (45.9 dB vs '
+                             'live 47.9) and renders strictly faster; 1024 '
+                             'needs more straggler passes than the default '
+                             'budget and under-renders dense content')
     parser.add_argument('--bake', action='store_true', default=False,
                         help='test.py: bake the field to a sparse voxel '
                              'pool and render the baked serving path')

@@ -51,13 +51,18 @@ def run(hparams):
     renderer = getattr(hparams, "renderer", "fast")
     # always repack from the raw occupancy: the packed layout is derived
     # data and checkpoints written before a layout change (e.g. the 3^3
-    # block-word upgrade) would otherwise march empty space
+    # block-word upgrade) would otherwise march empty space.  Radii are
+    # computed for the COARSEST lattice any renderer here may use (larger
+    # dt -> larger radius -> strictly conservative for finer lattices).
+    ms_pack = min(cfg.max_samples,
+                  getattr(hparams, "render_max_samples", 512)
+                  or cfg.max_samples)
     occ_u8 = pack_occupancy_u8(
         jnp.asarray(state["occ"]),
-        required_dilation_radius(8, cfg.model.grid_size,
-                                 cfg.max_samples, cfg.model.scale),
+        required_dilation_radius(8, cfg.model.grid_size, ms_pack,
+                                 cfg.model.scale),
         super_radius=required_dilation_radius(
-            32, cfg.model.grid_size, cfg.max_samples, cfg.model.scale))
+            32, cfg.model.grid_size, ms_pack, cfg.model.scale))
     baked = bcfg = None
     if getattr(hparams, "bake", False):
         from google_nerf_tpu.models.baked import (BakedConfig, bake,
@@ -78,16 +83,18 @@ def run(hparams):
         if renderer == "oneshot" and cfg.exp_step_factor == 0.0:
             from google_nerf_tpu.models.render_test_oneshot import \
                 render_test_oneshot
+            rms = getattr(hparams, "render_max_samples", 512) \
+                or cfg.max_samples
             if baked is not None:
                 from google_nerf_tpu.models.baked import make_baked_apply
                 out = render_test_oneshot(
                     baked, cfg.model, occ_u8, rays_o, rays_d,
-                    T_threshold=1e-2, max_samples=cfg.max_samples,
+                    T_threshold=1e-2, max_samples=rms,
                     apply_fn=make_baked_apply(bcfg))
             else:
                 out = render_test_oneshot(
                     state["params"], cfg.model, occ_u8, rays_o, rays_d,
-                    T_threshold=1e-2, max_samples=cfg.max_samples)
+                    T_threshold=1e-2, max_samples=rms)
         elif baked is not None:
             out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
                                     rays_d, bcfg=bcfg, T_threshold=1e-2,

@@ -89,3 +89,33 @@ def test_stream_scattered_valid():
         np.testing.assert_allclose(np.asarray(got[k])[ray_mask],
                                    np.asarray(ref[k])[ray_mask],
                                    rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_inf_sigma_does_not_poison_later_rays():
+    """One TruncExp-overflow slot (sigma = inf) must only saturate ITS ray
+    (T -> 0 downstream), never NaN later rays in the stream — regression
+    for the global-cumsum carry formulation (inf - inf = NaN) that silently
+    NaN'd whole training runs."""
+    R, K = 8, 4
+    valid = jnp.ones((R, K), bool)
+    sig = jnp.full((R, K), 5.0).at[2, 1].set(jnp.inf)
+    rgb = jnp.full((R, K, 3), 0.5)
+    ts = jnp.tile(jnp.arange(K, dtype=jnp.float32)[None] * 0.01 + 0.1,
+                  (R, 1))
+    dt = jnp.full((R, K), 0.01)
+    plan = plan_packing(valid, R * K, sample_major=False)
+    out = composite_stream_train(
+        plan, pack(sig.reshape(-1), plan), pack(rgb.reshape(-1, 3), plan),
+        pack(dt.reshape(-1), plan), pack(ts.reshape(-1), plan), R, K, 1e-4)
+    for k in ("opacity", "depth", "rgb", "tau"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # gradients w.r.t. sigma must be finite for every OTHER ray too
+    def loss(s):
+        o = composite_stream_train(
+            plan, pack(s.reshape(-1), plan), pack(rgb.reshape(-1, 3), plan),
+            pack(dt.reshape(-1), plan), pack(ts.reshape(-1), plan),
+            R, K, 1e-4)
+        mask = jnp.arange(R) != 2
+        return jnp.sum(jnp.where(mask[:, None], o["rgb"], 0.0))
+    g = jax.grad(loss)(sig)
+    assert np.isfinite(np.asarray(g)[np.arange(R) != 2]).all(), "grad NaN"

@@ -45,11 +45,13 @@ def main():
     print(f"trained: psnr={float(metrics['psnr']):.1f} "
           f"occ={float(state['occ'].mean()):.3f}")
 
-    bcfg = BakedConfig(voxel_res=512, block=8)
-    t0 = time.time()
-    baked = bake(state["params"], cfg.model, state["occ"], bcfg)
-    print(f"bake {time.time()-t0:.0f}s {baked['n_blocks']} blocks")
-    baked_fn = make_baked_apply(bcfg)
+    baked_fn = baked = None
+    if "--bake" in __import__("sys").argv:
+        bcfg = BakedConfig(voxel_res=512, block=8)
+        t0 = time.time()
+        baked = bake(state["params"], cfg.model, state["occ"], bcfg)
+        print(f"bake {time.time()-t0:.0f}s {baked['n_blocks']} blocks")
+        baked_fn = make_baked_apply(bcfg)
 
     ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
                             style="shell")
@@ -68,10 +70,12 @@ def main():
         return occ_cache[ms]
 
     variants = [
-        ("live ms1024", None, dict(max_samples=1024, chunk=131072)),
-        ("baked ms1024", baked_fn, dict(max_samples=1024, chunk=131072)),
-        ("baked ms512", baked_fn, dict(max_samples=512, chunk=131072)),
+        ("live ms512", None, dict(max_samples=512, chunk=131072)),
+        ("live ms256", None, dict(max_samples=256, chunk=131072)),
     ]
+    if baked_fn is not None:
+        variants += [("baked ms512", baked_fn,
+                      dict(max_samples=512, chunk=131072))]
     for name, fn, v in variants:
         p = baked if fn is not None else state["params"]
 
