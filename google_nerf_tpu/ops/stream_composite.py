@@ -87,7 +87,10 @@ def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
         lo = jnp.where(start > 0, jnp.take(vc, lo_idx), 0.0)
         return jnp.where(has, hi - lo, 0.0)
 
-    opacity = ray_sum(w)
+    # hi - lo of a global cumsum can cancel to a TINY NEGATIVE for empty
+    # rays; downstream -o*log(o) entropy would then be NaN.  w >= 0, so
+    # clamping to [0, 1] only removes rounding error.
+    opacity = jnp.clip(ray_sum(w), 0.0, 1.0)
     depth = ray_sum(w * ts_p)
     depth_sq = ray_sum(w * ts_p * ts_p)
     rgb = jnp.stack([ray_sum(w * rgb_p[:, c]) for c in range(3)], -1)

@@ -33,7 +33,9 @@ class NeRFLoss:
     def __call__(self, results, batch):
         d = {}
         d["rgb"] = (results["rgb"] - batch["rgb"]) ** 2
-        o = results["opacity"] + 1e-10
+        # clamp: compositing in f32 can round opacity epsilon-negative,
+        # and log(<=0) would NaN the whole sigma/table gradient
+        o = jnp.clip(results["opacity"], 0.0, 1.0) + 1e-10
         d["opacity"] = self.lambda_opacity * (-o * jnp.log(o))
         if self.lambda_depth > 0 and "depth" in batch:
             # supervise rendered depth against the (monocular) depth prior in

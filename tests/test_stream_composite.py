@@ -119,3 +119,32 @@ def test_inf_sigma_does_not_poison_later_rays():
         return jnp.sum(jnp.where(mask[:, None], o["rgb"], 0.0))
     g = jax.grad(loss)(sig)
     assert np.isfinite(np.asarray(g)[np.arange(R) != 2]).all(), "grad NaN"
+
+
+def test_empty_ray_opacity_never_negative_and_loss_finite():
+    """Cancellation in the global ray-reduction cumsum could return a tiny
+    NEGATIVE opacity for empty rays; -o*log(o) then NaN'd the sigma/table
+    gradients (silent all-NaN params mid-training).  Lock both guards."""
+    from google_nerf_tpu.train.losses import NeRFLoss
+    R, K = 32, 8
+    # most rays empty, a few dense rays with large optical depth to grow
+    # the global cumsum
+    valid = jnp.zeros((R, K), bool).at[::8].set(True)
+    sig = jnp.full((R, K), 1e4)
+    rgb = jnp.full((R, K, 3), 0.3)
+    ts = jnp.tile(jnp.arange(K, dtype=jnp.float32)[None] * 0.01 + 0.1,
+                  (R, 1))
+    dt = jnp.where(valid, 0.01, 0.0)
+    plan = plan_packing(valid, R * K, sample_major=False)
+    out = composite_stream_train(
+        plan, pack(sig.reshape(-1), plan), pack(rgb.reshape(-1, 3), plan),
+        pack(dt.reshape(-1), plan), pack(ts.reshape(-1), plan), R, K, 1e-4)
+    assert float(jnp.min(out["opacity"])) >= 0.0
+    batch = {"rgb": jnp.full((R, 3), 0.5)}
+    res = dict(out, ray_mask=jnp.ones((R,), bool))
+    total, _ = NeRFLoss().total(res, batch)
+    assert np.isfinite(float(total))
+    # loss must also stay finite for adversarially negative opacity input
+    res_bad = dict(res, opacity=jnp.full((R,), -1e-7))
+    total2, _ = NeRFLoss().total(res_bad, batch)
+    assert np.isfinite(float(total2))
