@@ -33,6 +33,10 @@ def main():
     p.add_argument("--n_test", type=int, default=8)
     p.add_argument("--style", default="shell", choices=["shell", "solid"])
     p.add_argument("--k_samples", type=int, default=256)
+    p.add_argument("--max_samples", type=int, default=1024,
+                   help="train candidate-lattice resolution")
+    p.add_argument("--budget", type=int, default=0,
+                   help="samples budget (0 = 16*batch_size)")
     p.add_argument("--n_keep", type=int, default=32)
     p.add_argument("--n_keep_sup", type=int, default=24)
     p.add_argument("--exclude", default="backfill",
@@ -81,12 +85,13 @@ def main():
                       compute_dtype=jnp.bfloat16, **enc_kw)
     cfg = TrainConfig(model=model, batch_size=args.batch_size,
                       k_samples=args.k_samples, lr=args.lr,
+                      max_samples=args.max_samples,
                       num_epochs=args.num_epochs,
                       random_bg=args.random_bg,
                       exclude_incomplete=args.exclude,
                       weight_decay=args.wd,
                       n_keep=args.n_keep, n_keep_sup=args.n_keep_sup,
-                      samples_budget=16 * args.batch_size)
+                      samples_budget=args.budget or 16 * args.batch_size)
     scene = ds.scene(images_uint8=True)
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
