@@ -125,7 +125,7 @@ def test_sharded_grid_update_matches_replicated_occupancy(setup):
     grid = np.asarray(out["density_grid"])
     assert np.isfinite(grid).all()
     assert out["occ"].dtype == np.bool_
-    assert out["occ_u8"].dtype == np.uint8
+    assert out["occ_u8"].dtype == np.int32   # block-word packed layout
     # occupied bit of occ_u8 == occ
     np.testing.assert_array_equal(np.asarray(out["occ_u8"]) & 1 > 0,
                                   np.asarray(out["occ"]))
