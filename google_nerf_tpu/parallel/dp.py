@@ -210,6 +210,7 @@ def shard_scene_for_host(scene, n_hosts: int, host_id: int):
     out = dict(scene)
     out["images"] = images[idx]
     out["poses"] = scene["poses"][idx]
-    if "depths" in scene and scene["depths"] is not None:
-        out["depths"] = scene["depths"][idx]
+    for k in ("depths", "alphas"):
+        if scene.get(k) is not None:
+            out[k] = scene[k][idx]
     return out
