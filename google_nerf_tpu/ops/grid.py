@@ -221,10 +221,18 @@ def pack_occupancy_u8(occ, dilation_radius: int = 2,
     using bit 0 unchanged.  (Name kept from the original uint8 layout —
     the array has been int32 since the block-word upgrade.)"""
     def dilate(r):
+        # Chebyshev dilation is separable: three 1-D max passes cost
+        # (2r+1)*3 ops/cell vs (2r+1)^3 for the cubic window
         k = 2 * r + 1
-        return jax.lax.reduce_window(
-            occ, False, jax.lax.bitwise_or, (1, k, k, k), (1, 1, 1, 1),
-            [(0, 0)] + [(r, r)] * 3)
+        out_d = occ
+        for axis in (1, 2, 3):
+            dims = [1, 1, 1, 1]
+            dims[axis] = k
+            pads = [(0, 0)] * 4
+            pads[axis] = (r, r)
+            out_d = jax.lax.reduce_window(out_d, False, jax.lax.bitwise_or,
+                                          tuple(dims), (1, 1, 1, 1), pads)
+        return out_d
 
     out = occ.astype(jnp.int32) | (dilate(dilation_radius
                                           ).astype(jnp.int32) << 1)
