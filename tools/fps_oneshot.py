@@ -1,4 +1,9 @@
-"""FPS of the one-shot renderer (live + baked) at 800^2."""
+"""FPS of the one-shot renderer (live + baked) at 800^2.
+
+Variants are (name, apply_fn, render kwargs) tuples; pass --k/--passes/
+--budget_div/--straggler_div/--ms to add a custom variant, --bake for the
+baked-field comparison."""
+import argparse
 import functools
 import time
 
@@ -69,13 +74,31 @@ def main():
                 super_radius=required_dilation_radius(32, 128, ms, 0.5))
         return occ_cache[ms]
 
-    variants = [
-        ("live ms512", None, dict(max_samples=512, chunk=131072)),
-        ("live ms256", None, dict(max_samples=256, chunk=131072)),
-    ]
-    if baked_fn is not None:
-        variants += [("baked ms512", baked_fn,
-                      dict(max_samples=512, chunk=131072))]
+    import sys
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bake", action="store_true")
+    ap.add_argument("--k", type=int, default=0)
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--budget_div", type=int, default=4)
+    ap.add_argument("--straggler_div", type=int, default=4)
+    ap.add_argument("--ms", type=int, default=512)
+    av = ap.parse_args(sys.argv[1:])
+    if av.k:
+        kw = dict(max_samples=av.ms, chunk=131072, k=av.k,
+                  passes=av.passes, budget_div=av.budget_div,
+                  straggler_div=av.straggler_div)
+        variants = [(f"live k{av.k} p{av.passes} bd{av.budget_div} "
+                     f"sd{av.straggler_div} ms{av.ms}", None, kw)]
+        if baked_fn is not None:
+            variants += [("baked " + variants[0][0], baked_fn, kw)]
+    else:
+        variants = [
+            ("live ms512", None, dict(max_samples=512, chunk=131072)),
+            ("live ms256", None, dict(max_samples=256, chunk=131072)),
+        ]
+        if baked_fn is not None:
+            variants += [("baked ms512", baked_fn,
+                          dict(max_samples=512, chunk=131072))]
     for name, fn, v in variants:
         p = baked if fn is not None else state["params"]
 
