@@ -85,26 +85,109 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         k: int = 64, n_keep: int = 16, sup: int = 4,
                         n_keep_sup: int = 16, max_samples: int = 1024,
                         passes: int = 4, straggler_div: int = 4,
-                        budget_div: int = 4, apply_fn=None):
-    """Full-image one-shot renderer (bounded scenes)."""
+                        budget_div: int = 4, apply_fn=None,
+                        pooled_stragglers: bool = True):
+    """Full-image one-shot renderer (bounded scenes).
+
+    With `pooled_stragglers` (default), every chunk runs ONE main pass and
+    the still-alive rays of the WHOLE image are then compacted into a
+    single pool that the remaining `passes-1` straggler passes drain —
+    instead of each chunk paying its own straggler passes regardless of
+    how few of its rays are alive (image-wide alive counts after the main
+    pass are typically a small fraction of one chunk)."""
     R = rays_o.shape[0]
     chunk = min(chunk, max(R, 1))
     pad = (-R) % chunk
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
     rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
-    outs = []
+    if not pooled_stragglers:
+        outs = []
+        for i in range(0, R + pad, chunk):
+            outs.append(_render_chunk_oneshot(
+                params, cfg, occ_u8, ro[i:i + chunk], rd[i:i + chunk],
+                T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+                n_keep_sup=n_keep_sup, max_samples=max_samples,
+                passes=passes, straggler_div=straggler_div,
+                budget_div=budget_div, apply_fn=apply_fn))
+        cat = {kk: jnp.concatenate([o[kk] for o in outs])[:R]
+               for kk in outs[0]}
+        bg = 1.0 if exp_step_factor == 0.0 else 0.0
+        cat["rgb"] = cat["rgb"] + bg * (1.0 - cat["opacity"][:, None])
+        return cat
+
+    norm = jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    rdu = rd / jnp.where(norm > 0, norm, 1.0)
+    # ---- main pass per chunk ----
+    parts = []
     for i in range(0, R + pad, chunk):
-        outs.append(_render_chunk_oneshot(
-            params, cfg, occ_u8, ro[i:i + chunk], rd[i:i + chunk],
+        parts.append(_main_pass_chunk(
+            params, cfg, occ_u8, ro[i:i + chunk], rdu[i:i + chunk],
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
-            n_keep_sup=n_keep_sup, max_samples=max_samples, passes=passes,
-            straggler_div=straggler_div, budget_div=budget_div,
-            apply_fn=apply_fn))
-    cat = {kk: jnp.concatenate([o[kk] for o in outs])[:R]
-           for kk in outs[0]}
+            n_keep_sup=n_keep_sup, max_samples=max_samples,
+            budget=chunk * k // budget_div, apply_fn=apply_fn))
+    acc = {kk: jnp.concatenate([p[kk] for p in parts])
+           for kk in parts[0]}
+    rgb, opacity, depth = acc["rgb"], acc["opacity"], acc["depth"]
+    T, t_cur, alive = acc["T"], acc["t_next"], acc["alive"]
+    # ---- image-wide straggler pool ----
+    N = R + pad
+    sr = max(chunk // straggler_div, 1)
+    for _ in range(passes - 1):
+        iota = jnp.arange(N, dtype=jnp.int32)
+        score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
+        svals, ridx = jax.lax.top_k(score, sr)
+        is_real = svals > -(N + 1)
+        q = _render_pass(params, cfg, occ_u8, ro[ridx], rdu[ridx],
+                         jnp.where(is_real, t_cur[ridx], jnp.inf),
+                         jnp.where(is_real, acc["t2"][ridx], 0.0),
+                         jnp.where(is_real, T[ridx], 0.0),
+                         T_threshold=T_threshold, k=k, n_keep=n_keep,
+                         sup=sup, n_keep_sup=n_keep_sup,
+                         max_samples=max_samples,
+                         budget=sr * k // max(budget_div // 2, 1),
+                         apply_fn=apply_fn)
+
+        def scat(full, add_or_new, mode="add"):
+            cur = full[ridx]
+            upd = cur + add_or_new if mode == "add" else add_or_new
+            return full.at[ridx].set(
+                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                          upd, cur), unique_indices=True)
+
+        rgb = scat(rgb, q["rgb"])
+        opacity = scat(opacity, q["opacity"])
+        depth = scat(depth, q["depth"])
+        T = scat(T, q["T"], "set")
+        t_cur = scat(t_cur, q["t_next"], "set")
+        alive = scat(alive, q["alive"] & is_real, "set")
     bg = 1.0 if exp_step_factor == 0.0 else 0.0
-    cat["rgb"] = cat["rgb"] + bg * (1.0 - cat["opacity"][:, None])
-    return cat
+    rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
+    return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
+
+
+@partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",
+                                   "sup", "n_keep_sup", "max_samples",
+                                   "budget", "apply_fn"))
+def _main_pass_chunk(params, cfg, occ_u8, rays_o, rays_du, *, T_threshold,
+                     k, n_keep, sup, n_keep_sup, max_samples, budget,
+                     apply_fn):
+    """AABB clip + one render pass for a chunk of unit-direction rays;
+    returns per-ray accumulators plus the (t2, t_next, T, alive) carry the
+    pooled straggler passes need."""
+    R = rays_o.shape[0]
+    hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+    t_cur = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0),
+                      jnp.inf)
+    p = _render_pass(params, cfg, occ_u8, rays_o, rays_du, t_cur, t2,
+                     jnp.ones(R), T_threshold=T_threshold, k=k,
+                     n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
+                     max_samples=max_samples, budget=budget,
+                     apply_fn=apply_fn)
+    return dict(rgb=p["rgb"], opacity=p["opacity"], depth=p["depth"],
+                T=p["T"], t_next=p["t_next"], alive=p["alive"], t2=t2)
 
 
 def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,

@@ -39,3 +39,34 @@ def test_oneshot_matches_fast():
     errmax = float(jnp.abs(got["opacity"] - ref["opacity"]).mean())
     assert err < 0.02, err
     assert errmax < 0.03, errmax
+
+
+def test_pooled_stragglers_multichunk_matches_fast():
+    """Image-wide straggler pooling over a MULTI-CHUNK render must converge
+    to the while-loop renderer's image when the pool has enough rounds to
+    drain every alive ray (pool capacity binds scheduling, not the math)."""
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(1), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(24, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(5), 0.15,
+        (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    occ_u8 = pack_occupancy_u8(
+        occ, required_dilation_radius(8, cfg.grid_size, ms, cfg.scale),
+        super_radius=required_dilation_radius(32, cfg.grid_size, ms,
+                                              cfg.scale))
+    ref = render_test_fast(params, cfg, occ_u8, o, d, max_samples=ms,
+                           k=8, seg=8, n_segs=8, n_keep=4, bucket=64,
+                           chunk=384, T_threshold=1e-4)
+    got = render_test_oneshot(params, cfg, occ_u8, o, d, max_samples=ms,
+                              k=16, n_keep=8, sup=4, n_keep_sup=8,
+                              chunk=128, passes=16, straggler_div=1,
+                              T_threshold=1e-4, pooled_stragglers=True)
+    err = float(jnp.abs(got["rgb"] - ref["rgb"]).mean())
+    erro = float(jnp.abs(got["opacity"] - ref["opacity"]).mean())
+    assert err < 0.02, err
+    assert erro < 0.03, erro
