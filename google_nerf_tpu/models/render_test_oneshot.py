@@ -55,16 +55,41 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
                              noise=jnp.zeros(R), seg=8, n_keep=n_keep,
                              sup=sup, n_keep_sup=n_keep_sup)
     K = m["ts"].shape[1]
-    plan = plan_packing(m["valid"], budget, sample_major=False)
-    keep2d = plan.keep.reshape(R, K)
-    processed = ~jnp.any(m["valid"] & ~keep2d, axis=-1)
-    sig_p, rgb_p = field(params, cfg,
-                         pack(m["xyzs"].reshape(-1, 3), plan),
-                         pack(m["dirs"].reshape(-1, 3), plan))
-    out = composite_stream_train(plan, sig_p, rgb_p,
-                                 pack(m["deltas"].reshape(-1), plan),
-                                 pack(m["ts"].reshape(-1), plan),
-                                 R, K, T_threshold)
+    if budget and budget < R * K:
+        plan = plan_packing(m["valid"], budget, sample_major=False)
+        keep2d = plan.keep.reshape(R, K)
+        processed = ~jnp.any(m["valid"] & ~keep2d, axis=-1)
+        sig_p, rgb_p = field(params, cfg,
+                             pack(m["xyzs"].reshape(-1, 3), plan),
+                             pack(m["dirs"].reshape(-1, 3), plan))
+        out = composite_stream_train(plan, sig_p, rgb_p,
+                                     pack(m["deltas"].reshape(-1), plan),
+                                     pack(m["ts"].reshape(-1), plan),
+                                     R, K, T_threshold)
+    else:
+        # DENSE pass (budget 0/full): evaluate the field on every padded
+        # slot and composite row-wise — no packing sort, no pack/unpack
+        # gathers.  With a small per-pass k this trades a bounded amount
+        # of wasted field work for the elimination of the per-pass
+        # plan_packing sort (~R*k rows) and its gathers.
+        sig, rgb_s = field(params, cfg, m["xyzs"].reshape(-1, 3),
+                           m["dirs"].reshape(-1, 3))
+        sig = sig.reshape(R, K)
+        rgb_s = rgb_s.reshape(R, K, 3)
+        sd = jnp.minimum(jnp.where(m["valid"], sig * m["deltas"], 0.0),
+                         80.0)
+        excl = jnp.cumsum(sd, axis=-1) - sd
+        T_before = jnp.exp(-excl)
+        alpha = 1.0 - jnp.exp(-sd)
+        include = m["valid"] & (T_before > T_threshold)
+        w = jnp.where(include, T_before * alpha, 0.0)
+        out = dict(opacity=jnp.clip(w.sum(-1), 0.0, 1.0),
+                   depth=(w * m["ts"]).sum(-1),
+                   rgb=(w[..., None] * rgb_s).sum(-2),
+                   tau=jnp.where(include, sd, 0.0).sum(-1),
+                   t_last=jnp.max(jnp.where(m["valid"], m["ts"], 0.0),
+                                  axis=-1))
+        processed = jnp.ones((R,), bool)
     # scale this pass's contributions by the carried transmittance;
     # unprocessed (budget-dropped) rays contribute nothing and retry
     sc = jnp.where(processed, T_in, 0.0)
@@ -124,7 +149,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             params, cfg, occ_u8, ro[i:i + chunk], rdu[i:i + chunk],
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
-            budget=chunk * k // budget_div, apply_fn=apply_fn))
+            budget=(chunk * k // budget_div if budget_div else 0),
+            apply_fn=apply_fn))
     acc = {kk: jnp.concatenate([p[kk] for p in parts])
            for kk in parts[0]}
     rgb, opacity, depth = acc["rgb"], acc["opacity"], acc["depth"]
@@ -144,7 +170,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                          T_threshold=T_threshold, k=k, n_keep=n_keep,
                          sup=sup, n_keep_sup=n_keep_sup,
                          max_samples=max_samples,
-                         budget=sr * k // max(budget_div // 2, 1),
+                         budget=(sr * k // max(budget_div // 2, 1)
+                                 if budget_div else 0),
                          apply_fn=apply_fn)
 
         def scat(full, add_or_new, mode="add"):
@@ -207,7 +234,7 @@ def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
     p = _render_pass(params, cfg, occ_u8, rays_o, rays_du, t_cur, t2,
                      jnp.ones(R), T_threshold=T_threshold, k=k,
                      n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
-                     max_samples=max_samples, budget=R * k // budget_div,
+                     max_samples=max_samples, budget=(R * k // budget_div if budget_div else 0),
                      apply_fn=apply_fn)
     rgb, opacity, depth = p["rgb"], p["opacity"], p["depth"]
     T, t_cur, alive = p["T"], p["t_next"], p["alive"]
@@ -226,7 +253,8 @@ def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
                          T_threshold=T_threshold, k=k, n_keep=n_keep,
                          sup=sup, n_keep_sup=n_keep_sup,
                          max_samples=max_samples,
-                         budget=sr * k // max(budget_div // 2, 1),
+                         budget=(sr * k // max(budget_div // 2, 1)
+                                 if budget_div else 0),
                          apply_fn=apply_fn)
 
         def scat(full, add_or_new, mode="add"):

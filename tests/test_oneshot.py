@@ -70,3 +70,31 @@ def test_pooled_stragglers_multichunk_matches_fast():
     erro = float(jnp.abs(got["opacity"] - ref["opacity"]).mean())
     assert err < 0.02, err
     assert erro < 0.03, erro
+
+
+def test_dense_pass_matches_packed():
+    """budget_div=0 (dense row-wise pass, no packing sort) must equal the
+    packed-stream pass when the budget isn't binding (budget_div=1)."""
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(2), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(20, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.15,
+        (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    occ_u8 = pack_occupancy_u8(
+        occ, required_dilation_radius(8, cfg.grid_size, ms, cfg.scale),
+        super_radius=required_dilation_radius(32, cfg.grid_size, ms,
+                                              cfg.scale))
+    kw = dict(max_samples=ms, k=16, n_keep=8, sup=4, n_keep_sup=8,
+              chunk=160, passes=6, straggler_div=1, T_threshold=1e-4)
+    a = render_test_oneshot(params, cfg, occ_u8, o, d, budget_div=0, **kw)
+    b = render_test_oneshot(params, cfg, occ_u8, o, d, budget_div=1, **kw)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a["opacity"]),
+                               np.asarray(b["opacity"]), rtol=1e-4,
+                               atol=2e-4)

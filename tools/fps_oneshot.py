@@ -77,20 +77,24 @@ def main():
     import sys
     ap = argparse.ArgumentParser()
     ap.add_argument("--bake", action="store_true")
-    ap.add_argument("--k", type=int, default=0)
-    ap.add_argument("--passes", type=int, default=4)
-    ap.add_argument("--budget_div", type=int, default=4)
-    ap.add_argument("--straggler_div", type=int, default=4)
-    ap.add_argument("--ms", type=int, default=512)
+    ap.add_argument("--variants", default="",
+                    help="comma list of k<k>:p<passes>:bd<budget_div>:"
+                         "sd<straggler_div>:ms<max_samples> specs; each "
+                         "runs live (and baked with --bake)")
     av = ap.parse_args(sys.argv[1:])
-    if av.k:
-        kw = dict(max_samples=av.ms, chunk=131072, k=av.k,
-                  passes=av.passes, budget_div=av.budget_div,
-                  straggler_div=av.straggler_div)
-        variants = [(f"live k{av.k} p{av.passes} bd{av.budget_div} "
-                     f"sd{av.straggler_div} ms{av.ms}", None, kw)]
-        if baked_fn is not None:
-            variants += [("baked " + variants[0][0], baked_fn, kw)]
+    if av.variants:
+        variants = []
+        for spec in av.variants.split(","):
+            f = dict(k=64, p=4, bd=4, sd=4, ms=512)
+            for part in spec.split(":"):
+                kname = part.rstrip("0123456789")
+                f[kname] = int(part[len(kname):])
+            kw = dict(max_samples=f["ms"], chunk=131072, k=f["k"],
+                      passes=f["p"], budget_div=f["bd"],
+                      straggler_div=f["sd"])
+            variants.append((f"live {spec}", None, kw))
+            if baked_fn is not None:
+                variants.append((f"baked {spec}", baked_fn, kw))
     else:
         variants = [
             ("live ms512", None, dict(max_samples=512, chunk=131072)),
