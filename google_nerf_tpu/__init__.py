@@ -22,3 +22,31 @@ depth     LeReS monocular-depth networks + cIMLE (flax)
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache():
+    """Enable JAX's persistent compilation cache for every entry point.
+
+    On this target the TPU compiler is remote (minutes per fresh program
+    shape); the on-disk cache makes re-runs of any CLI/tool with unchanged
+    program shapes start in seconds.  Opt out with
+    GOOGLE_NERF_TPU_NO_CACHE=1; override the location with
+    GOOGLE_NERF_TPU_CACHE_DIR.
+    """
+    import os
+    if os.environ.get("GOOGLE_NERF_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        d = os.environ.get(
+            "GOOGLE_NERF_TPU_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax or read-only fs
+        pass
+
+
+_setup_compilation_cache()
