@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
 from google_nerf_tpu.ops.compaction import pack, plan_packing
+from google_nerf_tpu.ops.march_block import (block_group as _auto_group,
+                                             march_rays_train_block)
 from google_nerf_tpu.ops.march_seg import march_rays_train_seg
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 from google_nerf_tpu.ops.stream_composite import composite_stream_train
@@ -37,23 +39,34 @@ NEAR_DISTANCE = 0.05
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",
                                    "sup", "n_keep_sup", "max_samples",
-                                   "budget", "apply_fn"))
+                                   "budget", "apply_fn", "march"))
 def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
                  T_in, *, T_threshold: float, k: int, n_keep: int, sup: int,
                  n_keep_sup: int, max_samples: int, budget: int,
-                 apply_fn=None):
+                 apply_fn=None, march: str = "seg"):
     """One march+composite pass from per-ray t_cur.  Returns per-pass
     accumulations (already scaled by T_in) and the updated carry."""
     field = apply_fn or ngp_apply
     R = rays_o.shape[0]
     dt = SQRT3 / max_samples
     hits = jnp.stack([jnp.where(t_cur < t2, t_cur, -1.0), t2], 1)
-    m = march_rays_train_seg(rays_o, rays_d, hits, occ_u8,
-                             cascades=cfg.cascades, scale=cfg.scale,
-                             grid_size=cfg.grid_size,
-                             max_samples=max_samples, k_samples=k,
-                             noise=jnp.zeros(R), seg=8, n_keep=n_keep,
-                             sup=sup, n_keep_sup=n_keep_sup)
+    if march == "block":
+        g = _auto_group(max_samples, cfg.scale, cfg.grid_size)
+        # keep-window budget mirrors the seg path's n_keep*8 candidate
+        # reach (see models/rendering.py block branch)
+        m = march_rays_train_block(rays_o, rays_d, hits, occ_u8,
+                                   scale=cfg.scale,
+                                   grid_size=cfg.grid_size,
+                                   max_samples=max_samples, k_samples=k,
+                                   noise=jnp.zeros(R),
+                                   n_keep_groups=max(1, (n_keep * 8) // g))
+    else:
+        m = march_rays_train_seg(rays_o, rays_d, hits, occ_u8,
+                                 cascades=cfg.cascades, scale=cfg.scale,
+                                 grid_size=cfg.grid_size,
+                                 max_samples=max_samples, k_samples=k,
+                                 noise=jnp.zeros(R), seg=8, n_keep=n_keep,
+                                 sup=sup, n_keep_sup=n_keep_sup)
     K = m["ts"].shape[1]
     if budget and budget < R * K:
         plan = plan_packing(m["valid"], budget, sample_major=False)
@@ -111,7 +124,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         n_keep_sup: int = 16, max_samples: int = 1024,
                         passes: int = 4, straggler_div: int = 4,
                         budget_div: int = 4, apply_fn=None,
-                        pooled_stragglers: bool = True):
+                        pooled_stragglers: bool = True,
+                        march: str = "seg"):
     """Full-image one-shot renderer (bounded scenes).
 
     With `pooled_stragglers` (default), every chunk runs ONE main pass and
@@ -133,7 +147,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                 T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
                 n_keep_sup=n_keep_sup, max_samples=max_samples,
                 passes=passes, straggler_div=straggler_div,
-                budget_div=budget_div, apply_fn=apply_fn))
+                budget_div=budget_div, apply_fn=apply_fn, march=march))
         cat = {kk: jnp.concatenate([o[kk] for o in outs])[:R]
                for kk in outs[0]}
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
@@ -150,7 +164,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
             budget=(chunk * k // budget_div if budget_div else 0),
-            apply_fn=apply_fn))
+            apply_fn=apply_fn, march=march))
     acc = {kk: jnp.concatenate([p[kk] for p in parts])
            for kk in parts[0]}
     rgb, opacity, depth = acc["rgb"], acc["opacity"], acc["depth"]
@@ -172,7 +186,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                          max_samples=max_samples,
                          budget=(sr * k // max(budget_div // 2, 1)
                                  if budget_div else 0),
-                         apply_fn=apply_fn)
+                         apply_fn=apply_fn, march=march)
 
         def scat(full, add_or_new, mode="add"):
             cur = full[ridx]
@@ -194,10 +208,10 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",
                                    "sup", "n_keep_sup", "max_samples",
-                                   "budget", "apply_fn"))
+                                   "budget", "apply_fn", "march"))
 def _main_pass_chunk(params, cfg, occ_u8, rays_o, rays_du, *, T_threshold,
                      k, n_keep, sup, n_keep_sup, max_samples, budget,
-                     apply_fn):
+                     apply_fn, march="seg"):
     """AABB clip + one render pass for a chunk of unit-direction rays;
     returns per-ray accumulators plus the (t2, t_next, T, alive) carry the
     pooled straggler passes need."""
@@ -212,7 +226,7 @@ def _main_pass_chunk(params, cfg, occ_u8, rays_o, rays_du, *, T_threshold,
                      jnp.ones(R), T_threshold=T_threshold, k=k,
                      n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
                      max_samples=max_samples, budget=budget,
-                     apply_fn=apply_fn)
+                     apply_fn=apply_fn, march=march)
     return dict(rgb=p["rgb"], opacity=p["opacity"], depth=p["depth"],
                 T=p["T"], t_next=p["t_next"], alive=p["alive"], t2=t2)
 
@@ -220,7 +234,7 @@ def _main_pass_chunk(params, cfg, occ_u8, rays_o, rays_du, *, T_threshold,
 def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
                           T_threshold, k, n_keep, sup, n_keep_sup,
                           max_samples, passes, straggler_div, budget_div,
-                          apply_fn):
+                          apply_fn, march="seg"):
     R = rays_o.shape[0]
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_du = rays_d / norm
@@ -234,8 +248,9 @@ def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
     p = _render_pass(params, cfg, occ_u8, rays_o, rays_du, t_cur, t2,
                      jnp.ones(R), T_threshold=T_threshold, k=k,
                      n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
-                     max_samples=max_samples, budget=(R * k // budget_div if budget_div else 0),
-                     apply_fn=apply_fn)
+                     max_samples=max_samples,
+                     budget=(R * k // budget_div if budget_div else 0),
+                     apply_fn=apply_fn, march=march)
     rgb, opacity, depth = p["rgb"], p["opacity"], p["depth"]
     T, t_cur, alive = p["T"], p["t_next"], p["alive"]
 
@@ -255,7 +270,7 @@ def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
                          max_samples=max_samples,
                          budget=(sr * k // max(budget_div // 2, 1)
                                  if budget_div else 0),
-                         apply_fn=apply_fn)
+                         apply_fn=apply_fn, march=march)
 
         def scat(full, add_or_new, mode="add"):
             cur = full[ridx]

@@ -26,6 +26,8 @@ from google_nerf_tpu.ops.composite import (composite_rays_test_round,
 from google_nerf_tpu.ops.stream_composite import composite_stream_train
 from google_nerf_tpu.ops.marching import (march_rays_test_round,
                                           march_rays_train)
+from google_nerf_tpu.ops.march_block import (block_group as auto_block_group,
+                                             march_rays_train_block)
 from google_nerf_tpu.ops.march_seg import march_rays_train_seg
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
@@ -41,8 +43,10 @@ def _background(exp_step_factor: float):
 def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                  exp_step_factor: float = 0.0, T_threshold: float = 1e-4,
                  k_samples: int = 128, max_samples: int = MAX_SAMPLES,
-                 samples_budget: int = 0, occ_u8=None, seg: int = 8,
+                 samples_budget: int = 0, occ_u8=None, march: str = "seg",
+                 seg: int = 8,
                  n_keep: int = 32, sup: int = 0, n_keep_sup: int = 12,
+                 block_group: int = 0, n_keep_groups: int = 0,
                  bg_color=None, exclude_incomplete: str = "none",
                  incomplete_floor: float = 0.5, backfill_rgb=None,
                  backfill_enable=None, stream: bool = True):
@@ -57,7 +61,22 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                               jnp.full((3,), cfg.scale))
     hits = clamp_near(hits, NEAR_DISTANCE)
     noise = jax.random.uniform(key, (rays_o.shape[0],))
-    if occ_u8 is not None and exp_step_factor == 0.0:
+    if occ_u8 is not None and exp_step_factor == 0.0 and march == "block":
+        # one-phase block-row marcher (ops/march_block.py).  The default
+        # keep-window budget matches the segment marcher's reach
+        # (n_keep segments x seg candidates), NOT k_samples//group — a
+        # window budget below the seg marcher's truncates content rays
+        # far more aggressively (measured: train collapses, mask_frac 0.6)
+        g = block_group or auto_block_group(max_samples, cfg.scale,
+                                            cfg.grid_size)
+        nkg = n_keep_groups or max(1, (n_keep * seg) // g)
+        m = march_rays_train_block(rays_o, rays_du, hits, occ_u8,
+                                   scale=cfg.scale,
+                                   grid_size=cfg.grid_size,
+                                   max_samples=max_samples,
+                                   k_samples=k_samples, noise=noise,
+                                   group=g, n_keep_groups=nkg)
+    elif occ_u8 is not None and exp_step_factor == 0.0:
         # gather-minimal two-phase marcher (ops/march_seg.py)
         m = march_rays_train_seg(rays_o, rays_du, hits, occ_u8,
                                  cascades=cfg.cascades, scale=cfg.scale,

@@ -200,6 +200,43 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
     return new, occ
 
 
+def pack_occupancy_blocks(occ, block: int = 8) -> jnp.ndarray:
+    """occ: (1, G, G, G) bool -> (G^3, 16) int32 exact-occupancy BLOCK rows
+    for the one-phase block marcher (ops/march_block.py).
+
+    Row m (raster cell index, anchor) holds the exact occupancy of the
+    forward 8^3 block: bit o = dx*64 + dy*8 + dz of word o // 32 is
+    occ[anchor + (dx, dy, dz)], (dx, dy, dz) in {0..7}^3 (out-of-grid = 0).
+    One 64-byte row gather therefore answers the exact occupancy test for
+    every candidate of a marching group whose cell span is <= 7 per axis
+    (16-32 consecutive candidates at the flagship lattices) — ~4x fewer
+    gather rows AND no coarse/fine phase split vs pack_occupancy_u8 +
+    march_rays_train_seg.  Single-cascade scenes only (the flagship).
+
+    Construction is 8 z-shifted adds (byte packing) + 64 xy-shifted ORs:
+    ~72 vectorized ops over G^3 cells, same order as the dilation passes
+    of pack_occupancy_u8.
+    """
+    assert occ.shape[0] == 1, "block rows are single-cascade only"
+    assert block == 8, "only 8^3 (512-bit, 16-word) blocks are implemented"
+    G = occ.shape[1]
+    padded = jnp.pad(occ[0].astype(jnp.int32), [(0, 7)] * 3)
+    # zb[x, y, z] = bits dz of occ[x, y, z + dz], dz in {0..7}
+    zb = padded[:, :, 0:G]
+    for dz in range(1, 8):
+        zb = zb | (padded[:, :, dz:dz + G] << dz)
+    words = []
+    for w in range(16):
+        dx = w // 2
+        acc = None
+        for sub in range(4):
+            dy = (w % 2) * 4 + sub
+            t = zb[dx:dx + G, dy:dy + G, :] << (8 * sub)
+            acc = t if acc is None else acc | t
+        words.append(acc)
+    return jnp.stack(words, -1).reshape(G * G * G, 16)
+
+
 def pack_occupancy_u8(occ, dilation_radius: int = 2,
                       super_radius: int = 0) -> jnp.ndarray:
     """occ: (C, G, G, G) bool -> packed int32 word grid for the segment

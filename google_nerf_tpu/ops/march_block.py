@@ -1,0 +1,133 @@
+"""One-phase BLOCK-ROW ray marching — the gather-minimal successor to the
+two/three-phase segment marcher (ops/march_seg.py).
+
+v5e measurement (DESIGN_NOTES.md microbench table): XLA row gathers are
+row-COUNT bound (~130-160 M rows/s) with row width <~256 B essentially
+free.  The segment marcher spends one 4-byte row per 8-candidate segment
+in its coarse phase plus more rows in its exact phase, i.e. ~130-160
+occupancy rows per ray at the flagship lattices.  This marcher instead
+gathers one 64-byte row (16 int32 = the exact 8^3-block occupancy around
+the group's min cell, grid.pack_occupancy_blocks) per group of 16-32
+consecutive candidates:
+
+  * ONE phase: the same row yields the exact per-candidate bit for every
+    candidate in the group (word select is a 16-way one-hot multiply-sum
+    on the VPU — no second gather), so the coarse/fine split and its
+    dilated-occupancy conservatism disappear entirely;
+  * per-ray occupancy gather rows drop to max_samples / group
+    (32 rows at the flagship train lattice — ~4-5x fewer than the
+    segment marcher) and the two phase-level `lax.top_k` compactions
+    collapse to one small top_k over the group-liveness mask.
+
+Sample positions are IDENTICAL to the dense-lattice marcher
+(ops/marching.py, semantics of `vren.raymarching_train`,
+reference `ngp_pl/models/custom_functions.py:78-101`) whenever a ray has
+<= n_keep_groups live groups; truncation beyond that mirrors the
+reference's own sample-budget truncation (custom_functions.py:92-97).
+
+Constant-step single-cascade scenes only (exp_step_factor == 0,
+cascades == 1); other scenes use march_seg / the dense marcher.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from google_nerf_tpu.ops.march_seg import _cell_index_single, _first_k
+
+SQRT3 = 3.0 ** 0.5
+BLOCK = 8
+WORDS = BLOCK ** 3 // 32
+
+
+def block_group(max_samples: int, scale: float, grid_size: int,
+                cap: int = 32) -> int:
+    """Largest power-of-2 divisor g of max_samples (<= cap) such that g
+    consecutive candidates span <= BLOCK-1 cells per axis — then one
+    8^3-block row anchored at the group's min cell contains the exact
+    occupancy bit of every candidate."""
+    dt = SQRT3 / max_samples
+    bound = min(0.5, scale)
+    cells_per_step = dt * grid_size / (2.0 * bound)
+    g = 1
+    while (2 * g <= cap and max_samples % (2 * g) == 0
+           and (2 * g - 1) * cells_per_step < BLOCK - 1):
+        g *= 2
+    return g
+
+
+@partial(jax.jit, static_argnames=("scale", "grid_size", "max_samples",
+                                   "k_samples", "group", "n_keep_groups"))
+def march_rays_train_block(rays_o, rays_d, hits_t, occ_blocks, *,
+                           scale: float, grid_size: int, max_samples: int,
+                           k_samples: int, noise, group: int = 0,
+                           n_keep_groups: int = 0):
+    """Constant-step one-phase block marcher -> padded (R, K) samples.
+
+    occ_blocks: (G^3, 16) int32 from grid.pack_occupancy_blocks.
+    Returns the same dict as ops.marching.march_rays_train /
+    ops.march_seg.march_rays_train_seg.
+    """
+    R = rays_o.shape[0]
+    dt = SQRT3 / max_samples
+    g = group or block_group(max_samples, scale, grid_size)
+    q = max_samples // g
+    nk = min(n_keep_groups or max(1, -(-k_samples // g)), q)
+    k_samples = min(k_samples, nk * g)
+
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    hit = t1 >= 0
+    t0 = jnp.maximum(t1, 0.0) + dt * noise
+    j = jnp.arange(max_samples, dtype=jnp.float32)
+    ts = t0[:, None] + j[None, :] * dt                       # (R, ms)
+    o = jax.lax.stop_gradient(rays_o)
+    d = jax.lax.stop_gradient(rays_d)
+    xyz = o[:, None, :] + ts[..., None] * d[:, None, :]
+    n = _cell_index_single(jax.lax.stop_gradient(xyz), scale, grid_size)
+    ng = n.reshape(R, q, g, 3)
+    anchor = jnp.minimum(ng.min(-2), grid_size - BLOCK)      # (R, q, 3)
+    widx = (anchor[..., 0] * grid_size
+            + anchor[..., 1]) * grid_size + anchor[..., 2]
+    rows = jnp.take(occ_blocks, widx.reshape(-1),
+                    axis=0).reshape(R, q, WORDS)
+    off = ng - anchor[..., None, :]                          # in {0..7}
+    bitpos = (off[..., 0] * BLOCK + off[..., 1]) * BLOCK + off[..., 2]
+    wsel = bitpos >> 5
+    # word select over the 16 gathered words: unrolled masked-OR on the
+    # VPU (a take_along_axis here would be another R*ms-row gather)
+    word = jnp.zeros_like(bitpos)
+    for w in range(WORDS):
+        word = word | jnp.where(wsel == w, rows[..., w][..., None], 0)
+    occ_bit = ((word >> (bitpos & 31)) & 1) > 0              # (R, q, g)
+    cand_ok = (occ_bit.reshape(R, max_samples) & (ts < t2[:, None])
+               & hit[:, None])
+
+    # group-liveness compaction: keep the first nk live groups per ray
+    grp_ok = cand_ok.reshape(R, q, g)
+    live = grp_ok.any(-1)
+    pick, gvalid = _first_k(live, nk)                        # (R, nk)
+    truncated = live.sum(-1) > nk
+    sel = jnp.take_along_axis(grp_ok, pick[..., None], 1)    # (R, nk, g)
+    ts_sel = jnp.take_along_axis(ts.reshape(R, q, g), pick[..., None], 1)
+    cand = (sel & gvalid[..., None]).reshape(R, nk * g)
+    # ts carries no pose gradient (matches march_seg: pose refinement flows
+    # through rays_o/rays_d in the xyz reconstruction below only)
+    ts_flat = jax.lax.stop_gradient(ts_sel).reshape(R, nk * g)
+
+    if k_samples >= nk * g:
+        # full capacity: skip the per-row first-k sort (valid slots stay
+        # in ascending-t flat order, all downstream requires — same
+        # convention as march_seg's full-capacity path)
+        valid = cand
+        ts_out = jnp.where(valid, ts_flat, 0.0)
+    else:
+        idx, valid = _first_k(cand, k_samples)
+        truncated = truncated | (cand.sum(-1) > k_samples)
+        ts_out = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
+    deltas = jnp.where(valid, dt, 0.0)
+    xyzs = rays_o[:, None, :] + ts_out[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts_out, valid=valid,
+                truncated=truncated, total_samples=valid.sum())

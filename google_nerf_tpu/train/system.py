@@ -29,6 +29,7 @@ from google_nerf_tpu.core.rays import axisangle_to_R, get_rays
 from google_nerf_tpu.models.ngp import NGPConfig, init_ngp, ngp_density
 from google_nerf_tpu.models.rendering import MAX_SAMPLES, render_train
 from google_nerf_tpu.ops.grid import (mark_invisible_cells,
+                                      pack_occupancy_blocks,
                                       pack_occupancy_u8,
                                       update_density_grid)
 from google_nerf_tpu.ops.march_seg import required_dilation_radius
@@ -94,12 +95,19 @@ class TrainConfig:
                                            # fog cells die instead of
                                            # ratcheting in the EMA grid.
     march: str = "seg"                     # "seg" (two-phase, bounded
-                                           # scenes) | "dense"
+                                           # scenes) | "block" (one-phase
+                                           # 8^3 block rows, single-cascade
+                                           # only — ops/march_block.py)
+                                           # | "dense"
     seg: int = 8                           # candidates per segment
     n_keep: int = 32                       # live segments kept per ray
     sup: int = 4                           # segments per super-segment
                                            # (3-phase march; 0 = 2-phase)
     n_keep_sup: int = 24                   # live super-segments kept
+    block_group: int = 0                   # march="block": candidates per
+                                           # block row (0 = auto max)
+    n_keep_groups: int = 0                 # march="block": live groups
+                                           # kept (0 = k_samples/group)
 
     @property
     def density_threshold(self) -> float:
@@ -161,9 +169,13 @@ def init_train_state(key, cfg: TrainConfig, K, poses, img_wh) -> Dict[str, Any]:
     occ = jnp.zeros((m.cascades,) + (m.grid_size,) * 3, bool)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
+    if cfg.march == "block" and m.cascades == 1:
+        occ_u8 = jnp.zeros((m.grid_size ** 3, 16), jnp.int32)
+    else:
+        occ_u8 = jnp.zeros_like(occ, jnp.int32)
     return dict(params=params, opt_state=opt_state,
                 density_grid=density_grid, occ=occ,
-                occ_u8=jnp.zeros_like(occ, jnp.int32),
+                occ_u8=occ_u8,
                 step=jnp.zeros((), jnp.int32))
 
 
@@ -225,10 +237,15 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig,
                            max_samples=cfg.max_samples,
                            samples_budget=cfg.samples_budget,
                            occ_u8=(occ["occ_u8"]
-                                   if cfg.march == "seg"
+                                   if cfg.march in ("seg", "block")
                                    and cfg.exp_step_factor == 0.0 else None),
+                           march=("block" if cfg.march == "block"
+                                  and cfg.model.cascades == 1 else "seg"),
                            seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
-                           n_keep_sup=cfg.n_keep_sup, bg_color=bg_color,
+                           n_keep_sup=cfg.n_keep_sup,
+                           block_group=cfg.block_group,
+                           n_keep_groups=cfg.n_keep_groups,
+                           bg_color=bg_color,
                            exclude_incomplete=cfg.exclude_incomplete,
                            incomplete_floor=cfg.incomplete_floor,
                            backfill_rgb=batch["rgb"],
@@ -301,12 +318,15 @@ def grid_update_step(state, key, *, cfg: TrainConfig, warmup: bool):
     out = dict(state)
     out["density_grid"] = new_grid
     out["occ"] = occ
-    out["occ_u8"] = pack_occupancy_u8(
-        occ, required_dilation_radius(cfg.seg, m.grid_size,
-                                      cfg.max_samples, m.scale),
-        super_radius=(required_dilation_radius(
-            cfg.seg * cfg.sup, m.grid_size, cfg.max_samples, m.scale)
-            if cfg.sup > 1 else 0))
+    if cfg.march == "block" and m.cascades == 1:
+        out["occ_u8"] = pack_occupancy_blocks(occ)
+    else:
+        out["occ_u8"] = pack_occupancy_u8(
+            occ, required_dilation_radius(cfg.seg, m.grid_size,
+                                          cfg.max_samples, m.scale),
+            super_radius=(required_dilation_radius(
+                cfg.seg * cfg.sup, m.grid_size, cfg.max_samples, m.scale)
+                if cfg.sup > 1 else 0))
     return out
 
 

@@ -98,6 +98,18 @@ def get_opts(argv=None):
                         default=False,
                         help='one random bg color per batch instead of the '
                              'default per-ray colors')
+    parser.add_argument('--march', type=str, default='seg',
+                        choices=['seg', 'block', 'dense'],
+                        help='training marcher: "seg" (two/three-phase '
+                             'segment), "block" (one-phase 8^3 block rows, '
+                             'single-cascade only), "dense" (candidate '
+                             'lattice)')
+    parser.add_argument('--block_group', type=int, default=0,
+                        help='march=block: candidates per block row '
+                             '(0 = auto max)')
+    parser.add_argument('--n_keep_groups', type=int, default=0,
+                        help='march=block: live groups kept per ray '
+                             '(0 = k_samples/group)')
     parser.add_argument('--n_keep', type=int, default=32,
                         help='live segments kept per ray by the segment '
                              'marcher (capacity = n_keep*8 candidates)')

@@ -21,7 +21,8 @@ def main():
                                               make_baked_apply)
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.models.render_test_oneshot import render_test_oneshot
-    from google_nerf_tpu.ops.grid import pack_occupancy_u8
+    from google_nerf_tpu.ops.grid import (pack_occupancy_blocks,
+                                          pack_occupancy_u8)
     from google_nerf_tpu.ops.march_seg import required_dilation_radius
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
                                               grid_update_step,
@@ -66,13 +67,17 @@ def main():
 
     occ_cache = {}
 
-    def get_occ(ms):
-        if ms not in occ_cache:
-            occ_cache[ms] = pack_occupancy_u8(
-                state["occ"],
-                required_dilation_radius(8, 128, ms, 0.5),
-                super_radius=required_dilation_radius(32, 128, ms, 0.5))
-        return occ_cache[ms]
+    def get_occ(ms, march="seg"):
+        key_ = (ms, march)
+        if key_ not in occ_cache:
+            if march == "block":
+                occ_cache[key_] = pack_occupancy_blocks(state["occ"])
+            else:
+                occ_cache[key_] = pack_occupancy_u8(
+                    state["occ"],
+                    required_dilation_radius(8, 128, ms, 0.5),
+                    super_radius=required_dilation_radius(32, 128, ms, 0.5))
+        return occ_cache[key_]
 
     import sys
     ap = argparse.ArgumentParser()
@@ -85,13 +90,14 @@ def main():
     if av.variants:
         variants = []
         for spec in av.variants.split(","):
-            f = dict(k=64, p=4, bd=4, sd=4, ms=512)
+            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0)
             for part in spec.split(":"):
                 kname = part.rstrip("0123456789")
                 f[kname] = int(part[len(kname):])
             kw = dict(max_samples=f["ms"], chunk=131072, k=f["k"],
                       passes=f["p"], budget_div=f["bd"],
-                      straggler_div=f["sd"])
+                      straggler_div=f["sd"],
+                      march="block" if f["mb"] else "seg")
             variants.append((f"live {spec}", None, kw))
             if baked_fn is not None:
                 variants.append((f"baked {spec}", baked_fn, kw))
@@ -108,8 +114,8 @@ def main():
 
         def frame():
             return render_test_oneshot(p, cfg.model, get_occ(
-                v["max_samples"]), o, d, T_threshold=1e-2, apply_fn=fn,
-                **v)["rgb"]
+                v["max_samples"], v.get("march", "seg")), o, d,
+                T_threshold=1e-2, apply_fn=fn, **v)["rgb"]
         out = frame()
         jax.block_until_ready(out)
         t0 = time.time()

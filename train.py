@@ -66,6 +66,8 @@ def build_configs(hparams, scene_scale=None):
         random_bg=hparams.random_bg,
         random_bg_per_ray=not hparams.random_bg_per_batch,
         exclude_incomplete=hparams.exclude_incomplete,
+        march=hparams.march, block_group=hparams.block_group,
+        n_keep_groups=hparams.n_keep_groups,
         n_keep=hparams.n_keep, n_keep_sup=hparams.n_keep_sup,
         weight_decay=hparams.weight_decay,
         erode=hparams.dataset_name == 'colmap')
@@ -88,6 +90,18 @@ def validate(hparams, cfg, state, test_dataset, val_dir=None, mesh=None):
     w, h = test_dataset.img_wh
     lpips = LPIPS(hparams.lpips_weights) if hparams.eval_lpips else None
     directions = jnp.asarray(test_dataset.directions)
+    state = dict(state)
+    if "occ_u8" in state and state["occ_u8"].ndim == 2:
+        # march=block stores 8^3 block rows; the fast test renderer walks
+        # the seg-marcher word layout — repack from the boolean grid
+        from google_nerf_tpu.ops.grid import pack_occupancy_u8
+        from google_nerf_tpu.ops.march_seg import required_dilation_radius
+        state["occ_u8"] = pack_occupancy_u8(
+            jnp.asarray(state["occ"]),
+            required_dilation_radius(8, cfg.model.grid_size,
+                                     cfg.max_samples, cfg.model.scale),
+            super_radius=required_dilation_radius(
+                32, cfg.model.grid_size, cfg.max_samples, cfg.model.scale))
     logs = {"psnr": [], "ssim": [], "lpips": []}
     for i in range(len(test_dataset.poses)):
         pose = jnp.asarray(test_dataset.poses[i])
@@ -201,15 +215,19 @@ def main(hparams, video_fps=30):
         # repack the derived marching grid: checkpoints written before a
         # packed-layout change would otherwise march empty space until the
         # next grid update
-        from google_nerf_tpu.ops.grid import pack_occupancy_u8
+        from google_nerf_tpu.ops.grid import (pack_occupancy_blocks,
+                                              pack_occupancy_u8)
         from google_nerf_tpu.ops.march_seg import required_dilation_radius
-        state["occ_u8"] = pack_occupancy_u8(
-            jnp.asarray(state["occ"]),
-            required_dilation_radius(cfg.seg, cfg.model.grid_size,
-                                     cfg.max_samples, cfg.model.scale),
-            super_radius=(required_dilation_radius(
-                cfg.seg * cfg.sup, cfg.model.grid_size, cfg.max_samples,
-                cfg.model.scale) if cfg.sup > 1 else 0))
+        if cfg.march == 'block' and cfg.model.cascades == 1:
+            state["occ_u8"] = pack_occupancy_blocks(jnp.asarray(state["occ"]))
+        else:
+            state["occ_u8"] = pack_occupancy_u8(
+                jnp.asarray(state["occ"]),
+                required_dilation_radius(cfg.seg, cfg.model.grid_size,
+                                         cfg.max_samples, cfg.model.scale),
+                super_radius=(required_dilation_radius(
+                    cfg.seg * cfg.sup, cfg.model.grid_size, cfg.max_samples,
+                    cfg.model.scale) if cfg.sup > 1 else 0))
         print(f'Loaded checkpoint {hparams.ckpt_path} '
               f'(step {int(state["step"])})')
 
