@@ -63,6 +63,15 @@ def run(hparams):
                                  cfg.model.scale),
         super_radius=required_dilation_radius(
             32, cfg.model.grid_size, ms_pack, cfg.model.scale))
+    # serving with the one-phase block marcher (single-cascade scenes):
+    # exact-occupancy block rows, no dilation
+    serve_march = ("block" if getattr(hparams, "march", "seg") == "block"
+                   and cfg.model.cascades == 1 else "seg")
+    if serve_march == "block":
+        from google_nerf_tpu.ops.grid import pack_occupancy_blocks
+        occ_oneshot = pack_occupancy_blocks(jnp.asarray(state["occ"]))
+    else:
+        occ_oneshot = occ_u8
     baked = bcfg = None
     if getattr(hparams, "bake", False):
         from google_nerf_tpu.models.baked import (BakedConfig, bake,
@@ -88,13 +97,13 @@ def run(hparams):
             if baked is not None:
                 from google_nerf_tpu.models.baked import make_baked_apply
                 out = render_test_oneshot(
-                    baked, cfg.model, occ_u8, rays_o, rays_d,
+                    baked, cfg.model, occ_oneshot, rays_o, rays_d,
                     T_threshold=1e-2, max_samples=rms,
-                    apply_fn=make_baked_apply(bcfg))
+                    apply_fn=make_baked_apply(bcfg), march=serve_march)
             else:
                 out = render_test_oneshot(
-                    state["params"], cfg.model, occ_u8, rays_o, rays_d,
-                    T_threshold=1e-2, max_samples=rms)
+                    state["params"], cfg.model, occ_oneshot, rays_o, rays_d,
+                    T_threshold=1e-2, max_samples=rms, march=serve_march)
         elif baked is not None:
             out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
                                     rays_d, bcfg=bcfg, T_threshold=1e-2,
