@@ -88,10 +88,13 @@ def main():
             32, cfg.model.grid_size, ms_render, cfg.model.scale))
 
     def render_frame():
-        # one-shot renderer (march each ray once, straggler re-passes)
+        # one-shot renderer: dense main pass + while_loop straggler drain
+        # (exact — every alive ray is drained, no fixed-schedule starvation)
         return render_test_oneshot(state["params"], cfg.model, occ_render,
                                    rays_o, rays_d, T_threshold=1e-2,
-                                   max_samples=ms_render)["rgb"]
+                                   max_samples=ms_render, k=32,
+                                   budget_div=0, straggler_div=8,
+                                   drain=True)["rgb"]
 
     out = render_frame()
     jax.block_until_ready(out)

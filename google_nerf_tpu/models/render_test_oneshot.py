@@ -107,8 +107,12 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
     # unprocessed (budget-dropped) rays contribute nothing and retry
     sc = jnp.where(processed, T_in, 0.0)
     T_new = jnp.where(processed, T_in * jnp.exp(-out["tau"]), T_in)
+    # resume at the marcher's earliest-unexamined point, NOT t_last+dt:
+    # a truncated pass can keep conservative segments with ZERO exact
+    # samples (t_last would be 0 -> no progress -> the ray spins alive
+    # forever, starving every higher-index ray out of the straggler pool)
     t_next = jnp.where(processed & m["truncated"],
-                       out["t_last"] + dt, t2)
+                       jnp.minimum(m["t_resume"], t2), t2)
     t_next = jnp.where(processed, jnp.maximum(t_next, t_cur), t_cur)
     alive = (T_new > T_threshold) & (t_next < t2) \
         & (m["truncated"] | ~processed)
@@ -125,7 +129,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         passes: int = 4, straggler_div: int = 4,
                         budget_div: int = 4, apply_fn=None,
                         pooled_stragglers: bool = True,
-                        march: str = "seg"):
+                        march: str = "seg", drain: bool = False,
+                        max_passes: int = 1024):
     """Full-image one-shot renderer (bounded scenes).
 
     With `pooled_stragglers` (default), every chunk runs ONE main pass and
@@ -133,7 +138,18 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     single pool that the remaining `passes-1` straggler passes drain —
     instead of each chunk paying its own straggler passes regardless of
     how few of its rays are alive (image-wide alive counts after the main
-    pass are typically a small fraction of one chunk)."""
+    pass are typically a small fraction of one chunk).
+
+    With `drain`, the fixed `passes-1` schedule is replaced by a
+    `lax.while_loop` that keeps pulling up to chunk/straggler_div alive
+    rays until NONE remain (bounded by `max_passes` for guaranteed
+    termination, no host sync).  A fixed schedule starves at high
+    resolution: after a k-sample main pass at 800^2, the alive content set
+    (~1e5 rays needing 2-4 more passes) exceeds any affordable static
+    pool x passes product, and every starved ray gets background blended
+    over its missing tail — measured as a multi-dB PSNR loss.  The drain
+    makes per-frame cost proportional to actual leftover content
+    instead."""
     R = rays_o.shape[0]
     chunk = min(chunk, max(R, 1))
     pad = (-R) % chunk
@@ -172,6 +188,16 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     # ---- image-wide straggler pool ----
     N = R + pad
     sr = max(chunk // straggler_div, 1)
+    if drain:
+        rgb, opacity, depth = _drain_pool(
+            params, cfg, occ_u8, ro, rdu, acc["t2"], rgb, opacity, depth,
+            T, t_cur, alive, sr=sr, max_passes=max_passes,
+            T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+            n_keep_sup=n_keep_sup, max_samples=max_samples,
+            apply_fn=apply_fn, march=march)
+        bg = 1.0 if exp_step_factor == 0.0 else 0.0
+        rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
+        return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
     for _ in range(passes - 1):
         iota = jnp.arange(N, dtype=jnp.int32)
         score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
@@ -204,6 +230,53 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     bg = 1.0 if exp_step_factor == 0.0 else 0.0
     rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
     return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
+
+
+@partial(jax.jit, static_argnames=("sr", "max_passes", "cfg",
+                                   "T_threshold", "k", "n_keep", "sup",
+                                   "n_keep_sup", "max_samples", "apply_fn",
+                                   "march"))
+def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
+                t_cur, alive, *, sr, max_passes, T_threshold, k, n_keep,
+                sup, n_keep_sup, max_samples, apply_fn, march):
+    """while_loop straggler drain: pull <=sr alive rays per trip (dense
+    per-pass field eval, no packing sort) until no ray is alive or
+    `max_passes` trips elapsed."""
+    N = ro.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+
+    def cond(c):
+        return (c[0] < max_passes) & jnp.any(c[6])
+
+    def body(c):
+        i, rgb, opacity, depth, T, t_cur, alive = c
+        score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
+        svals, ridx = jax.lax.top_k(score, sr)
+        is_real = svals > -(N + 1)
+        q = _render_pass(params, cfg, occ_u8, ro[ridx], rdu[ridx],
+                         jnp.where(is_real, t_cur[ridx], jnp.inf),
+                         jnp.where(is_real, t2[ridx], 0.0),
+                         jnp.where(is_real, T[ridx], 0.0),
+                         T_threshold=T_threshold, k=k, n_keep=n_keep,
+                         sup=sup, n_keep_sup=n_keep_sup,
+                         max_samples=max_samples, budget=0,
+                         apply_fn=apply_fn, march=march)
+
+        def scat(full, add_or_new, mode="add"):
+            cur = full[ridx]
+            upd = cur + add_or_new if mode == "add" else add_or_new
+            return full.at[ridx].set(
+                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                          upd, cur), unique_indices=True)
+
+        return (i + 1, scat(rgb, q["rgb"]), scat(opacity, q["opacity"]),
+                scat(depth, q["depth"]), scat(T, q["T"], "set"),
+                scat(t_cur, q["t_next"], "set"),
+                scat(alive, q["alive"] & is_real, "set"))
+
+    c = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rgb, opacity, depth, T, t_cur, alive))
+    return c[1], c[2], c[3]
 
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",

@@ -109,6 +109,14 @@ def march_rays_train_block(rays_o, rays_d, hits_t, occ_blocks, *,
     live = grp_ok.any(-1)
     pick, gvalid = _first_k(live, nk)                        # (R, nk)
     truncated = live.sum(-1) > nk
+    # resume point for multi-pass renderers: unexamined content starts
+    # past the last kept group (kept groups are fully examined; group
+    # liveness here is EXACT, but the uniform t_resume contract matches
+    # march_seg and skips re-testing the dead tail of the last group)
+    t_resume = jnp.where(
+        truncated,
+        t0 + (jnp.max(jnp.where(gvalid, pick, -1), -1)
+              .astype(jnp.float32) + 1.0) * g * dt, jnp.inf)
     sel = jnp.take_along_axis(grp_ok, pick[..., None], 1)    # (R, nk, g)
     ts_sel = jnp.take_along_axis(ts.reshape(R, q, g), pick[..., None], 1)
     cand = (sel & gvalid[..., None]).reshape(R, nk * g)
@@ -124,10 +132,15 @@ def march_rays_train_block(rays_o, rays_d, hits_t, occ_blocks, *,
         ts_out = jnp.where(valid, ts_flat, 0.0)
     else:
         idx, valid = _first_k(cand, k_samples)
-        truncated = truncated | (cand.sum(-1) > k_samples)
+        trunc2 = cand.sum(-1) > k_samples
         ts_out = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
+        t_resume = jnp.minimum(t_resume, jnp.where(
+            trunc2, jnp.max(jnp.where(valid, ts_out, 0.0), -1) + dt,
+            jnp.inf))
+        truncated = truncated | trunc2
     deltas = jnp.where(valid, dt, 0.0)
     xyzs = rays_o[:, None, :] + ts_out[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
     return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts_out, valid=valid,
-                truncated=truncated, total_samples=valid.sum())
+                truncated=truncated, t_resume=t_resume,
+                total_samples=valid.sum())

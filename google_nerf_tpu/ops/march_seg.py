@@ -203,8 +203,22 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         pick, seg_valid = _first_k(live, min(n_keep, live.shape[-1]))
         seg_idx = jnp.take_along_axis(seg_global, pick, 1)
         n_keep = pick.shape[-1]
-        # more live work existed than the phase budgets could carry
-        truncated = (live_sup.sum(-1) > nk_sup) | (live.sum(-1) > n_keep)
+        # more live work existed than the phase budgets could carry.
+        # t_resume = earliest lattice point that may hold UNEXAMINED
+        # content: past the last kept super-segment / segment (kept ones
+        # are fully examined; liveness is conservative, so a kept segment
+        # can have ZERO exact-occupied candidates — resuming at
+        # t_last(valid)+dt would then not advance and the ray would spin
+        # forever in a multi-pass renderer's straggler pool).
+        trunc_sup = live_sup.sum(-1) > nk_sup
+        trunc_seg = live.sum(-1) > n_keep
+        sup_end = t0 + (jnp.max(jnp.where(sup_valid, sup_idx, -1), -1)
+                        .astype(jnp.float32) + 1.0) * (sup * seg) * dt
+        seg_end = t0 + (jnp.max(jnp.where(seg_valid, seg_idx, -1), -1)
+                        .astype(jnp.float32) + 1.0) * seg * dt
+        t_resume = jnp.minimum(jnp.where(trunc_sup, sup_end, jnp.inf),
+                               jnp.where(trunc_seg, seg_end, jnp.inf))
+        truncated = trunc_sup | trunc_seg
     else:
         # ---- phase 1: per-segment liveness ----
         seg_start_t = t0[:, None] + (jnp.arange(n_segs, dtype=jnp.float32)
@@ -226,6 +240,10 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         live = live & (seg_start_t < t2[:, None]) & hit[:, None]
         seg_idx, seg_valid = _first_k(live, n_keep)          # (R, n_keep)
         truncated = live.sum(-1) > n_keep
+        t_resume = jnp.where(
+            truncated,
+            t0 + (jnp.max(jnp.where(seg_valid, seg_idx, -1), -1)
+                  .astype(jnp.float32) + 1.0) * seg * dt, jnp.inf)
 
     # ---- phase 2: exact test inside kept segments ----
     base = seg_idx.astype(jnp.float32) * seg                 # (R, n_keep)
@@ -257,10 +275,17 @@ def march_rays_train_seg(rays_o, rays_d, hits_t, occ_u8, *, cascades: int,
         ts = jnp.where(valid, ts_flat, 0.0)
     else:
         idx, valid = _first_k(cand_ok, k_samples)
-        truncated = truncated | (cand_ok.sum(-1) > k_samples)
+        trunc2 = cand_ok.sum(-1) > k_samples
         ts = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
+        # sample-level truncation: kept samples are the first k in
+        # ascending t, so unexamined content starts right after the last
+        # kept sample (strictly before any segment-level resume point)
+        t_resume = jnp.minimum(t_resume, jnp.where(
+            trunc2, jnp.max(jnp.where(valid, ts, 0.0), -1) + dt, jnp.inf))
+        truncated = truncated | trunc2
     deltas = jnp.where(valid, dt, 0.0)
     xyzs = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
     return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts, valid=valid,
-                truncated=truncated, total_samples=valid.sum())
+                truncated=truncated, t_resume=t_resume,
+                total_samples=valid.sum())

@@ -143,6 +143,22 @@ def get_opts(argv=None):
                              'live 47.9) and renders strictly faster; 1024 '
                              'needs more straggler passes than the default '
                              'budget and under-renders dense content')
+    parser.add_argument('--oneshot_k', type=int, default=32,
+                        help='oneshot renderer: samples per ray per pass')
+    parser.add_argument('--oneshot_budget_div', type=int, default=0,
+                        help='oneshot main pass: field budget = '
+                             'chunk*k/div with packing sort; 0 = dense '
+                             'row-wise pass (no sort)')
+    parser.add_argument('--oneshot_straggler_div', type=int, default=8,
+                        help='straggler pool size = chunk/div per pass')
+    parser.add_argument('--no_oneshot_drain', dest='oneshot_drain',
+                        action='store_false', default=True,
+                        help='disable the while_loop straggler drain and '
+                             'use the fixed --oneshot_passes schedule '
+                             '(which starves at high resolution)')
+    parser.add_argument('--oneshot_passes', type=int, default=6,
+                        help='fixed straggler schedule length when '
+                             '--no_oneshot_drain is set')
     parser.add_argument('--bake', action='store_true', default=False,
                         help='test.py: bake the field to a sparse voxel '
                              'pool and render the baked serving path')

@@ -94,16 +94,22 @@ def run(hparams):
                 render_test_oneshot
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples
+            os_kw = dict(
+                T_threshold=1e-2, max_samples=rms, march=serve_march,
+                k=getattr(hparams, "oneshot_k", 32),
+                budget_div=getattr(hparams, "oneshot_budget_div", 0),
+                straggler_div=getattr(hparams, "oneshot_straggler_div", 8),
+                drain=getattr(hparams, "oneshot_drain", True),
+                passes=getattr(hparams, "oneshot_passes", 6))
             if baked is not None:
                 from google_nerf_tpu.models.baked import make_baked_apply
                 out = render_test_oneshot(
                     baked, cfg.model, occ_oneshot, rays_o, rays_d,
-                    T_threshold=1e-2, max_samples=rms,
-                    apply_fn=make_baked_apply(bcfg), march=serve_march)
+                    apply_fn=make_baked_apply(bcfg), **os_kw)
             else:
                 out = render_test_oneshot(
-                    state["params"], cfg.model, occ_oneshot, rays_o, rays_d,
-                    T_threshold=1e-2, max_samples=rms, march=serve_march)
+                    state["params"], cfg.model, occ_oneshot, rays_o,
+                    rays_d, **os_kw)
         elif baked is not None:
             out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
                                     rays_d, bcfg=bcfg, T_threshold=1e-2,
