@@ -176,6 +176,34 @@ def render_test_fast_dp(params, cfg, occ_u8, rays_o, rays_d, mesh: Mesh,
     return {k: v[:R] for k, v in out.items()}
 
 
+def render_test_oneshot_dp(params, cfg, occ_u8, rays_o, rays_d, mesh: Mesh,
+                           axis_name: str = "data", **kw):
+    """Data-parallel one-shot serving render: rays sharded over the mesh,
+    each replica runs the full one-shot renderer (main pass + straggler
+    drain) on its shard.  Rays are independent, so there are no
+    collectives and FPS scales linearly with the mesh — the TPU-native
+    serving answer to per-chip gather-bandwidth limits (serve novel views
+    on a slice, not a chip).  Same sharding contract as
+    render_test_fast_dp above."""
+    from google_nerf_tpu.models.render_test_oneshot import \
+        render_test_oneshot
+
+    n = mesh.shape[axis_name]
+    R = rays_o.shape[0]
+    pad = (-R) % n
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+    rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
+
+    def per_replica(params, occ_u8, o, d):
+        return render_test_oneshot(params, cfg, occ_u8, o, d, **kw)
+
+    sharded = shard_map(per_replica, mesh=mesh,
+                        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+                        out_specs=P(axis_name), check_vma=False)
+    out = sharded(replicate(params, mesh), replicate(occ_u8, mesh), ro, rd)
+    return {k: v[:R] for k, v in out.items()}
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> int:

@@ -103,13 +103,21 @@ def run(hparams):
                 passes=getattr(hparams, "oneshot_passes", 6))
             if baked is not None:
                 from google_nerf_tpu.models.baked import make_baked_apply
-                out = render_test_oneshot(
-                    baked, cfg.model, occ_oneshot, rays_o, rays_d,
-                    apply_fn=make_baked_apply(bcfg), **os_kw)
+                os_kw["apply_fn"] = make_baked_apply(bcfg)
+            p = baked if baked is not None else state["params"]
+            n_dev = getattr(hparams, "num_gpus", 1)
+            if n_dev == -1:
+                n_dev = jax.device_count()
+            if n_dev > 1:
+                # serve on a mesh: rays sharded, FPS scales linearly
+                from google_nerf_tpu.parallel.dp import (
+                    make_mesh, render_test_oneshot_dp)
+                out = render_test_oneshot_dp(
+                    p, cfg.model, occ_oneshot, rays_o, rays_d,
+                    make_mesh(n_dev), **os_kw)
             else:
-                out = render_test_oneshot(
-                    state["params"], cfg.model, occ_oneshot, rays_o,
-                    rays_d, **os_kw)
+                out = render_test_oneshot(p, cfg.model, occ_oneshot,
+                                          rays_o, rays_d, **os_kw)
         elif baked is not None:
             out = render_test_baked(baked, cfg.model, occ_u8, rays_o,
                                     rays_d, bcfg=bcfg, T_threshold=1e-2,

@@ -162,6 +162,10 @@ def apply_platform(hparams):
         import jax
         try:
             jax.config.update('jax_platforms', hparams.platform)
+            n = getattr(hparams, 'num_gpus', 1)
+            if hparams.platform == 'cpu' and n > 1:
+                # CPU meshes (tests / dryruns) need virtual devices
+                jax.config.update('jax_num_cpu_devices', int(n))
         except Exception as e:  # already initialised
             print(f'[warn] could not switch platform: {e}')
 
