@@ -189,7 +189,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     N = R + pad
     sr = max(chunk // straggler_div, 1)
     if drain:
-        rgb, opacity, depth = _drain_pool(
+        rgb, opacity, depth, trips = _drain_pool(
             params, cfg, occ_u8, ro, rdu, acc["t2"], rgb, opacity, depth,
             T, t_cur, alive, sr=sr, max_passes=max_passes,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
@@ -197,7 +197,9 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             apply_fn=apply_fn, march=march)
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
         rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
-        return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
+        return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R],
+                    drain_trips=trips,
+                    alive_after_main=jnp.sum(alive).astype(jnp.int32))
     for _ in range(passes - 1):
         iota = jnp.arange(N, dtype=jnp.int32)
         score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
@@ -276,7 +278,7 @@ def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
 
     c = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rgb, opacity, depth, T, t_cur, alive))
-    return c[1], c[2], c[3]
+    return c[1], c[2], c[3], c[0]
 
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",

@@ -27,5 +27,14 @@ instead of the kernel layer (measured end to end, 12.9k -> 102k rays/s):
 If a future toolchain adds vector gather/scatter (or SparseCore access),
 the first kernels to write here are the hash-encode forward and the
 table-gradient scatter; the microbenchmarks to beat live in
-tools/sanity_bench.py and tools/microbench3.py.
+tools/sanity_bench.py, tools/microbench3.py and tools/microbench_mlp.py.
+
+Round-5 calibration (tools/microbench_mlp.py on the v5e): the row-count
+bound quoted above holds only for NARROW rows — fat rows are BYTE-bound:
+1.05M x 64B f32 rows gather in 24.9 ms (42M rows/s) and the same rows in
+bf16 (32B) in 14.9 ms (70M rows/s), i.e. cost ~= a + b*row_bytes.  The
+packed-corner encode forward (15.6 ms) sits exactly AT its bf16 gather
+floor, so the encoder cannot be made faster by any kernel that still
+fetches 8 corners x 2 features per (sample, level) — only fewer rows
+(sample budget, levels) or narrower rows (dtype) move it.
 """

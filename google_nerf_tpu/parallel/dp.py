@@ -195,7 +195,11 @@ def render_test_oneshot_dp(params, cfg, occ_u8, rays_o, rays_d, mesh: Mesh,
     rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
 
     def per_replica(params, occ_u8, o, d):
-        return render_test_oneshot(params, cfg, occ_u8, o, d, **kw)
+        out = render_test_oneshot(params, cfg, occ_u8, o, d, **kw)
+        # per-ray fields only: scalar drain stats can't take the ray
+        # sharding (and differ per replica anyway)
+        return {k: v for k, v in out.items()
+                if v.ndim >= 1 and v.shape[0] == o.shape[0]}
 
     sharded = shard_map(per_replica, mesh=mesh,
                         in_specs=(P(), P(), P(axis_name), P(axis_name)),

@@ -35,6 +35,7 @@ def run_variant(batch_size: int, budget: int, *, rays_total: int = 2 ** 23):
 
     n_steps = rays_total // batch_size
     warm = max(256, n_steps // 8)
+    n_steps = max(n_steps, warm + 64)
 
     def loop(state, lo, hi):
         for i in range(lo, hi):

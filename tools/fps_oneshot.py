@@ -90,13 +90,13 @@ def main():
     if av.variants:
         variants = []
         for spec in av.variants.split(","):
-            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0)
+            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0, dr=0)
             for part in spec.split(":"):
                 kname = part.rstrip("0123456789")
                 f[kname] = int(part[len(kname):])
             kw = dict(max_samples=f["ms"], chunk=131072, k=f["k"],
                       passes=f["p"], budget_div=f["bd"],
-                      straggler_div=f["sd"],
+                      straggler_div=f["sd"], drain=bool(f["dr"]),
                       march="block" if f["mb"] else "seg")
             variants.append((f"live {spec}", None, kw))
             if baked_fn is not None:
@@ -112,12 +112,17 @@ def main():
     for name, fn, v in variants:
         p = baked if fn is not None else state["params"]
 
-        def frame():
-            return render_test_oneshot(p, cfg.model, get_occ(
+        def frame(full=False):
+            r = render_test_oneshot(p, cfg.model, get_occ(
                 v["max_samples"], v.get("march", "seg")), o, d,
-                T_threshold=1e-2, apply_fn=fn, **v)["rgb"]
-        out = frame()
+                T_threshold=1e-2, apply_fn=fn, **v)
+            return r if full else r["rgb"]
+        full0 = frame(True)
+        out = full0["rgb"]
         jax.block_until_ready(out)
+        if "drain_trips" in full0:
+            print(f"  drain_trips={int(full0['drain_trips'])} "
+                  f"alive_after_main={int(full0['alive_after_main'])}")
         t0 = time.time()
         outs = [frame() for _ in range(3)]
         jax.block_until_ready(outs)
