@@ -48,6 +48,10 @@ class NGPConfig:
     packed_features: int = 2
     packed_log2_size: int = 16
     packed_max_res: int = 0          # 0 = reference N_max (2048*scale)
+    packed_table_dtype: str = "bfloat16"  # gather dtype: fat-row gathers
+                                     # are byte-bound (ops/pallas notes), so
+                                     # a narrower dtype speeds the encoder;
+                                     # params/grads stay f32 regardless
     grid_size: int = 128
     sigma_width: int = 64
     geo_feat_dim: int = 16
@@ -73,7 +77,8 @@ class NGPConfig:
             self.scale, n_levels=self.packed_levels,
             n_features=self.packed_features,
             log2_table_size=self.packed_log2_size,
-            max_resolution=self.packed_max_res)
+            max_resolution=self.packed_max_res,
+            table_dtype=self.packed_table_dtype)
 
     @property
     def xyz_feat_dim(self) -> int:

@@ -1,10 +1,14 @@
-"""A/B: training rays/s/chip vs (batch_size, samples_budget) at the flagship
-block-march config — does scaling the ray batch amortize fixed overheads, and
-how much does tightening the per-ray sample budget buy?
+"""A/B: training rays/s/chip vs config knobs at the flagship block-march
+recipe — batch size, samples budget, encoder levels, table gather dtype,
+grid-update cadence.
+
+Variant spec (argv[1]): comma list of colon-separated key=value fields,
+e.g. "b8192:bud98304,b8192:lev6,b8192:dtype=float8_e4m3fn,b8192:gi32".
+Bare "batch:budget" pairs (legacy) still work.
 
 Each variant costs a fresh remote compile (minutes); keep the list short.
-Prints one line per variant + a quality signal (train PSNR after the same
-number of RAYS, not steps, so variants see equal supervision).
+Prints ms/step, rays/s, vs-baseline, and train PSNR after an equal number
+of RAYS (so variants see equal supervision).
 """
 import functools
 import sys
@@ -16,7 +20,9 @@ import jax.numpy as jnp
 print = functools.partial(print, flush=True)
 
 
-def run_variant(batch_size: int, budget: int, *, rays_total: int = 2 ** 23):
+def run_variant(batch_size: int, budget: int, *, levels: int = 8,
+                table_dtype: str = "bfloat16", grid_interval: int = 16,
+                rays_total: int = 2 ** 23):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -24,10 +30,12 @@ def run_variant(batch_size: int, budget: int, *, rays_total: int = 2 ** 23):
                                               init_train_state)
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
-                      compute_dtype=jnp.bfloat16)
+                      compute_dtype=jnp.bfloat16, packed_levels=levels,
+                      packed_table_dtype=table_dtype)
     cfg = TrainConfig(model=model, batch_size=batch_size, k_samples=256,
                       num_epochs=30, samples_budget=budget, random_bg=True,
-                      exclude_incomplete="backfill", march="block")
+                      exclude_incomplete="backfill", march="block",
+                      grid_update_interval=grid_interval)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
@@ -56,21 +64,43 @@ def run_variant(batch_size: int, budget: int, *, rays_total: int = 2 ** 23):
     state, m = loop(state, warm, n_steps)
     dt = time.time() - t0
     rps = (n_steps - warm) * batch_size / dt
-    print(f"batch={batch_size:6d} budget={budget:7d}: "
+    print(f"b={batch_size} bud={budget} lev={levels} dt={table_dtype[:6]} "
+          f"gi={grid_interval}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
           f"psnr={float(m['psnr']):.2f} s_per_ray={float(m['s_per_ray']):.1f}"
           f"  [warm+compile {t_compile_warm:.0f}s]")
 
 
+def parse_variant(spec: str):
+    kw = dict(batch_size=8192, budget=131072)
+    parts = spec.split(":")
+    # legacy "batch:budget"
+    if all(p.isdigit() for p in parts) and len(parts) == 2:
+        return dict(batch_size=int(parts[0]), budget=int(parts[1]))
+    for p in parts:
+        if p.startswith("dtype="):
+            kw["table_dtype"] = p[6:]
+        elif p.startswith("b") and p[1:].isdigit():
+            kw["batch_size"] = int(p[1:])
+        elif p.startswith("bud"):
+            kw["budget"] = int(p[3:])
+        elif p.startswith("lev"):
+            kw["levels"] = int(p[3:])
+        elif p.startswith("gi"):
+            kw["grid_interval"] = int(p[2:])
+        else:
+            raise ValueError(f"bad field {p!r} in {spec!r}")
+    return kw
+
+
 def main():
-    variants = [(8192, 131072), (16384, 262144), (16384, 196608),
-                (32768, 393216)]
-    if len(sys.argv) > 1:  # e.g. "16384:262144,32768:524288"
-        variants = [tuple(int(x) for x in v.split(":"))
-                    for v in sys.argv[1].split(",")]
-    for b, bud in variants:
-        run_variant(b, bud)
+    if len(sys.argv) > 1:
+        variants = [parse_variant(v) for v in sys.argv[1].split(",")]
+    else:
+        variants = [dict(batch_size=8192, budget=131072)]
+    for kw in variants:
+        run_variant(**kw)
     print("DONE")
 
 
