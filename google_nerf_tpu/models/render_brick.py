@@ -1,0 +1,317 @@
+"""Tile-rasterized baked-brick renderer — the serving path designed for
+the v5e gather ceiling.
+
+Every other test renderer here is a ray-MARCHER: each ray pays occupancy
+gather rows to discover its content (~30-250 rows/ray at 800^2), which the
+XLA gather ceiling (~40-160M rows/s, tools/microbench_gather.py) caps at
+~1 FPS.  This renderer inverts the traversal: the baked field's occupied
+BRICKS (8^3-voxel blocks of the sparse pool, models/baked.py) are
+rasterized once per frame into per-tile front-to-back lists, so
+
+  * a background ray touches NOTHING (zero gathers, zero field work);
+  * a content sample costs exactly ONE fat pool-row gather (256 B holding
+    all 8 trilinear corners) — the brick identity comes from the raster,
+    not from a block_map lookup;
+  * all remaining per-ray work (cone cull, slab tests, lattice windows,
+    compositing) is dense VPU arithmetic at static shapes.
+
+Pipeline (all jitted, no host sync):
+  1. cone cull      every (tile, brick) pair: conservative sphere-vs-cone
+                    test built from the tile's own rays (convention-free —
+                    no intrinsics; works for any pinhole pose).
+  2. tile lists     top_k nearest-L relevant bricks per tile, front-to-back.
+  3. pair build     exact ray/brick-AABB slab tests against the tile list;
+                    per-ray sort by entry lattice index; keep first Lk.
+  4. pair packing   plan_packing over (rays, Lk) pairs (ray-major), so the
+                    field runs on ~content pairs only.
+  5. field          one pool gather per sample + trilerp + rgb MLP
+                    (exact view-dependent shading, same math as
+                    models/baked.baked_field).
+  6. composite      two-level and exact: per-pair interior transmittance
+                    reduction over the S-sample window, then an exclusive
+                    cumprod over each ray's ordered pairs.
+
+Semantics match the marching renderers' lattice (global dt = sqrt(3)/
+max_samples anchored at the ray's scene-AABB entry, near clamp 0.05,
+T_threshold early-stop, reference `ngp_pl/models/rendering.py:43-114`);
+the sample SET is the baked-brick superset of the occupancy-march set, so
+outputs agree to rendering tolerance (tests/test_render_brick.py) rather
+than bit-exactly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from google_nerf_tpu.models.baked import BakedConfig
+from google_nerf_tpu.models.mlp import mlp_apply
+from google_nerf_tpu.models.ngp import NGPConfig
+from google_nerf_tpu.models.encoders import sh_encode_deg4
+from google_nerf_tpu.ops.compaction import pack, plan_packing, unpack
+from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
+from google_nerf_tpu.ops.trunc_exp import trunc_exp
+
+SQRT3 = 3.0 ** 0.5
+NEAR_DISTANCE = 0.05
+
+
+def brick_geometry(block_map, bcfg: BakedConfig, cfg: NGPConfig):
+    """Host-side: world AABBs of the occupied bricks, in pool order.
+
+    Returns (lo, hi, pool_base): (Nb, 3) f32 world bounds and the (Nb,)
+    int32 first-row index of each brick's voxels in the baked pool.
+    """
+    bm = np.asarray(block_map)
+    Gb, Bk, V = bcfg.block_res, bcfg.block, bcfg.voxel_res
+    s = min(1.0, cfg.scale)
+    blk_ids = np.flatnonzero(bm >= 0).astype(np.int32)
+    order = np.argsort(bm[blk_ids])          # pool order
+    blk_ids = blk_ids[order]
+    bx = blk_ids // (Gb * Gb)
+    by = (blk_ids // Gb) % Gb
+    bz = blk_ids % Gb
+    origin = np.stack([bx, by, bz], -1).astype(np.float32) * Bk
+    lo = (origin / V * 2.0 - 1.0) * s
+    hi = ((origin + Bk) / V * 2.0 - 1.0) * s
+    pool_base = (bm[blk_ids] * (Bk ** 3)).astype(np.int32)
+    return (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(pool_base))
+
+
+def tile_order(W: int, H: int, tile: int):
+    """Host-side: permutation grouping pixel-rays tile-by-tile (row-major
+    tiles, row-major within a tile) + its inverse.  W, H must be multiples
+    of `tile` (callers pad the image if not)."""
+    idx = np.arange(W * H, dtype=np.int32).reshape(H, W)
+    Ty, Tx = H // tile, W // tile
+    perm = (idx.reshape(Ty, tile, Tx, tile).transpose(0, 2, 1, 3)
+            .reshape(-1))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+def _tile_cones(rays_o, rays_du, n_tiles: int, tpx: int):
+    """Per-tile bounding cone from the tile's own unit ray dirs:
+    (apex o, axis c_hat, tan of half-angle).  Convention-free."""
+    d = rays_du.reshape(n_tiles, tpx, 3)
+    axis = d.mean(1)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    cos_min = jnp.min(jnp.sum(d * axis[:, None, :], -1), 1)
+    cos_min = jnp.clip(cos_min, 1e-3, 1.0)
+    tan_half = jnp.sqrt(1.0 - cos_min ** 2) / cos_min
+    o = rays_o.reshape(n_tiles, tpx, 3)[:, 0]   # pinhole: shared origin
+    return o, axis, tan_half
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
+    """Cone-cull every brick against every tile; keep the nearest L
+    relevant bricks per tile, front-to-back.  Returns (T, L) brick index
+    (-1 pad), plus per-tile overflow flag."""
+    c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
+    r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
+    v = c - o[:, None, :]                            # (T, Nb, 3)
+    t_c = jnp.sum(v * axis[:, None, :], -1)
+    # conservative: radial distance to cone axis vs cone radius + margin
+    rad2 = jnp.sum(v * v, -1) - t_c ** 2
+    lim = t_c * tan_half[:, None] + r_b * (1.0 + tan_half[:, None])
+    relevant = (t_c > -r_b) & (t_c < t_far[:, None] + r_b) \
+        & (rad2 <= lim * lim)
+    n_rel = relevant.sum(-1)
+    key = jnp.where(relevant, t_c, jnp.inf)
+    neg_t, bidx = jax.lax.top_k(-key, L)             # nearest L, ascending t
+    bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
+    return bidx.astype(jnp.int32), n_rel > L
+
+
+def _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi, pool_base,
+                  bidx_per_ray, dt):
+    """Exact slab tests of each ray against its tile's brick list.
+    Returns per-(ray, l): n0/n1 lattice window (n0 > n1 = miss), pool base.
+    Lattice: t = t1_ray + (n + 0.5) * dt (global per-ray anchor, matching
+    the marching renderers)."""
+    safe = jnp.maximum(bidx_per_ray, 0)
+    lo = brick_lo[safe]                              # (R, L, 3)
+    hi = brick_hi[safe]
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_du) > 1e-10, rays_du,
+                            jnp.where(rays_du >= 0, 1e-10, -1e-10))
+    t_lo = (lo - rays_o[:, None, :]) * inv_d[:, None, :]
+    t_hi = (hi - rays_o[:, None, :]) * inv_d[:, None, :]
+    ta = jnp.max(jnp.minimum(t_lo, t_hi), -1)
+    tb = jnp.min(jnp.maximum(t_lo, t_hi), -1)
+    ta = jnp.maximum(ta, t1[:, None])
+    tb = jnp.minimum(tb, t2[:, None])
+    n0 = jnp.ceil((ta - t1[:, None]) / dt - 0.5).astype(jnp.int32)
+    n0 = jnp.maximum(n0, 0)
+    n1 = jnp.floor((tb - t1[:, None]) / dt - 0.5).astype(jnp.int32)
+    hit = (bidx_per_ray >= 0) & (tb > ta) & (n1 >= n0)
+    return jnp.where(hit, n0, jnp.iinfo(jnp.int32).max // 2), \
+        jnp.where(hit, n1, -1), \
+        jnp.where(hit, pool_base[safe], 0)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "bcfg", "tile", "L", "Lk", "S", "max_samples", "T_threshold",
+    "pairs_budget"))
+def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
+                  rays_du, *, cfg: NGPConfig, bcfg: BakedConfig, tile: int,
+                  L: int, Lk: int, S: int, max_samples: int,
+                  T_threshold: float, pairs_budget: int):
+    """Render one tile-contiguous chunk of rays.  Returns per-ray rgb/
+    opacity/depth plus truncation telemetry."""
+    R = rays_o.shape[0]
+    tpx = tile * tile
+    T = R // tpx
+    V, Bk = bcfg.voxel_res, bcfg.block
+    s = min(1.0, cfg.scale)
+    F = bcfg.feat_dim
+    dt = SQRT3 / max_samples
+
+    hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+    t1 = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0), 0.0)
+
+    # 1-2: cone cull -> per-tile nearest-L brick lists
+    o_t, axis_t, tan_t = _tile_cones(rays_o, rays_du, T, tpx)
+    t_far = t2.reshape(T, tpx).max(-1)
+    bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t, tan_t,
+                                  t_far, L=L)
+
+    # 3: exact per-ray windows against the tile list
+    bidx_ray = jnp.repeat(bidx, tpx, axis=0)         # (R, L)
+    n0, n1, pb = _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi,
+                               pool_base, bidx_ray, dt)
+    # per-ray front-to-back pair order (tile lists are only approximately
+    # per-ray sorted); misses carry n0 = +BIG and sort to the end
+    n0, n1, pb = jax.lax.sort((n0, n1, pb), num_keys=1)
+    ray_over = n1[:, Lk:].max(-1) >= 0 if Lk < L else jnp.zeros(R, bool)
+    n0, n1, pb = n0[:, :Lk], n1[:, :Lk], pb[:, :Lk]
+    pair_valid = n1 >= n0
+
+    # 4: pack content pairs
+    pairs_budget = min(pairs_budget, R * Lk)
+    plan = plan_packing(pair_valid, pairs_budget, sample_major=False)
+    ray_of_pair = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lk))
+    p_n0 = pack(n0.reshape(-1), plan)
+    p_n1 = pack(n1.reshape(-1), plan)
+    p_pb = pack(pb.reshape(-1), plan)
+    p_ray = pack(ray_of_pair.reshape(-1), plan)
+    dropped = plan.n_valid > pairs_budget
+
+    # 5: field on the packed (P, S) sample windows
+    P = p_n0.shape[0]
+    n = p_n0[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    p_t1 = jnp.take(t1, p_ray)
+    ts = p_t1[:, None] + (n.astype(jnp.float32) + 0.5) * dt
+    s_valid = (n <= p_n1[:, None]) & plan.slot_valid[:, None]
+    ro = jnp.take(rays_o, p_ray, axis=0)
+    rd = jnp.take(rays_du, p_ray, axis=0)
+    xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+    pos = jnp.clip(xyz / s * 0.5 + 0.5, 0.0, 1.0 - 1e-6) * V
+    v0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - v0).astype(jnp.bfloat16)
+    local = jnp.clip(v0 - (v0 // Bk) * Bk, 0, Bk - 1)
+    lid = (local[..., 0] * Bk + local[..., 1]) * Bk + local[..., 2]
+    row_idx = jnp.where(s_valid, p_pb[:, None] + lid, 0)
+    rows = jnp.take(pool, row_idx.reshape(-1), axis=0)      # THE gather
+    rows = rows.reshape(P * S, 8, F)
+    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
+                        for c in range(8)], jnp.bfloat16)
+    fr = frac.reshape(P * S, 1, 3)
+    w8 = jnp.where(offs[None] == 1, fr, 1.0 - fr)
+    w8 = w8[..., 0] * w8[..., 1] * w8[..., 2]
+    h = jnp.einsum("nc,ncf->nf", w8, rows).astype(jnp.float32)
+    sigma = jnp.where(s_valid.reshape(-1), trunc_exp(h[:, 0]), 0.0)
+    sh = sh_encode_deg4(rd)                                  # per pair
+    rgb_in = jnp.concatenate(
+        [jnp.broadcast_to(sh[:, None, :], (P, S, sh.shape[-1]))
+         .reshape(P * S, -1), h], axis=-1)
+    rgb_s = jax.nn.sigmoid(
+        mlp_apply(rgb_mlp, rgb_in, compute_dtype=jnp.bfloat16))
+
+    # 6a: per-pair interior composite (ordered S window)
+    sd = jnp.minimum(sigma.reshape(P, S) * dt, 80.0)
+    tau_in = jnp.cumsum(sd, -1) - sd
+    T_in = jnp.exp(-tau_in)
+    alpha = 1.0 - jnp.exp(-sd)
+    w = T_in * alpha
+    pair_tau = sd.sum(-1)
+    pair_rgb = (w[..., None] * rgb_s.reshape(P, S, 3)).sum(1)
+    pair_dep = (w * ts).sum(-1)
+
+    # 6b: per-ray combine over ordered pairs (exclusive transmittance)
+    tau_g = unpack(pair_tau, plan).reshape(R, Lk)
+    rgb_g = unpack(pair_rgb, plan).reshape(R, Lk, 3)
+    dep_g = unpack(pair_dep, plan).reshape(R, Lk)
+    T_bef = jnp.exp(-(jnp.cumsum(tau_g, -1) - tau_g))
+    live = T_bef > T_threshold
+    Tl = jnp.where(live, T_bef, 0.0)
+    rgb = (Tl[..., None] * rgb_g).sum(1)
+    depth = (Tl * dep_g).sum(1)
+    opacity = jnp.clip(1.0 - jnp.exp(-jnp.where(live, tau_g, 0.0)
+                                     .sum(-1)), 0.0, 1.0)
+    return dict(rgb=rgb, opacity=opacity, depth=depth,
+                trunc_tiles=tile_over.sum().astype(jnp.int32),
+                trunc_rays=(ray_over & (t2 > 0)).sum().astype(jnp.int32),
+                pairs_dropped=dropped.astype(jnp.int32))
+
+
+def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
+                 bcfg: BakedConfig = BakedConfig(), tile: int = 8,
+                 L: int = 64, Lk: int = 24, max_samples: int = 512,
+                 T_threshold: float = 1e-2, chunk_tiles: int = 2048,
+                 pairs_per_ray: float = 4.0, exp_step_factor: float = 0.0,
+                 geometry=None):
+    """Full-frame brick renderer over (W*H) rays in image row-major order.
+
+    `geometry`: optional cached output of brick_geometry(block_map) — pass
+    it to avoid the host-side rebuild each frame."""
+    assert W % tile == 0 and H % tile == 0, "pad image to tile multiple"
+    lo, hi, pool_base = geometry if geometry is not None else \
+        brick_geometry(baked["block_map"], bcfg, cfg)
+    perm, inv = tile_order(W, H, tile)
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rdu = rays_d / jnp.where(norm > 0, norm, 1.0)
+    ro_t = jnp.take(rays_o, perm, axis=0)
+    rd_t = jnp.take(rdu, perm, axis=0)
+
+    tpx = tile * tile
+    n_tiles = (W * H) // tpx
+    # longest lattice window inside one brick: brick diagonal / dt
+    vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
+    S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
+    outs = []
+    cpr = max(int(chunk_tiles), 1)
+    for i in range(0, n_tiles, cpr):
+        n_c = min(cpr, n_tiles - i)
+        sl = slice(i * tpx, (i + n_c) * tpx)
+        pad = (cpr - n_c) * tpx
+        ro_c, rd_c = ro_t[sl], rd_t[sl]
+        if pad:
+            # pad rays originate far outside the scene box -> guaranteed
+            # miss (t2=0), so they rasterize nothing and eat no pairs
+            ro_c = jnp.concatenate([ro_c, jnp.full((pad, 3), 100.0)])
+            rd_c = jnp.concatenate([rd_c, jnp.ones((pad, 3)) / SQRT3])
+        outs.append(_render_tiles(
+            baked["pool"], baked["rgb_mlp"], lo, hi, pool_base, ro_c, rd_c,
+            cfg=cfg, bcfg=bcfg, tile=tile, L=L, Lk=Lk, S=S,
+            max_samples=max_samples, T_threshold=T_threshold,
+            pairs_budget=int(cpr * tpx * pairs_per_ray)))
+    cat = {k: jnp.concatenate([o[k] for o in outs])
+           if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
+           for k in outs[0]}
+    rgb = jnp.take(cat["rgb"][:W * H], inv, axis=0)
+    opacity = jnp.take(cat["opacity"][:W * H], inv, axis=0)
+    depth = jnp.take(cat["depth"][:W * H], inv, axis=0)
+    bg = 1.0 if exp_step_factor == 0.0 else 0.0
+    rgb = rgb + bg * (1.0 - opacity[:, None])
+    return dict(rgb=rgb, opacity=opacity, depth=depth,
+                trunc_tiles=cat["trunc_tiles"],
+                trunc_rays=cat["trunc_rays"],
+                pairs_dropped=cat["pairs_dropped"])

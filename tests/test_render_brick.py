@@ -1,0 +1,105 @@
+"""Tile-rasterized brick renderer: conservative culling, zero-cost
+background rays, and agreement with the march-based baked renderer on the
+same serving lattice."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from google_nerf_tpu.core.rays import get_rays
+from google_nerf_tpu.data.synthetic import SyntheticDataset
+from google_nerf_tpu.models.baked import (BakedConfig, bake,
+                                          render_test_baked)
+from google_nerf_tpu.models.ngp import NGPConfig, init_ngp
+from google_nerf_tpu.models.render_brick import (brick_geometry,
+                                                 render_brick, tile_order)
+from google_nerf_tpu.ops.grid import pack_occupancy_u8
+from google_nerf_tpu.ops.ray_aabb import ray_aabb_intersect
+
+
+def _setup():
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 1e3
+    occ = jnp.ones((cfg.cascades,) + (cfg.grid_size,) * 3, bool)
+    bcfg = BakedConfig(voxel_res=32, block=4)
+    baked = bake(params, cfg, occ, bcfg)
+    return cfg, params, occ, bcfg, baked
+
+
+def test_tile_order_is_permutation():
+    perm, inv = tile_order(16, 8, 4)
+    assert np.array_equal(np.sort(perm), np.arange(16 * 8))
+    assert np.array_equal(perm[inv], np.arange(16 * 8))
+    # first tile = top-left 4x4 block of the row-major image
+    expect = (np.arange(4)[:, None] * 16 + np.arange(4)[None]).reshape(-1)
+    assert np.array_equal(perm[:16], expect)
+
+
+def test_cone_cull_is_conservative():
+    """Every brick a ray hits must be in that ray's tile list."""
+    cfg, params, occ, bcfg, baked = _setup()
+    lo, hi, base = brick_geometry(baked["block_map"], bcfg, cfg)
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    du = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    from google_nerf_tpu.models.render_brick import (_tile_cones,
+                                                     _tile_lists)
+    tile = 8
+    perm, _ = tile_order(16, 16, tile)
+    o_t = jnp.take(o, jnp.asarray(perm), axis=0)
+    d_t = jnp.take(du, jnp.asarray(perm), axis=0)
+    T = (16 * 16) // (tile * tile)
+    oc, ax, th = _tile_cones(o_t, d_t, T, tile * tile)
+    Nb = lo.shape[0]
+    bidx, over = _tile_lists(lo, hi, oc, ax, th,
+                             jnp.full((T,), 10.0), L=Nb)
+    assert not bool(over.any())  # L=Nb can never overflow
+    in_list = np.zeros((T, Nb), bool)
+    bn = np.asarray(bidx)
+    for t in range(T):
+        in_list[t, bn[t][bn[t] >= 0]] = True
+    # exact per-ray hit test vs each brick
+    on, dn = np.asarray(o_t), np.asarray(d_t)
+    for t in range(T):
+        for r in range(t * 64, (t + 1) * 64, 17):  # subsample rays
+            for b in range(0, Nb, 7):              # subsample bricks
+                c = (np.asarray(lo[b]) + np.asarray(hi[b])) / 2
+                half = (np.asarray(hi[b]) - np.asarray(lo[b])) / 2
+                h = ray_aabb_intersect(o_t[r:r + 1], d_t[r:r + 1],
+                                       jnp.asarray(c), jnp.asarray(half))
+                if float(h[0, 1]) > 0:
+                    assert in_list[t, b], (t, r, b)
+
+
+def test_brick_matches_baked_march_renderer():
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ_u8 = pack_occupancy_u8(occ, 2, super_radius=5)
+    live = render_test_baked(baked, cfg, occ_u8, o, d, bcfg=bcfg,
+                             k=8, seg=8, n_segs=8, n_keep=4,
+                             max_samples=64, bucket=64, chunk=256)
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    out = render_brick(baked, cfg, o, d, 16, 16, bcfg=bcfg, tile=8,
+                       L=geo[0].shape[0], Lk=32, max_samples=64,
+                       pairs_per_ray=32.0, geometry=geo)
+    assert int(out["trunc_tiles"]) == 0
+    assert int(out["trunc_rays"]) == 0
+    assert int(out["pairs_dropped"]) == 0
+    err = float(jnp.abs(out["rgb"] - live["rgb"]).mean())
+    assert err < 0.05, err
+    # depth/opacity in the same ballpark too
+    assert float(jnp.abs(out["opacity"] - live["opacity"]).mean()) < 0.05
+
+
+def test_background_rays_render_background():
+    cfg, params, occ, bcfg, baked = _setup()
+    # rays pointing away from the scene box
+    R = 64
+    o = jnp.tile(jnp.asarray([[2.0, 0.0, 0.0]]), (R, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (R, 1))
+    out = render_brick(baked, cfg, o, d, 8, 8, bcfg=bcfg, tile=8,
+                       Lk=8, L=16, max_samples=64)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["opacity"]), 0.0, atol=1e-6)
