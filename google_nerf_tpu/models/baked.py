@@ -41,6 +41,10 @@ class BakedConfig:
     voxel_res: int = 512          # voxels per axis over [-scale, scale]
     block: int = 8                # voxels per block edge
     feat_dim: int = 16            # geo features per corner (h)
+    # pool storage dtype.  The serving renderers are gather-BYTE bound
+    # (DESIGN_NOTES: cost ~= a + b*row_bytes), so "float8_e4m3fn" halves
+    # the dominant cost vs bf16; measured fidelity cost on the procedural
+    # scene is small (tests/test_render_brick.py::test_fp8_pool).
     dtype: str = "bfloat16"
 
     @property
@@ -146,7 +150,7 @@ def baked_field(baked, cfg: NGPConfig, bcfg: BakedConfig, x,
     lid = (local[:, 0] * Bk + local[:, 1]) * Bk + local[:, 2]
     row_idx = jnp.where(pb >= 0, pb * (Bk ** 3) + lid, 0)
     rows = jnp.take(baked["pool"], row_idx, axis=0)           # gather 2
-    rows = rows.reshape(-1, 8, F)
+    rows = rows.astype(compute_dtype).reshape(-1, 8, F)
 
     # trilinear corner weights; corner c offset bit k = (c >> k) & 1
     offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]

@@ -31,6 +31,13 @@ Pipeline (all jitted, no host sync):
                     reduction over the S-sample window, then an exclusive
                     cumprod over each ray's ordered pairs.
 
+With `pass_fracs` set, steps 4-6 instead run as a short sequence of
+statically-budgeted passes, one pair per live ray per pass: a ray whose
+transmittance has fallen below T_threshold stops consuming field work, so
+pairs behind opaque content are never evaluated — the brick-level analog
+of the reference's early ray termination (`rendering.py:99,157`), still
+with zero host syncs.
+
 Semantics match the marching renderers' lattice (global dt = sqrt(3)/
 max_samples anchored at the ray's scene-AABB entry, near clamp 0.05,
 T_threshold early-stop, reference `ngp_pl/models/rendering.py:43-114`);
@@ -56,6 +63,7 @@ from google_nerf_tpu.ops.trunc_exp import trunc_exp
 
 SQRT3 = 3.0 ** 0.5
 NEAR_DISTANCE = 0.05
+_TIER_OFFSET = 1.0e6     # > any in-scene ray t; separates selection tiers
 
 
 def brick_geometry(block_map, bcfg: BakedConfig, cfg: NGPConfig):
@@ -108,9 +116,17 @@ def _tile_cones(rays_o, rays_du, n_tiles: int, tpx: int):
 
 @partial(jax.jit, static_argnames=("L",))
 def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
-    """Cone-cull every brick against every tile; keep the nearest L
-    relevant bricks per tile, front-to-back.  Returns (T, L) brick index
-    (-1 pad), plus per-tile overflow flag."""
+    """Cone-cull every brick against every tile; keep the L most relevant
+    bricks per tile.  Returns (T, L) brick index (-1 pad), plus per-tile
+    overflow flag.
+
+    Selection under overflow is two-tier: bricks whose CENTER lies inside
+    the exact tile cone (near-certain ray hits) outrank bricks that pass
+    only via the conservative r_b margin (possible grazers), each tier
+    front-to-back.  The margin zone is ~the whole cull slack — without the
+    tiers, fat bricks radially offset from the axis flood the list and
+    REAL content overflows (measured -4 dB at L=96 on the smoke scene;
+    exact per-ray slab tests downstream make margin bricks harmless)."""
     c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
     r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
     v = c - o[:, None, :]                            # (T, Nb, 3)
@@ -121,45 +137,99 @@ def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
     relevant = (t_c > -r_b) & (t_c < t_far[:, None] + r_b) \
         & (rad2 <= lim * lim)
     n_rel = relevant.sum(-1)
-    key = jnp.where(relevant, t_c, jnp.inf)
-    neg_t, bidx = jax.lax.top_k(-key, L)             # nearest L, ascending t
+    lim0 = jnp.maximum(t_c, 0.0) * tan_half[:, None]
+    tier = jnp.where(rad2 <= lim0 * lim0, 0.0, _TIER_OFFSET)
+    key = jnp.where(relevant, t_c + tier, jnp.inf)
+    neg_t, bidx = jax.lax.top_k(-key, L)             # tier0 asc-t, tier1 asc-t
     bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
     return bidx.astype(jnp.int32), n_rel > L
 
 
 def _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi, pool_base,
-                  bidx_per_ray, dt):
-    """Exact slab tests of each ray against its tile's brick list.
-    Returns per-(ray, l): n0/n1 lattice window (n0 > n1 = miss), pool base.
+                  bidx_tile, tpx, dt):
+    """Exact slab tests of each ray against its TILE's brick list.
+    Brick bounds are gathered once per (tile, l) — 64x fewer gather rows
+    than per-ray — and broadcast over the tile's rays.  Returns per-(ray,
+    l): n0/n1 lattice window (n0 > n1 = miss) and per-ray pool base.
     Lattice: t = t1_ray + (n + 0.5) * dt (global per-ray anchor, matching
     the marching renderers)."""
-    safe = jnp.maximum(bidx_per_ray, 0)
-    lo = brick_lo[safe]                              # (R, L, 3)
-    hi = brick_hi[safe]
+    T, L = bidx_tile.shape
+    safe = jnp.maximum(bidx_tile, 0)
+    lo = brick_lo[safe][:, None]                     # (T, 1, L, 3)
+    hi = brick_hi[safe][:, None]
     inv_d = 1.0 / jnp.where(jnp.abs(rays_du) > 1e-10, rays_du,
                             jnp.where(rays_du >= 0, 1e-10, -1e-10))
-    t_lo = (lo - rays_o[:, None, :]) * inv_d[:, None, :]
-    t_hi = (hi - rays_o[:, None, :]) * inv_d[:, None, :]
-    ta = jnp.max(jnp.minimum(t_lo, t_hi), -1)
-    tb = jnp.min(jnp.maximum(t_lo, t_hi), -1)
+    o = rays_o.reshape(T, tpx, 1, 3)
+    inv_d = inv_d.reshape(T, tpx, 1, 3)
+    t_lo = (lo - o) * inv_d
+    t_hi = (hi - o) * inv_d
+    ta = jnp.max(jnp.minimum(t_lo, t_hi), -1).reshape(-1, L)   # (R, L)
+    tb = jnp.min(jnp.maximum(t_lo, t_hi), -1).reshape(-1, L)
     ta = jnp.maximum(ta, t1[:, None])
     tb = jnp.minimum(tb, t2[:, None])
     n0 = jnp.ceil((ta - t1[:, None]) / dt - 0.5).astype(jnp.int32)
     n0 = jnp.maximum(n0, 0)
     n1 = jnp.floor((tb - t1[:, None]) / dt - 0.5).astype(jnp.int32)
-    hit = (bidx_per_ray >= 0) & (tb > ta) & (n1 >= n0)
+    hit = jnp.repeat(bidx_tile >= 0, tpx, axis=0) & (tb > ta) & (n1 >= n0)
+    pb = jnp.repeat(pool_base[safe], tpx, axis=0)    # (R, L)
     return jnp.where(hit, n0, jnp.iinfo(jnp.int32).max // 2), \
         jnp.where(hit, n1, -1), \
-        jnp.where(hit, pool_base[safe], 0)
+        jnp.where(hit, pb, 0)
+
+
+def _pair_field(pool, rgb_mlp, rays_o, rays_du, t1, p_n0, p_n1, p_pb,
+                p_ray, slot_valid, *, dt, S, V, Bk, s, F):
+    """5+6a: evaluate the baked field on the packed (P, S) sample windows
+    and composite each pair's interior -> (pair_tau, pair_rgb, pair_dep)."""
+    P = p_n0.shape[0]
+    n = p_n0[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    p_t1 = jnp.take(t1, p_ray)
+    ts = p_t1[:, None] + (n.astype(jnp.float32) + 0.5) * dt
+    s_valid = (n <= p_n1[:, None]) & slot_valid[:, None]
+    ro = jnp.take(rays_o, p_ray, axis=0)
+    rd = jnp.take(rays_du, p_ray, axis=0)
+    xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
+    pos = jnp.clip(xyz / s * 0.5 + 0.5, 0.0, 1.0 - 1e-6) * V
+    v0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - v0).astype(jnp.bfloat16)
+    local = jnp.clip(v0 - (v0 // Bk) * Bk, 0, Bk - 1)
+    lid = (local[..., 0] * Bk + local[..., 1]) * Bk + local[..., 2]
+    row_idx = jnp.where(s_valid, p_pb[:, None] + lid, 0)
+    rows = jnp.take(pool, row_idx.reshape(-1), axis=0)      # THE gather
+    rows = rows.astype(jnp.bfloat16).reshape(P * S, 8, F)
+    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
+                        for c in range(8)], jnp.bfloat16)
+    fr = frac.reshape(P * S, 1, 3)
+    w8 = jnp.where(offs[None] == 1, fr, 1.0 - fr)
+    w8 = w8[..., 0] * w8[..., 1] * w8[..., 2]
+    h = jnp.einsum("nc,ncf->nf", w8, rows).astype(jnp.float32)
+    sigma = jnp.where(s_valid.reshape(-1), trunc_exp(h[:, 0]), 0.0)
+    sh = sh_encode_deg4(rd)                                  # per pair
+    rgb_in = jnp.concatenate(
+        [jnp.broadcast_to(sh[:, None, :], (P, S, sh.shape[-1]))
+         .reshape(P * S, -1), h], axis=-1)
+    rgb_s = jax.nn.sigmoid(
+        mlp_apply(rgb_mlp, rgb_in, compute_dtype=jnp.bfloat16))
+
+    sd = jnp.minimum(sigma.reshape(P, S) * dt, 80.0)
+    tau_in = jnp.cumsum(sd, -1) - sd
+    T_in = jnp.exp(-tau_in)
+    alpha = 1.0 - jnp.exp(-sd)
+    w = T_in * alpha
+    pair_tau = sd.sum(-1)
+    pair_rgb = (w[..., None] * rgb_s.reshape(P, S, 3)).sum(1)
+    pair_dep = (w * ts).sum(-1)
+    return pair_tau, pair_rgb, pair_dep
 
 
 @partial(jax.jit, static_argnames=(
     "cfg", "bcfg", "tile", "L", "Lk", "S", "max_samples", "T_threshold",
-    "pairs_budget"))
+    "pairs_budget", "pass_fracs", "drain_frac"))
 def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
                   rays_du, *, cfg: NGPConfig, bcfg: BakedConfig, tile: int,
                   L: int, Lk: int, S: int, max_samples: int,
-                  T_threshold: float, pairs_budget: int):
+                  T_threshold: float, pairs_budget: int,
+                  pass_fracs: tuple = (), drain_frac: float = 0.25):
     """Render one tile-contiguous chunk of rays.  Returns per-ray rgb/
     opacity/depth plus truncation telemetry."""
     R = rays_o.shape[0]
@@ -183,106 +253,153 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
                                   t_far, L=L)
 
     # 3: exact per-ray windows against the tile list
-    bidx_ray = jnp.repeat(bidx, tpx, axis=0)         # (R, L)
     n0, n1, pb = _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi,
-                               pool_base, bidx_ray, dt)
+                               pool_base, bidx, tpx, dt)
     # per-ray front-to-back pair order (tile lists are only approximately
-    # per-ray sorted); misses carry n0 = +BIG and sort to the end
-    n0, n1, pb = jax.lax.sort((n0, n1, pb), num_keys=1)
-    ray_over = n1[:, Lk:].max(-1) >= 0 if Lk < L else jnp.zeros(R, bool)
-    n0, n1, pb = n0[:, :Lk], n1[:, :Lk], pb[:, :Lk]
+    # per-ray sorted): nearest-Lk selection by entry index via top_k
+    # (misses carry n0 = +BIG and select last) — measured much cheaper
+    # than a 3-array lax.sort over (R, L)
+    if Lk < L:
+        ray_over = (n1 >= n0).sum(-1) > Lk
+        neg_n0, sel = jax.lax.top_k(-n0, Lk)
+        n0 = -neg_n0                                  # ascending n0
+        n1 = jnp.take_along_axis(n1, sel, 1)
+        pb = jnp.take_along_axis(pb, sel, 1)
+    else:
+        ray_over = jnp.zeros(R, bool)
+        n0, n1, pb = jax.lax.sort((n0, n1, pb), num_keys=1)
     pair_valid = n1 >= n0
 
-    # 4: pack content pairs
-    pairs_budget = min(pairs_budget, R * Lk)
-    plan = plan_packing(pair_valid, pairs_budget, sample_major=False)
-    ray_of_pair = jnp.broadcast_to(
-        jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lk))
-    p_n0 = pack(n0.reshape(-1), plan)
-    p_n1 = pack(n1.reshape(-1), plan)
-    p_pb = pack(pb.reshape(-1), plan)
-    p_ray = pack(ray_of_pair.reshape(-1), plan)
-    dropped = plan.n_valid > pairs_budget
+    field = partial(_pair_field, pool, rgb_mlp, rays_o, rays_du, t1,
+                    dt=dt, S=S, V=V, Bk=Bk, s=s, F=F)
 
-    # 5: field on the packed (P, S) sample windows
-    P = p_n0.shape[0]
-    n = p_n0[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
-    p_t1 = jnp.take(t1, p_ray)
-    ts = p_t1[:, None] + (n.astype(jnp.float32) + 0.5) * dt
-    s_valid = (n <= p_n1[:, None]) & plan.slot_valid[:, None]
-    ro = jnp.take(rays_o, p_ray, axis=0)
-    rd = jnp.take(rays_du, p_ray, axis=0)
-    xyz = ro[:, None, :] + ts[..., None] * rd[:, None, :]
-    pos = jnp.clip(xyz / s * 0.5 + 0.5, 0.0, 1.0 - 1e-6) * V
-    v0 = jnp.floor(pos).astype(jnp.int32)
-    frac = (pos - v0).astype(jnp.bfloat16)
-    local = jnp.clip(v0 - (v0 // Bk) * Bk, 0, Bk - 1)
-    lid = (local[..., 0] * Bk + local[..., 1]) * Bk + local[..., 2]
-    row_idx = jnp.where(s_valid, p_pb[:, None] + lid, 0)
-    rows = jnp.take(pool, row_idx.reshape(-1), axis=0)      # THE gather
-    rows = rows.reshape(P * S, 8, F)
-    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
-                        for c in range(8)], jnp.bfloat16)
-    fr = frac.reshape(P * S, 1, 3)
-    w8 = jnp.where(offs[None] == 1, fr, 1.0 - fr)
-    w8 = w8[..., 0] * w8[..., 1] * w8[..., 2]
-    h = jnp.einsum("nc,ncf->nf", w8, rows).astype(jnp.float32)
-    sigma = jnp.where(s_valid.reshape(-1), trunc_exp(h[:, 0]), 0.0)
-    sh = sh_encode_deg4(rd)                                  # per pair
-    rgb_in = jnp.concatenate(
-        [jnp.broadcast_to(sh[:, None, :], (P, S, sh.shape[-1]))
-         .reshape(P * S, -1), h], axis=-1)
-    rgb_s = jax.nn.sigmoid(
-        mlp_apply(rgb_mlp, rgb_in, compute_dtype=jnp.bfloat16))
+    if not pass_fracs:
+        # 4: pack ALL content pairs at once, field, then 6b combine
+        pairs_budget = min(pairs_budget, R * Lk)
+        plan = plan_packing(pair_valid, pairs_budget, sample_major=False)
+        ray_of_pair = jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lk))
+        p_ray = pack(ray_of_pair.reshape(-1), plan)
+        pair_tau, pair_rgb, pair_dep = field(
+            pack(n0.reshape(-1), plan), pack(n1.reshape(-1), plan),
+            pack(pb.reshape(-1), plan), p_ray, plan.slot_valid)
+        dropped = (plan.n_valid > pairs_budget).astype(jnp.int32)
 
-    # 6a: per-pair interior composite (ordered S window)
-    sd = jnp.minimum(sigma.reshape(P, S) * dt, 80.0)
-    tau_in = jnp.cumsum(sd, -1) - sd
-    T_in = jnp.exp(-tau_in)
-    alpha = 1.0 - jnp.exp(-sd)
-    w = T_in * alpha
-    pair_tau = sd.sum(-1)
-    pair_rgb = (w[..., None] * rgb_s.reshape(P, S, 3)).sum(1)
-    pair_dep = (w * ts).sum(-1)
+        # 6b: per-ray combine over ordered pairs (exclusive transmittance)
+        tau_g = unpack(pair_tau, plan).reshape(R, Lk)
+        rgb_g = unpack(pair_rgb, plan).reshape(R, Lk, 3)
+        dep_g = unpack(pair_dep, plan).reshape(R, Lk)
+        T_bef = jnp.exp(-(jnp.cumsum(tau_g, -1) - tau_g))
+        live = T_bef > T_threshold
+        Tl = jnp.where(live, T_bef, 0.0)
+        rgb = (Tl[..., None] * rgb_g).sum(1)
+        depth = (Tl * dep_g).sum(1)
+        tau_tot = jnp.where(live, tau_g, 0.0).sum(-1)
+    else:
+        # 4': sequential passes, one pair per live ray per pass — pairs
+        # behind opaque content are never field-evaluated (the analog of
+        # the reference's per-sample early ray termination,
+        # `rendering.py:99,157`, at brick-pair granularity)
+        tau_max = -float(np.log(T_threshold))
+        ridx = jnp.arange(R, dtype=jnp.int32)
+        tau_tot = jnp.zeros(R)
+        rgb = jnp.zeros((R, 3))
+        depth = jnp.zeros(R)
+        trunc = jnp.zeros(R, bool)
+        dropped = jnp.zeros((), jnp.int32)
+        for p, frac in enumerate(pass_fracs):
+            if p >= Lk:
+                break
+            B_p = max(128, int(np.ceil(frac * R / 128)) * 128)
+            live = (tau_tot < tau_max) & ~trunc
+            m = pair_valid[:, p] & live
+            plan = plan_packing(m[:, None], B_p)
+            pair_tau, pair_rgb, pair_dep = field(
+                pack(n0[:, p], plan), pack(n1[:, p], plan),
+                pack(pb[:, p], plan), pack(ridx, plan), plan.slot_valid)
+            tau_r = unpack(pair_tau, plan).reshape(R)
+            rgb_r = unpack(pair_rgb, plan).reshape(R, 3)
+            dep_r = unpack(pair_dep, plan).reshape(R)
+            rendered = m & plan.keep.reshape(R)
+            over = m & ~plan.keep.reshape(R)
+            trunc |= over
+            dropped += over.sum().astype(jnp.int32)
+            T_bef = jnp.where(rendered, jnp.exp(-tau_tot), 0.0)
+            rgb = rgb + T_bef[:, None] * rgb_r
+            depth = depth + T_bef * dep_r
+            tau_tot = tau_tot + jnp.where(rendered, tau_r, 0.0)
+        n_p = min(len(pass_fracs), Lk)
+        if n_p < Lk:
+            # drain: every remaining pair of every still-live ray in ONE
+            # packed combine with carried transmittance (exact — the
+            # brick analog of the oneshot renderer's straggler drain).
+            # Without it, rays outliving the pass list kept unrendered
+            # content (measured -5 dB vs the single-pass path).
+            live = (tau_tot < tau_max) & ~trunc
+            Lr = Lk - n_p
+            rest_valid = pair_valid[:, n_p:] & live[:, None]
+            B_d = max(128, int(np.ceil(drain_frac * R / 128)) * 128)
+            plan = plan_packing(rest_valid, B_d, sample_major=False)
+            ray_of_pair = jnp.broadcast_to(
+                jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lr))
+            pair_tau, pair_rgb, pair_dep = field(
+                pack(n0[:, n_p:].reshape(-1), plan),
+                pack(n1[:, n_p:].reshape(-1), plan),
+                pack(pb[:, n_p:].reshape(-1), plan),
+                pack(ray_of_pair.reshape(-1), plan), plan.slot_valid)
+            tau_g = unpack(pair_tau, plan).reshape(R, Lr)
+            rgb_g = unpack(pair_rgb, plan).reshape(R, Lr, 3)
+            dep_g = unpack(pair_dep, plan).reshape(R, Lr)
+            T_bef = jnp.exp(-(tau_tot[:, None] + jnp.cumsum(tau_g, -1)
+                              - tau_g))
+            liveg = T_bef > T_threshold
+            Tl = jnp.where(liveg, T_bef, 0.0)
+            rgb = rgb + (Tl[..., None] * rgb_g).sum(1)
+            depth = depth + (Tl * dep_g).sum(1)
+            tau_tot = tau_tot + jnp.where(liveg, tau_g, 0.0).sum(-1)
+            dropped += (plan.n_valid > B_d).astype(jnp.int32)
+        ray_over = ray_over | trunc
 
-    # 6b: per-ray combine over ordered pairs (exclusive transmittance)
-    tau_g = unpack(pair_tau, plan).reshape(R, Lk)
-    rgb_g = unpack(pair_rgb, plan).reshape(R, Lk, 3)
-    dep_g = unpack(pair_dep, plan).reshape(R, Lk)
-    T_bef = jnp.exp(-(jnp.cumsum(tau_g, -1) - tau_g))
-    live = T_bef > T_threshold
-    Tl = jnp.where(live, T_bef, 0.0)
-    rgb = (Tl[..., None] * rgb_g).sum(1)
-    depth = (Tl * dep_g).sum(1)
-    opacity = jnp.clip(1.0 - jnp.exp(-jnp.where(live, tau_g, 0.0)
-                                     .sum(-1)), 0.0, 1.0)
+    opacity = jnp.clip(1.0 - jnp.exp(-tau_tot), 0.0, 1.0)
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=tile_over.sum().astype(jnp.int32),
                 trunc_rays=(ray_over & (t2 > 0)).sum().astype(jnp.int32),
-                pairs_dropped=dropped.astype(jnp.int32))
+                pairs_dropped=dropped)
 
 
 def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                  bcfg: BakedConfig = BakedConfig(), tile: int = 8,
-                 L: int = 64, Lk: int = 24, max_samples: int = 512,
+                 L: int = 256, Lk: int = 24, max_samples: int = 512,
                  T_threshold: float = 1e-2, chunk_tiles: int = 2048,
                  pairs_per_ray: float = 4.0, exp_step_factor: float = 0.0,
-                 geometry=None):
+                 geometry=None, pass_fracs: tuple = (),
+                 drain_frac: float = 0.25):
     """Full-frame brick renderer over (W*H) rays in image row-major order.
 
     `geometry`: optional cached output of brick_geometry(block_map) — pass
     it to avoid the host-side rebuild each frame."""
-    assert W % tile == 0 and H % tile == 0, "pad image to tile multiple"
     lo, hi, pool_base = geometry if geometry is not None else \
         brick_geometry(baked["block_map"], bcfg, cfg)
-    perm, inv = tile_order(W, H, tile)
+    Wp = ((W + tile - 1) // tile) * tile
+    Hp = ((H + tile - 1) // tile) * tile
+    if (Wp, Hp) != (W, H):
+        # edge-replicate the ray grid out to a tile multiple; the extra
+        # rays render normally and are cropped from the output
+        col = np.minimum(np.arange(Wp), W - 1)
+        row = np.minimum(np.arange(Hp), H - 1)
+        sel = jnp.asarray((row[:, None] * W + col[None]).reshape(-1))
+        rays_o = jnp.take(rays_o, sel, axis=0)
+        rays_d = jnp.take(rays_d, sel, axis=0)
+    perm, inv = tile_order(Wp, Hp, tile)
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     rdu = rays_d / jnp.where(norm > 0, norm, 1.0)
     ro_t = jnp.take(rays_o, perm, axis=0)
     rd_t = jnp.take(rdu, perm, axis=0)
 
     tpx = tile * tile
-    n_tiles = (W * H) // tpx
+    n_tiles = (Wp * Hp) // tpx
+    L = min(L, int(lo.shape[0]))
+    Lk = min(Lk, L)
     # longest lattice window inside one brick: brick diagonal / dt
     vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
     S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
@@ -302,13 +419,22 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             baked["pool"], baked["rgb_mlp"], lo, hi, pool_base, ro_c, rd_c,
             cfg=cfg, bcfg=bcfg, tile=tile, L=L, Lk=Lk, S=S,
             max_samples=max_samples, T_threshold=T_threshold,
-            pairs_budget=int(cpr * tpx * pairs_per_ray)))
+            pairs_budget=int(cpr * tpx * pairs_per_ray),
+            pass_fracs=tuple(pass_fracs), drain_frac=drain_frac))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}
-    rgb = jnp.take(cat["rgb"][:W * H], inv, axis=0)
-    opacity = jnp.take(cat["opacity"][:W * H], inv, axis=0)
-    depth = jnp.take(cat["depth"][:W * H], inv, axis=0)
+
+    def unpermute(x):
+        x = jnp.take(x[:Wp * Hp], inv, axis=0)
+        if (Wp, Hp) != (W, H):
+            x = x.reshape((Hp, Wp) + x.shape[1:])[:H, :W]
+            x = x.reshape((H * W,) + x.shape[2:])
+        return x
+
+    rgb = unpermute(cat["rgb"])
+    opacity = unpermute(cat["opacity"])
+    depth = unpermute(cat["depth"])
     bg = 1.0 if exp_step_factor == 0.0 else 0.0
     rgb = rgb + bg * (1.0 - opacity[:, None])
     return dict(rgb=rgb, opacity=opacity, depth=depth,

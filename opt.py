@@ -131,11 +131,25 @@ def get_opts(argv=None):
                              'steps after warmup (0 = off)')
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
-    parser.add_argument('--renderer', choices=['fast', 'oneshot'],
+    parser.add_argument('--renderer', choices=['fast', 'oneshot', 'brick'],
                         default='oneshot',
                         help='test.py renderer: "oneshot" = single train-'
-                             'style march + straggler re-passes (fastest), '
-                             '"fast" = while-loop alive-bucket renderer')
+                             'style march + straggler re-passes, '
+                             '"fast" = while-loop alive-bucket renderer, '
+                             '"brick" = tile-rasterized baked-brick serving '
+                             'renderer (implies --bake; bounded scenes)')
+    parser.add_argument('--brick_L', type=int, default=256,
+                        help='brick renderer: bricks kept per tile list')
+    parser.add_argument('--brick_Lk', type=int, default=24,
+                        help='brick renderer: brick windows kept per ray')
+    parser.add_argument('--brick_ppr', type=float, default=3.0,
+                        help='brick renderer: packed pairs budget per ray')
+    parser.add_argument('--brick_passes', type=float, nargs='*',
+                        default=None,
+                        help='brick renderer: per-pass packing budgets as '
+                             'fractions of the ray count (e.g. 0.5 0.35 '
+                             '0.25) — enables sequential early-termination '
+                             'passes; default single packed pass')
     parser.add_argument('--render_max_samples', type=int, default=512,
                         help='test-time candidate-lattice resolution for '
                              'the oneshot renderer.  512 measured ~lossless '
@@ -164,6 +178,11 @@ def get_opts(argv=None):
                              'pool and render the baked serving path')
     parser.add_argument('--bake_res', type=int, default=512,
                         help='baked voxel resolution per axis')
+    parser.add_argument('--bake_dtype', default='bfloat16',
+                        choices=['bfloat16', 'float16', 'float8_e4m3fn'],
+                        help='baked pool storage dtype; fp8 halves the '
+                             'serving gather bytes (the measured cost) '
+                             'for a small fidelity cost')
     parser.add_argument('--weight_decay', type=float, default=0.0,
                         help='decoupled L2 on the encoder table (kills '
                              'stale/colliding entries -> fog control)')

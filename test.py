@@ -73,15 +73,30 @@ def run(hparams):
     else:
         occ_oneshot = occ_u8
     baked = bcfg = None
+    if renderer == "brick":
+        if cfg.exp_step_factor != 0.0:
+            print("brick renderer targets bounded scenes; "
+                  "falling back to oneshot")
+            renderer = "oneshot"
+        else:
+            hparams.bake = True
     if getattr(hparams, "bake", False):
         from google_nerf_tpu.models.baked import (BakedConfig, bake,
                                                   render_test_baked)
-        bcfg = BakedConfig(voxel_res=hparams.bake_res)
+        bcfg = BakedConfig(voxel_res=hparams.bake_res,
+                           dtype=getattr(hparams, "bake_dtype", "bfloat16"))
         t0 = time.time()
         baked = bake(state["params"], cfg.model, jnp.asarray(state["occ"]),
                      bcfg)
         print(f'baked {baked["n_blocks"]} blocks in {time.time()-t0:.1f}s '
               f'(pool {baked["pool"].nbytes / 2**20:.0f} MiB)')
+
+    brick_geo = None
+    if renderer == "brick":
+        from google_nerf_tpu.models.render_brick import (brick_geometry,
+                                                         render_brick)
+        brick_geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
+        print(f"brick geometry: {brick_geo[0].shape[0]} bricks")
 
     directions = jnp.asarray(dataset.directions)
     psnrs, times = [], []
@@ -89,7 +104,19 @@ def run(hparams):
         rays_o, rays_d = get_rays(directions,
                                   jnp.asarray(dataset.poses[i]))
         t0 = time.time()
-        if renderer == "oneshot" and cfg.exp_step_factor == 0.0:
+        if renderer == "brick":
+            rms = getattr(hparams, "render_max_samples", 512) \
+                or cfg.max_samples
+            out = render_brick(
+                baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
+                T_threshold=1e-2, geometry=brick_geo,
+                L=getattr(hparams, "brick_L", 256),
+                Lk=getattr(hparams, "brick_Lk", 24),
+                pairs_per_ray=getattr(hparams, "brick_ppr", 3.0),
+                pass_fracs=tuple(getattr(hparams, "brick_passes", None)
+                                 or ()),
+                max_samples=rms)
+        elif renderer == "oneshot" and cfg.exp_step_factor == 0.0:
             from google_nerf_tpu.models.render_test_oneshot import \
                 render_test_oneshot
             rms = getattr(hparams, "render_max_samples", 512) \

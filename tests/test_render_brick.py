@@ -93,6 +93,115 @@ def test_brick_matches_baked_march_renderer():
     assert float(jnp.abs(out["opacity"] - live["opacity"]).mean()) < 0.05
 
 
+def test_non_tile_multiple_image_is_padded_and_cropped():
+    """W/H not divisible by tile: edge-padded internally, output cropped
+    to W*H and identical to the tile-multiple render of the same rays."""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=16,
+              max_samples=64, pairs_per_ray=16.0, geometry=geo)
+    full = render_brick(baked, cfg, o, d, 16, 16, **kw)
+    # crop the ray grid to 13 x 11 (neither a multiple of 8)
+    sel = (np.arange(11)[:, None] * 16 + np.arange(13)[None]).reshape(-1)
+    crop = render_brick(baked, cfg, o[sel], d[sel], 13, 11, **kw)
+    assert crop["rgb"].shape == (13 * 11, 3)
+    want = np.asarray(full["rgb"]).reshape(16, 16, 3)[:11, :13].reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(crop["rgb"]), want,
+                               atol=2e-2, rtol=0)
+
+
+def test_multipass_matches_single_pass():
+    """Sequential early-termination passes (ample budgets, one pair per
+    ray per pass) reproduce the single-pass packed render exactly — the
+    composites are the same math in the same order."""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, geometry=geo)
+    one = render_brick(baked, cfg, o, d, 16, 16, pairs_per_ray=8.0, **kw)
+    multi = render_brick(baked, cfg, o, d, 16, 16,
+                         pass_fracs=(1.0,) * 8, **kw)
+    np.testing.assert_allclose(np.asarray(multi["rgb"]),
+                               np.asarray(one["rgb"]), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(multi["opacity"]),
+                               np.asarray(one["opacity"]), atol=1e-4,
+                               rtol=0)
+    assert int(multi["pairs_dropped"]) == 0
+
+
+def test_short_pass_list_drains_exactly():
+    """pass_fracs shorter than the per-ray pair budget: the trailing
+    drain pass must render every remaining pair, reproducing the
+    single-pass packed render exactly.  (Regression: without the drain,
+    rays outliving the pass list kept unrendered content — measured
+    -5 dB on the smoke scene.)"""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, geometry=geo)
+    one = render_brick(baked, cfg, o, d, 16, 16, pairs_per_ray=8.0, **kw)
+    short = render_brick(baked, cfg, o, d, 16, 16, pass_fracs=(1.0, 1.0),
+                         drain_frac=6.0, **kw)
+    np.testing.assert_allclose(np.asarray(short["rgb"]),
+                               np.asarray(one["rgb"]), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(short["opacity"]),
+                               np.asarray(one["opacity"]), atol=1e-4,
+                               rtol=0)
+    assert int(short["pairs_dropped"]) == 0
+    # trunc_rays counts the shared Lk-selection overflow (every ray here
+    # crosses > Lk bricks in the all-occupied test cube); the drain path
+    # must not ADD truncations beyond the single-pass render's
+    assert int(short["trunc_rays"]) == int(one["trunc_rays"])
+
+
+def test_tile_list_overflow_keeps_in_cone_bricks():
+    """Under L overflow, bricks whose center lies INSIDE the exact tile
+    cone (near-certain hits) must survive selection ahead of nearer
+    margin-zone bricks (cull slack).  Regression for the smoke-scene
+    -4 dB loss where margin bricks flooded the nearest-L list."""
+    from google_nerf_tpu.models.render_brick import _tile_lists
+    o = jnp.zeros((1, 3))
+    axis = jnp.asarray([[0.0, 0.0, 1.0]])
+    tan_half = jnp.asarray([0.05])
+    edge = 0.04
+    # 1 content brick on the axis at t=2 (center in cone), 8 nearer
+    # margin bricks ringed just OUTSIDE the exact cone at t=1
+    centers = [(0.0, 0.0, 2.0)]
+    r_ring = 1.0 * 0.05 + edge * 0.8   # outside lim0, inside lim margin
+    for k in range(8):
+        a = 2 * np.pi * k / 8
+        centers.append((r_ring * np.cos(a), r_ring * np.sin(a), 1.0))
+    c = jnp.asarray(centers, jnp.float32)
+    lo = c - edge / 2
+    hi = c + edge / 2
+    bidx, over = _tile_lists(lo, hi, o, axis, tan_half,
+                             jnp.asarray([10.0]), L=4)
+    assert bool(over[0])               # 9 relevant > L=4
+    kept = set(np.asarray(bidx[0]).tolist())
+    assert 0 in kept, kept             # the in-cone content brick survives
+    """float8_e4m3fn pool (half the gather bytes — the serving renderers'
+    dominant cost) stays close to the bf16 pool render."""
+    cfg, params, occ, bcfg, baked = _setup()
+    bcfg8 = BakedConfig(voxel_res=32, block=4, dtype="float8_e4m3fn")
+    baked8 = bake(params, cfg, occ, bcfg8)
+    assert baked8["pool"].dtype == jnp.float8_e4m3fn
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(tile=8, L=geo[0].shape[0], Lk=16, max_samples=64,
+              pairs_per_ray=16.0, geometry=geo)
+    ref = render_brick(baked, cfg, o, d, 16, 16, bcfg=bcfg, **kw)
+    out = render_brick(baked8, cfg, o, d, 16, 16, bcfg=bcfg8, **kw)
+    err = float(jnp.abs(out["rgb"] - ref["rgb"]).mean())
+    assert err < 0.03, err
+
+
 def test_background_rays_render_background():
     cfg, params, occ, bcfg, baked = _setup()
     # rays pointing away from the scene box

@@ -22,7 +22,7 @@ print = functools.partial(print, flush=True)
 
 def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 table_dtype: str = "bfloat16", grid_interval: int = 16,
-                rays_total: int = 2 ** 23):
+                log2_size: int = 19, rays_total: int = 2 ** 23):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -31,7 +31,8 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16, packed_levels=levels,
-                      packed_table_dtype=table_dtype)
+                      packed_table_dtype=table_dtype,
+                      packed_log2_size=log2_size)
     cfg = TrainConfig(model=model, batch_size=batch_size, k_samples=256,
                       num_epochs=30, samples_budget=budget, random_bg=True,
                       exclude_incomplete="backfill", march="block",
@@ -65,7 +66,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     dt = time.time() - t0
     rps = (n_steps - warm) * batch_size / dt
     print(f"b={batch_size} bud={budget} lev={levels} dt={table_dtype[:6]} "
-          f"gi={grid_interval}: "
+          f"gi={grid_interval} T=2^{log2_size}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
           f"psnr={float(m['psnr']):.2f} s_per_ray={float(m['s_per_ray']):.1f}"
@@ -89,6 +90,8 @@ def parse_variant(spec: str):
             kw["levels"] = int(p[3:])
         elif p.startswith("gi"):
             kw["grid_interval"] = int(p[2:])
+        elif p.startswith("T") and p[1:].isdigit():
+            kw["log2_size"] = int(p[1:])
         else:
             raise ValueError(f"bad field {p!r} in {spec!r}")
     return kw
