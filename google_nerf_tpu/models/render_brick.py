@@ -404,7 +404,12 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
     S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
     outs = []
-    cpr = max(int(chunk_tiles), 1)
+    # clamp the chunk to the actual tile count: padding is only for
+    # equalizing a partial LAST chunk with its predecessors (one compiled
+    # shape), never for inflating a small image up to chunk_tiles
+    # (regression: a 64-tile frame padded to 2048 tiles renders 32x the
+    # rays — minutes/frame on CPU, pure waste on TPU)
+    cpr = max(min(int(chunk_tiles), n_tiles), 1)
     for i in range(0, n_tiles, cpr):
         n_c = min(cpr, n_tiles - i)
         sl = slice(i * tpx, (i + n_c) * tpx)

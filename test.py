@@ -116,6 +116,16 @@ def run(hparams):
                 pass_fracs=tuple(getattr(hparams, "brick_passes", None)
                                  or ()),
                 max_samples=rms)
+            if i == 0:
+                # truncation telemetry: nonzero trunc counts mean content
+                # was culled (tile lists or per-ray windows overflowed) —
+                # raise --brick_L / --brick_Lk.  Worst case is LOW-res
+                # frames over DENSE occupancy, where each 8x8-pixel tile's
+                # cone covers most of the scene.
+                print(f'brick telemetry (frame 0): '
+                      f'trunc_tiles={int(out["trunc_tiles"])} '
+                      f'trunc_rays={int(out["trunc_rays"])} '
+                      f'pairs_dropped={int(out["pairs_dropped"])}')
         elif renderer == "oneshot" and cfg.exp_step_factor == 0.0:
             from google_nerf_tpu.models.render_test_oneshot import \
                 render_test_oneshot

@@ -112,6 +112,26 @@ def test_non_tile_multiple_image_is_padded_and_cropped():
                                atol=2e-2, rtol=0)
 
 
+def test_chunking_is_invariant_and_never_inflates():
+    """Multi-chunk render (with a padded partial last chunk) matches the
+    single-chunk render exactly; and a chunk_tiles far above the tile
+    count must NOT inflate the compiled shape (regression: a 64-tile
+    frame padded up to chunk_tiles=2048 rendered 32x the rays)."""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, pairs_per_ray=8.0, geometry=geo)
+    big = render_brick(baked, cfg, o, d, 16, 16, chunk_tiles=10 ** 6, **kw)
+    multi = render_brick(baked, cfg, o, d, 16, 16, chunk_tiles=3, **kw)
+    np.testing.assert_allclose(np.asarray(multi["rgb"]),
+                               np.asarray(big["rgb"]), atol=1e-4, rtol=0)
+    # the clamp: huge chunk_tiles compiles at the true 4-tile shape, so
+    # its pair budget (cpr * tpx * ppr) stays at the 4-tile size
+    assert int(big["pairs_dropped"]) == 0
+
+
 def test_multipass_matches_single_pass():
     """Sequential early-termination passes (ample budgets, one pair per
     ray per pass) reproduce the single-pass packed render exactly — the
