@@ -208,6 +208,93 @@ def render_test_oneshot_dp(params, cfg, occ_u8, rays_o, rays_d, mesh: Mesh,
     return {k: v[:R] for k, v in out.items()}
 
 
+def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
+                    axis_name: str = "data", *, bcfg=None, tile: int = 8,
+                    L: int = 256, Lk: int = 24, max_samples: int = 512,
+                    T_threshold: float = 1e-2, pairs_per_ray: float = 3.0,
+                    pass_fracs: tuple = (), drain_frac: float = 0.25,
+                    geometry=None):
+    """Data-parallel brick serving render: the tile-ordered ray stream is
+    block-sharded over the mesh, each replica rasterizes its contiguous
+    band of tiles against the replicated brick pool.  Tiles are
+    independent (cull -> windows -> field -> per-ray combine), so there
+    are no collectives and FPS scales linearly — same contract as
+    render_test_oneshot_dp above.  Telemetry is summed across replicas."""
+    from google_nerf_tpu.models.baked import BakedConfig
+    from google_nerf_tpu.models.render_brick import (SQRT3, _render_tiles,
+                                                     brick_geometry,
+                                                     tile_order)
+    if bcfg is None:
+        bcfg = BakedConfig()
+    lo, hi, pool_base = geometry if geometry is not None else \
+        brick_geometry(baked["block_map"], bcfg, cfg)
+    n = mesh.shape[axis_name]
+    tpx = tile * tile
+
+    # pad the image to a tile multiple, then the tile count to a multiple
+    # of the mesh (extra rays originate far outside the scene -> miss)
+    Wp = ((W + tile - 1) // tile) * tile
+    Hp = ((H + tile - 1) // tile) * tile
+    if (Wp, Hp) != (W, H):
+        col = np.minimum(np.arange(Wp), W - 1)
+        row = np.minimum(np.arange(Hp), H - 1)
+        sel = jnp.asarray((row[:, None] * W + col[None]).reshape(-1))
+        rays_o = jnp.take(rays_o, sel, axis=0)
+        rays_d = jnp.take(rays_d, sel, axis=0)
+    perm, inv = tile_order(Wp, Hp, tile)
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rdu = rays_d / jnp.where(norm > 0, norm, 1.0)
+    ro_t = jnp.take(rays_o, perm, axis=0)
+    rd_t = jnp.take(rdu, perm, axis=0)
+
+    n_tiles = (Wp * Hp) // tpx
+    tiles_pad = (-n_tiles) % n
+    if tiles_pad:
+        ro_t = jnp.concatenate(
+            [ro_t, jnp.full((tiles_pad * tpx, 3), 100.0)])
+        rd_t = jnp.concatenate(
+            [rd_t, jnp.ones((tiles_pad * tpx, 3)) / SQRT3])
+    tiles_per = (n_tiles + tiles_pad) // n
+
+    L = min(L, int(lo.shape[0]))
+    Lk = min(Lk, L)
+    vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
+    S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
+    render = partial(_render_tiles, cfg=cfg, bcfg=bcfg, tile=tile, L=L,
+                     Lk=Lk, S=S, max_samples=max_samples,
+                     T_threshold=T_threshold,
+                     pairs_budget=int(tiles_per * tpx * pairs_per_ray),
+                     pass_fracs=tuple(pass_fracs), drain_frac=drain_frac)
+
+    def per_replica(pool, rgb_mlp, lo, hi, pb, o, d):
+        out = render(pool, rgb_mlp, lo, hi, pb, o, d)
+        # scalar telemetry -> (1,) so it can ride the ray sharding
+        return {k: v if v.ndim else v[None] for k, v in out.items()}
+
+    sharded = shard_map(
+        per_replica, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name), check_vma=False)
+    rep = partial(replicate, mesh=mesh)
+    out = sharded(rep(baked["pool"]), rep(baked["rgb_mlp"]), rep(lo),
+                  rep(hi), rep(pool_base), ro_t, rd_t)
+
+    def unpermute(x):
+        x = jnp.take(x[:Wp * Hp], inv, axis=0)
+        if (Wp, Hp) != (W, H):
+            x = x.reshape((Hp, Wp) + x.shape[1:])[:H, :W]
+            x = x.reshape((H * W,) + x.shape[2:])
+        return x
+
+    rgb = unpermute(out["rgb"])
+    opacity = unpermute(out["opacity"])
+    rgb = rgb + 1.0 * (1.0 - opacity[:, None])
+    return dict(rgb=rgb, opacity=opacity, depth=unpermute(out["depth"]),
+                trunc_tiles=out["trunc_tiles"].sum(),
+                trunc_rays=out["trunc_rays"].sum(),
+                pairs_dropped=out["pairs_dropped"].sum())
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> int:

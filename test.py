@@ -107,15 +107,25 @@ def run(hparams):
         if renderer == "brick":
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples
-            out = render_brick(
-                baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
-                T_threshold=1e-2, geometry=brick_geo,
+            br_kw = dict(
+                bcfg=bcfg, T_threshold=1e-2, geometry=brick_geo,
                 L=getattr(hparams, "brick_L", 256),
                 Lk=getattr(hparams, "brick_Lk", 24),
                 pairs_per_ray=getattr(hparams, "brick_ppr", 3.0),
                 pass_fracs=tuple(getattr(hparams, "brick_passes", None)
                                  or ()),
                 max_samples=rms)
+            n_dev = getattr(hparams, "num_gpus", 1)
+            if n_dev == -1:
+                n_dev = jax.device_count()
+            if n_dev > 1:
+                from google_nerf_tpu.parallel.dp import (make_mesh,
+                                                         render_brick_dp)
+                out = render_brick_dp(baked, cfg.model, rays_o, rays_d,
+                                      w, h, make_mesh(n_dev), **br_kw)
+            else:
+                out = render_brick(baked, cfg.model, rays_o, rays_d,
+                                   w, h, **br_kw)
             if i == 0:
                 # truncation telemetry: nonzero trunc counts mean content
                 # was culled (tile lists or per-ray windows overflowed) —

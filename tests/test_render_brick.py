@@ -222,6 +222,27 @@ def test_tile_list_overflow_keeps_in_cone_bricks():
     assert err < 0.03, err
 
 
+def test_dp_brick_matches_serial():
+    """Mesh-sharded brick serving (tiles block-sharded over devices)
+    reproduces the single-device render exactly — tiles are independent,
+    so the only DP effects are budget sizing and padding, both benign
+    with ample budgets."""
+    from google_nerf_tpu.parallel.dp import make_mesh, render_brick_dp
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, pairs_per_ray=8.0, geometry=geo)
+    ref = render_brick(baked, cfg, o, d, 16, 16, **kw)
+    # 4 tiles over a 3-device mesh: exercises the tile-count pad too
+    got = render_brick_dp(baked, cfg, o, d, 16, 16, make_mesh(3), **kw)
+    for k in ("rgb", "opacity", "depth"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-5, err_msg=k)
+    assert int(got["pairs_dropped"]) == 0
+
+
 def test_background_rays_render_background():
     cfg, params, occ, bcfg, baked = _setup()
     # rays pointing away from the scene box
