@@ -114,33 +114,73 @@ def _tile_cones(rays_o, rays_du, n_tiles: int, tpx: int):
     return o, axis, tan_half
 
 
-@partial(jax.jit, static_argnames=("L",))
-def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
-    """Cone-cull every brick against every tile; keep the L most relevant
-    bricks per tile.  Returns (T, L) brick index (-1 pad), plus per-tile
-    overflow flag.
+def _cone_keys(c, r_b, o, axis, tan_half, t_far):
+    """Shared cone-cull math: selection keys of candidate bricks (centers
+    `c`, bounding radii `r_b` — broadcastable to (T, N, ...)) against T
+    cones.  Returns (key, relevant): key = entry-depth + tier offset
+    (+inf = irrelevant).
 
     Selection under overflow is two-tier: bricks whose CENTER lies inside
-    the exact tile cone (near-certain ray hits) outrank bricks that pass
-    only via the conservative r_b margin (possible grazers), each tier
+    the exact cone (near-certain ray hits) outrank bricks that pass only
+    via the conservative r_b margin (possible grazers), each tier
     front-to-back.  The margin zone is ~the whole cull slack — without the
     tiers, fat bricks radially offset from the axis flood the list and
     REAL content overflows (measured -4 dB at L=96 on the smoke scene;
     exact per-ray slab tests downstream make margin bricks harmless)."""
-    c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
-    r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
-    v = c - o[:, None, :]                            # (T, Nb, 3)
+    v = c - o[:, None, :]                            # (T, N, 3)
     t_c = jnp.sum(v * axis[:, None, :], -1)
     # conservative: radial distance to cone axis vs cone radius + margin
     rad2 = jnp.sum(v * v, -1) - t_c ** 2
     lim = t_c * tan_half[:, None] + r_b * (1.0 + tan_half[:, None])
     relevant = (t_c > -r_b) & (t_c < t_far[:, None] + r_b) \
         & (rad2 <= lim * lim)
-    n_rel = relevant.sum(-1)
     lim0 = jnp.maximum(t_c, 0.0) * tan_half[:, None]
     tier = jnp.where(rad2 <= lim0 * lim0, 0.0, _TIER_OFFSET)
     key = jnp.where(relevant, t_c + tier, jnp.inf)
+    return key, relevant
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
+    """Cone-cull every brick against every cone; keep the L most relevant
+    bricks per cone.  Returns (T, L) brick index (-1 pad), plus per-cone
+    overflow flag."""
+    c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
+    r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
+    key, relevant = _cone_keys(c, r_b, o, axis, tan_half, t_far)
+    n_rel = relevant.sum(-1)
     neg_t, bidx = jax.lax.top_k(-key, L)             # tier0 asc-t, tier1 asc-t
+    bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
+    return bidx.astype(jnp.int32), n_rel > L
+
+
+@partial(jax.jit, static_argnames=("mt", "L"))
+def _refine_lists(brick_lo, brick_hi, midx, o, axis, tan_half, t_far, *,
+                  mt: int, L: int):
+    """Stage 2 of the hierarchical cull: narrow each macro group's
+    candidate list (midx, (Tm, Lm) global brick ids, -1 pad) down to each
+    of its `mt` member tiles' own nearest-L list.  Same key math as
+    _tile_lists but over Lm gathered candidates instead of all Nb bricks.
+
+    Dropping a brick at the macro stage is safe for any brick a ray
+    actually hits: a hit brick lies within r_b of a ray line, every tile
+    ray is inside the macro cone, and the macro relevance test accepts
+    everything within r_b of the cone — so only never-hit margin bricks
+    differ, and Lm overflow is flagged by the caller."""
+    T = o.shape[0]
+    safe = jnp.maximum(midx, 0)
+    c_all = 0.5 * (brick_lo + brick_hi)
+    r_all = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)
+    c = jnp.repeat(c_all[safe], mt, axis=0)          # (T, Lm, 3)
+    r_b = jnp.repeat(r_all[safe], mt, axis=0)
+    cand = jnp.repeat(safe, mt, axis=0)
+    cand_valid = jnp.repeat(midx >= 0, mt, axis=0)
+    key, relevant = _cone_keys(c, r_b, o, axis, tan_half, t_far)
+    key = jnp.where(cand_valid, key, jnp.inf)
+    relevant &= cand_valid
+    n_rel = relevant.sum(-1)
+    neg_t, sel = jax.lax.top_k(-key, L)
+    bidx = jnp.take_along_axis(cand, sel, 1)
     bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
     return bidx.astype(jnp.int32), n_rel > L
 
@@ -224,12 +264,13 @@ def _pair_field(pool, rgb_mlp, rays_o, rays_du, t1, p_n0, p_n1, p_pb,
 
 @partial(jax.jit, static_argnames=(
     "cfg", "bcfg", "tile", "L", "Lk", "S", "max_samples", "T_threshold",
-    "pairs_budget", "pass_fracs", "drain_frac"))
+    "pairs_budget", "pass_fracs", "drain_frac", "macro_tiles", "macro_L"))
 def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
                   rays_du, *, cfg: NGPConfig, bcfg: BakedConfig, tile: int,
                   L: int, Lk: int, S: int, max_samples: int,
                   T_threshold: float, pairs_budget: int,
-                  pass_fracs: tuple = (), drain_frac: float = 0.25):
+                  pass_fracs: tuple = (), drain_frac: float = 0.25,
+                  macro_tiles: int = 0, macro_L: int = 0):
     """Render one tile-contiguous chunk of rays.  Returns per-ray rgb/
     opacity/depth plus truncation telemetry."""
     R = rays_o.shape[0]
@@ -246,11 +287,30 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
     t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
     t1 = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0), 0.0)
 
-    # 1-2: cone cull -> per-tile nearest-L brick lists
+    # 1-2: cone cull -> per-tile nearest-L brick lists.  With macro_tiles
+    # set, the cull is hierarchical: groups of `macro_tiles` consecutive
+    # tiles share one coarse cull against ALL bricks (keeping macro_L
+    # candidates), and each tile only refines its group's candidates —
+    # O(T/mt * Nb + T * Lm) selection keys instead of O(T * Nb), the
+    # dominant pair-building cost at serving resolutions (800^2 at
+    # Nb~20k bricks sorts ~190M keys/frame single-level).
     o_t, axis_t, tan_t = _tile_cones(rays_o, rays_du, T, tpx)
     t_far = t2.reshape(T, tpx).max(-1)
-    bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t, tan_t,
-                                  t_far, L=L)
+    if macro_tiles > 1 and macro_L > 0:
+        Tm = T // macro_tiles
+        o_m, axis_m, tan_m = _tile_cones(rays_o, rays_du, Tm,
+                                         tpx * macro_tiles)
+        t_far_m = t_far.reshape(Tm, macro_tiles).max(-1)
+        midx, m_over = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
+                                   t_far_m, L=macro_L)
+        # a tile can hold at most its macro group's macro_L candidates
+        bidx, t_over = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
+                                     tan_t, t_far, mt=macro_tiles,
+                                     L=min(L, macro_L))
+        tile_over = t_over | jnp.repeat(m_over, macro_tiles)
+    else:
+        bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
+                                      tan_t, t_far, L=L)
 
     # 3: exact per-ray windows against the tile list
     n0, n1, pb = _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi,
@@ -259,7 +319,8 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
     # per-ray sorted): nearest-Lk selection by entry index via top_k
     # (misses carry n0 = +BIG and select last) — measured much cheaper
     # than a 3-array lax.sort over (R, L)
-    if Lk < L:
+    Lk = min(Lk, bidx.shape[1])   # hierarchical cull may narrow the lists
+    if Lk < bidx.shape[1]:
         ray_over = (n1 >= n0).sum(-1) > Lk
         neg_n0, sel = jax.lax.top_k(-n0, Lk)
         n0 = -neg_n0                                  # ascending n0
@@ -274,16 +335,22 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
                     dt=dt, S=S, V=V, Bk=Bk, s=s, F=F)
 
     if not pass_fracs:
-        # 4: pack ALL content pairs at once, field, then 6b combine
+        # 4: pack ALL content pairs at once, field, then 6b combine.
+        # sample-major: under budget pressure every ray keeps its NEAR
+        # (front-to-back rank) windows and only far tails drop — mostly
+        # occluded content.  Ray-major packing silently starved whole
+        # trailing TILES of the stream instead (the object vanished from
+        # the image center at -8.5 dB while the telemetry flag read "1").
         pairs_budget = min(pairs_budget, R * Lk)
-        plan = plan_packing(pair_valid, pairs_budget, sample_major=False)
+        plan = plan_packing(pair_valid, pairs_budget, sample_major=True)
         ray_of_pair = jnp.broadcast_to(
             jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lk))
         p_ray = pack(ray_of_pair.reshape(-1), plan)
         pair_tau, pair_rgb, pair_dep = field(
             pack(n0.reshape(-1), plan), pack(n1.reshape(-1), plan),
             pack(pb.reshape(-1), plan), p_ray, plan.slot_valid)
-        dropped = (plan.n_valid > pairs_budget).astype(jnp.int32)
+        dropped = jnp.maximum(plan.n_valid - pairs_budget, 0) \
+            .astype(jnp.int32)
 
         # 6b: per-ray combine over ordered pairs (exclusive transmittance)
         tau_g = unpack(pair_tau, plan).reshape(R, Lk)
@@ -339,7 +406,7 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
             Lr = Lk - n_p
             rest_valid = pair_valid[:, n_p:] & live[:, None]
             B_d = max(128, int(np.ceil(drain_frac * R / 128)) * 128)
-            plan = plan_packing(rest_valid, B_d, sample_major=False)
+            plan = plan_packing(rest_valid, B_d, sample_major=True)
             ray_of_pair = jnp.broadcast_to(
                 jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lr))
             pair_tau, pair_rgb, pair_dep = field(
@@ -357,7 +424,7 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
             rgb = rgb + (Tl[..., None] * rgb_g).sum(1)
             depth = depth + (Tl * dep_g).sum(1)
             tau_tot = tau_tot + jnp.where(liveg, tau_g, 0.0).sum(-1)
-            dropped += (plan.n_valid > B_d).astype(jnp.int32)
+            dropped += jnp.maximum(plan.n_valid - B_d, 0).astype(jnp.int32)
         ray_over = ray_over | trunc
 
     opacity = jnp.clip(1.0 - jnp.exp(-tau_tot), 0.0, 1.0)
@@ -373,7 +440,8 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                  T_threshold: float = 1e-2, chunk_tiles: int = 2048,
                  pairs_per_ray: float = 4.0, exp_step_factor: float = 0.0,
                  geometry=None, pass_fracs: tuple = (),
-                 drain_frac: float = 0.25):
+                 drain_frac: float = 0.25, macro_tiles: int = 8,
+                 macro_L: int = 1024):
     """Full-frame brick renderer over (W*H) rays in image row-major order.
 
     `geometry`: optional cached output of brick_geometry(block_map) — pass
@@ -410,6 +478,13 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     # (regression: a 64-tile frame padded to 2048 tiles renders 32x the
     # rays — minutes/frame on CPU, pure waste on TPU)
     cpr = max(min(int(chunk_tiles), n_tiles), 1)
+    # hierarchical cull only pays when there are many more bricks than
+    # macro candidates, but stays CORRECT with a clamped list; mt must
+    # divide the chunk's tile count
+    mL = min(macro_L, int(lo.shape[0]))
+    mt = macro_tiles if mL > 0 else 0
+    while mt > 1 and cpr % mt:
+        mt //= 2
     for i in range(0, n_tiles, cpr):
         n_c = min(cpr, n_tiles - i)
         sl = slice(i * tpx, (i + n_c) * tpx)
@@ -425,7 +500,8 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             cfg=cfg, bcfg=bcfg, tile=tile, L=L, Lk=Lk, S=S,
             max_samples=max_samples, T_threshold=T_threshold,
             pairs_budget=int(cpr * tpx * pairs_per_ray),
-            pass_fracs=tuple(pass_fracs), drain_frac=drain_frac))
+            pass_fracs=tuple(pass_fracs), drain_frac=drain_frac,
+            macro_tiles=mt if mt > 1 else 0, macro_L=mL))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}

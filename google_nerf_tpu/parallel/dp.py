@@ -213,6 +213,7 @@ def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
                     L: int = 256, Lk: int = 24, max_samples: int = 512,
                     T_threshold: float = 1e-2, pairs_per_ray: float = 3.0,
                     pass_fracs: tuple = (), drain_frac: float = 0.25,
+                    macro_tiles: int = 8, macro_L: int = 1024,
                     geometry=None):
     """Data-parallel brick serving render: the tile-ordered ray stream is
     block-sharded over the mesh, each replica rasterizes its contiguous
@@ -260,11 +261,16 @@ def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
     Lk = min(Lk, L)
     vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
     S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
+    mL = min(macro_L, int(lo.shape[0]))
+    mt = macro_tiles if mL > 0 else 0
+    while mt > 1 and tiles_per % mt:
+        mt //= 2
     render = partial(_render_tiles, cfg=cfg, bcfg=bcfg, tile=tile, L=L,
                      Lk=Lk, S=S, max_samples=max_samples,
                      T_threshold=T_threshold,
                      pairs_budget=int(tiles_per * tpx * pairs_per_ray),
-                     pass_fracs=tuple(pass_fracs), drain_frac=drain_frac)
+                     pass_fracs=tuple(pass_fracs), drain_frac=drain_frac,
+                     macro_tiles=mt if mt > 1 else 0, macro_L=mL)
 
     def per_replica(pool, rgb_mlp, lo, hi, pb, o, d):
         out = render(pool, rgb_mlp, lo, hi, pb, o, d)

@@ -144,6 +144,12 @@ def get_opts(argv=None):
                         help='brick renderer: brick windows kept per ray')
     parser.add_argument('--brick_ppr', type=float, default=3.0,
                         help='brick renderer: packed pairs budget per ray')
+    parser.add_argument('--brick_macro', type=int, default=8,
+                        help='brick renderer: tiles per macro-cull group '
+                             '(hierarchical cone cull; 0 = single-level)')
+    parser.add_argument('--brick_macro_L', type=int, default=1024,
+                        help='brick renderer: candidate bricks kept per '
+                             'macro group before per-tile refinement')
     parser.add_argument('--brick_passes', type=float, nargs='*',
                         default=None,
                         help='brick renderer: per-pass packing budgets as '

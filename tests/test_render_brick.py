@@ -222,6 +222,56 @@ def test_tile_list_overflow_keeps_in_cone_bricks():
     assert err < 0.03, err
 
 
+def test_budget_pressure_degrades_gracefully():
+    """Under pairs-budget pressure the packing is sample-major: every ray
+    keeps its NEAR windows and only far tails drop.  (Regression:
+    ray-major packing starved whole trailing tiles — the object vanished
+    from the image center at -8.5 dB while telemetry read '1'.)"""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    # uniform-density pool: every window contributes tau > 0, so keeping
+    # the front window guarantees visible opacity (the random test field
+    # can have a genuinely empty first window)
+    F = bcfg.feat_dim
+    baked = dict(baked, pool=baked["pool"].at[:, 0::F].set(2.0))
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, geometry=geo)
+    ample = render_brick(baked, cfg, o, d, 16, 16, pairs_per_ray=8.0, **kw)
+    tight = render_brick(baked, cfg, o, d, 16, 16, pairs_per_ray=1.0, **kw)
+    assert int(tight["pairs_dropped"]) > 0       # a real count now
+    content = np.asarray(ample["opacity"]) > 0.5
+    assert content.sum() > 50
+    # every content ray keeps its front window -> visible opacity
+    assert (np.asarray(tight["opacity"])[content] > 0.1).all()
+
+
+def test_hierarchical_cull_matches_single_level():
+    """Macro-cull + per-tile refine == single-level cull when the macro
+    candidate list is ample: every brick a ray hits passes the macro
+    relevance test (it lies within r_b of a ray inside the macro cone),
+    so with no Lm overflow the refined lists select identical content."""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    nb = geo[0].shape[0]
+    kw = dict(bcfg=bcfg, tile=8, L=nb, Lk=8, max_samples=64,
+              pairs_per_ray=8.0, geometry=geo)
+    flat = render_brick(baked, cfg, o, d, 16, 16, macro_tiles=0, **kw)
+    # macro_L = n_bricks: the macro stage is lossless but the two-level
+    # code path (macro cull + gathered per-tile refine) fully engages;
+    # the macro groups are 2 tiles here (4 tiles per frame)
+    hier = render_brick(baked, cfg, o, d, 16, 16, macro_tiles=2,
+                        macro_L=nb, **kw)
+    assert int(hier["trunc_tiles"]) == 0        # no macro/tile overflow
+    for k in ("rgb", "opacity", "depth"):
+        np.testing.assert_allclose(np.asarray(hier[k]),
+                                   np.asarray(flat[k]), atol=1e-5,
+                                   err_msg=k)
+
+
 def test_dp_brick_matches_serial():
     """Mesh-sharded brick serving (tiles block-sharded over devices)
     reproduces the single-device render exactly — tiles are independent,

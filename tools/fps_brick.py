@@ -82,6 +82,9 @@ def main():
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=96, Lk=24,
                                pairs_per_ray=3.0, max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
+                               pairs_per_ray=3.0, max_samples=512,
+                               macro_tiles=0)),   # cull-hierarchy A/B
+        ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
                                pass_fracs=FR, max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
                                pass_fracs=FR, max_samples=256)),
