@@ -31,7 +31,7 @@ def main():
     p.add_argument("--img_wh", type=int, default=800)
     p.add_argument("--n_train", type=int, default=100)
     p.add_argument("--n_test", type=int, default=8)
-    p.add_argument("--style", default="shell", choices=["shell", "solid"])
+    p.add_argument("--style", default="shell", choices=["shell", "solid", "textured"])
     p.add_argument("--k_samples", type=int, default=256)
     p.add_argument("--max_samples", type=int, default=1024,
                    help="train candidate-lattice resolution")

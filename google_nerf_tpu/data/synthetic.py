@@ -45,19 +45,34 @@ def analytic_field(xyz: jnp.ndarray, style: str = "solid"):
     samples-per-ray then matches real benchmark scenes (thin structures
     whose interiors the occupancy grid prunes), which is what bench.py
     should measure.
+    style="textured": shell geometry with high-frequency surface
+    displacement and a fine 3-D checker albedo.  Smooth styles
+    under-stress the encoder (any tiny table fits them), which biases
+    capacity A/Bs; this style makes table-size/level sweeps honest
+    against Lego-class detail.
     """
+    shelled = style in ("shell", "textured")
+    if style == "textured":
+        k1, k2 = 41.0, 19.0
+        bump = (jnp.sin(k1 * xyz[..., 0]) * jnp.sin(k1 * xyz[..., 1])
+                * jnp.sin(k1 * xyz[..., 2])
+                + 0.5 * jnp.sin(k2 * (xyz[..., 0] + 1.7 * xyz[..., 1]
+                                      - 0.6 * xyz[..., 2]))) / 1.5
+        disp = 0.012 * bump
+    else:
+        disp = 0.0
     sigs, cols = [], []
     for (c, r, col) in _SPHERES:
-        d = jnp.linalg.norm(xyz - jnp.asarray(c), axis=-1)
+        d = jnp.linalg.norm(xyz - jnp.asarray(c), axis=-1) + disp
         inside = jax.nn.sigmoid((r - d) / _EDGE)
-        if style == "shell":
+        if shelled:
             inside = inside * jax.nn.sigmoid((d - (r - _SHELL)) / _EDGE)
         sigs.append(inside)
         cols.append(jnp.asarray(col))
     bc, bh, bcol = (jnp.asarray(v) for v in _BOX)
-    db = jnp.max(jnp.abs(xyz - bc) - bh, axis=-1)
+    db = jnp.max(jnp.abs(xyz - bc) - bh, axis=-1) + disp
     inside = jax.nn.sigmoid(-db / _EDGE)
-    if style == "shell":
+    if shelled:
         inside = inside * jax.nn.sigmoid((db + _SHELL) / _EDGE)
     sigs.append(inside)
     cols.append(bcol)
@@ -65,6 +80,12 @@ def analytic_field(xyz: jnp.ndarray, style: str = "solid"):
     sigma = _SIGMA_MAX * jnp.max(s, -1)
     w = s / jnp.maximum(s.sum(-1, keepdims=True), 1e-8)
     rgb = jnp.einsum("...o,oc->...c", w, jnp.stack(cols))
+    if style == "textured":
+        # fine two-palette checker + bump shading (stays in [0, 1])
+        parity = jnp.sum(jnp.floor((xyz + 1.0) * 14.0), -1) % 2.0
+        rgb = rgb * (0.45 + 0.4 * parity[..., None]) \
+            + (1.0 - rgb) * 0.15 * (1.0 - parity[..., None])
+        rgb = jnp.clip(rgb * (0.9 + 0.25 * bump[..., None]), 0.0, 1.0)
     return sigma, rgb
 
 
@@ -129,7 +150,7 @@ class SyntheticDataset:
     scale: float = 0.5
     cam_radius: float = 1.2
     seed: int = 0
-    style: str = "solid"            # "solid" | "shell" (thin structures)
+    style: str = "solid"    # "solid" | "shell" | "textured"
 
     def __post_init__(self):
         w, h = (int(self.img_wh[0] * self.downsample),

@@ -144,6 +144,13 @@ def get_opts(argv=None):
                         help='brick renderer: brick windows kept per ray')
     parser.add_argument('--brick_ppr', type=float, default=3.0,
                         help='brick renderer: packed pairs budget per ray')
+    parser.add_argument('--synthetic_style', default='solid',
+                        choices=['solid', 'shell', 'textured'],
+                        help='procedural synthetic dataset variant: '
+                             'solid blobs, thin shells (realistic '
+                             'samples/ray), or textured shells (high-'
+                             'frequency detail - honest encoder-'
+                             'capacity tests)')
     parser.add_argument('--brick_macro', type=int, default=8,
                         help='brick renderer: tiles per macro-cull group '
                              '(hierarchical cone cull; 0 = single-level)')

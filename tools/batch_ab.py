@@ -22,7 +22,8 @@ print = functools.partial(print, flush=True)
 
 def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 table_dtype: str = "bfloat16", grid_interval: int = 16,
-                log2_size: int = 19, rays_total: int = 2 ** 23):
+                log2_size: int = 19, style: str = "solid",
+                rays_total: int = 2 ** 23):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -37,7 +38,8 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                       num_epochs=30, samples_budget=budget, random_bg=True,
                       exclude_incomplete="backfill", march="block",
                       grid_update_interval=grid_interval)
-    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
+                          style=style)
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
@@ -66,7 +68,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     dt = time.time() - t0
     rps = (n_steps - warm) * batch_size / dt
     print(f"b={batch_size} bud={budget} lev={levels} dt={table_dtype[:6]} "
-          f"gi={grid_interval} T=2^{log2_size}: "
+          f"gi={grid_interval} T=2^{log2_size} sty={style[:4]}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
           f"psnr={float(m['psnr']):.2f} s_per_ray={float(m['s_per_ray']):.1f}"
@@ -92,6 +94,8 @@ def parse_variant(spec: str):
             kw["grid_interval"] = int(p[2:])
         elif p.startswith("T") and p[1:].isdigit():
             kw["log2_size"] = int(p[1:])
+        elif p.startswith("sty="):
+            kw["style"] = p[4:]
         else:
             raise ValueError(f"bad field {p!r} in {spec!r}")
     return kw

@@ -25,6 +25,8 @@ def depth2img(depth: np.ndarray) -> np.ndarray:
 
 def dataset_kwargs(hparams):
     kwargs = {}
+    if hparams.dataset_name == 'synthetic':
+        kwargs.update(style=getattr(hparams, 'synthetic_style', 'solid'))
     if hparams.dataset_name == 'scannet':
         kwargs.update(test_skip=hparams.test_skip,
                       rot_transpose=hparams.rot_transpose,
