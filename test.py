@@ -130,10 +130,11 @@ def run(hparams):
                                    w, h, **br_kw)
             if i == 0:
                 # truncation telemetry: nonzero trunc counts mean content
-                # was culled (tile lists or per-ray windows overflowed) —
-                # raise --brick_L / --brick_Lk.  Worst case is LOW-res
-                # frames over DENSE occupancy, where each 8x8-pixel tile's
-                # cone covers most of the scene.
+                # was culled (tile lists / per-ray windows overflowed —
+                # raise --brick_L / --brick_Lk); pairs_dropped counts
+                # windows beyond the packing budget (raise --brick_ppr;
+                # drops are sample-major, so rays lose far tails first).
+                # Dense/foggy occupancy inflates all three.
                 print(f'brick telemetry (frame 0): '
                       f'trunc_tiles={int(out["trunc_tiles"])} '
                       f'trunc_rays={int(out["trunc_rays"])} '
