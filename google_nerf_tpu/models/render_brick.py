@@ -366,66 +366,66 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
         # 4': sequential passes, one pair per live ray per pass — pairs
         # behind opaque content are never field-evaluated (the analog of
         # the reference's per-sample early ray termination,
-        # `rendering.py:99,157`, at brick-pair granularity)
+        # `rendering.py:99,157`, at brick-pair granularity).  Each ray
+        # advances its own CURSOR through its (front-to-back, prefix-
+        # valid) pair list; a ray that misses a pass's packing budget
+        # simply retries next pass instead of losing its remaining
+        # content, and whatever is left after the pass list goes to the
+        # exact packed drain below.
         tau_max = -float(np.log(T_threshold))
         ridx = jnp.arange(R, dtype=jnp.int32)
+        n_valid_r = pair_valid.sum(-1)
+        cur = jnp.zeros(R, jnp.int32)
         tau_tot = jnp.zeros(R)
         rgb = jnp.zeros((R, 3))
         depth = jnp.zeros(R)
-        trunc = jnp.zeros(R, bool)
         dropped = jnp.zeros((), jnp.int32)
-        for p, frac in enumerate(pass_fracs):
-            if p >= Lk:
-                break
+        for frac in pass_fracs[:Lk]:
             B_p = max(128, int(np.ceil(frac * R / 128)) * 128)
-            live = (tau_tot < tau_max) & ~trunc
-            m = pair_valid[:, p] & live
+            m = (tau_tot < tau_max) & (cur < n_valid_r)
             plan = plan_packing(m[:, None], B_p)
+            cc = jnp.minimum(cur, Lk - 1)[:, None]
             pair_tau, pair_rgb, pair_dep = field(
-                pack(n0[:, p], plan), pack(n1[:, p], plan),
-                pack(pb[:, p], plan), pack(ridx, plan), plan.slot_valid)
+                pack(jnp.take_along_axis(n0, cc, 1)[:, 0], plan),
+                pack(jnp.take_along_axis(n1, cc, 1)[:, 0], plan),
+                pack(jnp.take_along_axis(pb, cc, 1)[:, 0], plan),
+                pack(ridx, plan), plan.slot_valid)
             tau_r = unpack(pair_tau, plan).reshape(R)
             rgb_r = unpack(pair_rgb, plan).reshape(R, 3)
             dep_r = unpack(pair_dep, plan).reshape(R)
             rendered = m & plan.keep.reshape(R)
-            over = m & ~plan.keep.reshape(R)
-            trunc |= over
-            dropped += over.sum().astype(jnp.int32)
             T_bef = jnp.where(rendered, jnp.exp(-tau_tot), 0.0)
             rgb = rgb + T_bef[:, None] * rgb_r
             depth = depth + T_bef * dep_r
             tau_tot = tau_tot + jnp.where(rendered, tau_r, 0.0)
-        n_p = min(len(pass_fracs), Lk)
-        if n_p < Lk:
-            # drain: every remaining pair of every still-live ray in ONE
-            # packed combine with carried transmittance (exact — the
-            # brick analog of the oneshot renderer's straggler drain).
-            # Without it, rays outliving the pass list kept unrendered
-            # content (measured -5 dB vs the single-pass path).
-            live = (tau_tot < tau_max) & ~trunc
-            Lr = Lk - n_p
-            rest_valid = pair_valid[:, n_p:] & live[:, None]
-            B_d = max(128, int(np.ceil(drain_frac * R / 128)) * 128)
-            plan = plan_packing(rest_valid, B_d, sample_major=True)
-            ray_of_pair = jnp.broadcast_to(
-                jnp.arange(R, dtype=jnp.int32)[:, None], (R, Lr))
-            pair_tau, pair_rgb, pair_dep = field(
-                pack(n0[:, n_p:].reshape(-1), plan),
-                pack(n1[:, n_p:].reshape(-1), plan),
-                pack(pb[:, n_p:].reshape(-1), plan),
-                pack(ray_of_pair.reshape(-1), plan), plan.slot_valid)
-            tau_g = unpack(pair_tau, plan).reshape(R, Lr)
-            rgb_g = unpack(pair_rgb, plan).reshape(R, Lr, 3)
-            dep_g = unpack(pair_dep, plan).reshape(R, Lr)
-            T_bef = jnp.exp(-(tau_tot[:, None] + jnp.cumsum(tau_g, -1)
-                              - tau_g))
-            liveg = T_bef > T_threshold
-            Tl = jnp.where(liveg, T_bef, 0.0)
-            rgb = rgb + (Tl[..., None] * rgb_g).sum(1)
-            depth = depth + (Tl * dep_g).sum(1)
-            tau_tot = tau_tot + jnp.where(liveg, tau_g, 0.0).sum(-1)
-            dropped += jnp.maximum(plan.n_valid - B_d, 0).astype(jnp.int32)
-        ray_over = ray_over | trunc
+            cur = cur + rendered.astype(jnp.int32)
+        # drain: every pair past each still-live ray's cursor in ONE
+        # packed combine with carried transmittance (exact — the brick
+        # analog of the oneshot renderer's straggler drain).  Without it,
+        # rays outliving the pass list kept unrendered content
+        # (measured -5 dB vs the single-pass path).
+        live = tau_tot < tau_max
+        col = jnp.arange(Lk, dtype=jnp.int32)[None]
+        rest_valid = (col < n_valid_r[:, None]) & (col >= cur[:, None]) \
+            & live[:, None]
+        B_d = max(128, int(np.ceil(drain_frac * R / 128)) * 128)
+        plan = plan_packing(rest_valid, B_d, sample_major=True)
+        ray_of_pair = jnp.broadcast_to(ridx[:, None], (R, Lk))
+        pair_tau, pair_rgb, pair_dep = field(
+            pack(n0.reshape(-1), plan), pack(n1.reshape(-1), plan),
+            pack(pb.reshape(-1), plan),
+            pack(ray_of_pair.reshape(-1), plan), plan.slot_valid)
+        tau_g = unpack(pair_tau, plan).reshape(R, Lk)
+        rgb_g = unpack(pair_rgb, plan).reshape(R, Lk, 3)
+        dep_g = unpack(pair_dep, plan).reshape(R, Lk)
+        T_bef = jnp.exp(-(tau_tot[:, None] + jnp.cumsum(tau_g, -1)
+                          - tau_g))
+        liveg = T_bef > T_threshold
+        Tl = jnp.where(liveg, T_bef, 0.0)
+        rgb = rgb + (Tl[..., None] * rgb_g).sum(1)
+        depth = depth + (Tl * dep_g).sum(1)
+        tau_tot = tau_tot + jnp.where(liveg, tau_g, 0.0).sum(-1)
+        dropped += jnp.maximum(plan.n_valid - B_d, 0).astype(jnp.int32)
 
     opacity = jnp.clip(1.0 - jnp.exp(-tau_tot), 0.0, 1.0)
     return dict(rgb=rgb, opacity=opacity, depth=depth,

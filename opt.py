@@ -151,6 +151,10 @@ def get_opts(argv=None):
                              'samples/ray), or textured shells (high-'
                              'frequency detail - honest encoder-'
                              'capacity tests)')
+    parser.add_argument('--brick_drain', type=float, default=0.25,
+                        help='brick renderer: drain-pass packing budget '
+                             'as a fraction of the ray count (pairs '
+                             'left after --brick_passes)')
     parser.add_argument('--brick_macro', type=int, default=8,
                         help='brick renderer: tiles per macro-cull group '
                              '(hierarchical cone cull; 0 = single-level)')

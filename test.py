@@ -114,6 +114,7 @@ def run(hparams):
                 pairs_per_ray=getattr(hparams, "brick_ppr", 3.0),
                 pass_fracs=tuple(getattr(hparams, "brick_passes", None)
                                  or ()),
+                drain_frac=getattr(hparams, "brick_drain", 0.25),
                 macro_tiles=getattr(hparams, "brick_macro", 8),
                 macro_L=getattr(hparams, "brick_macro_L", 1024),
                 max_samples=rms)

@@ -222,6 +222,25 @@ def test_tile_list_overflow_keeps_in_cone_bricks():
     assert err < 0.03, err
 
 
+def test_pass_budget_deferral_is_exact():
+    """A ray that misses a pass's packing budget retries via its cursor
+    (and ultimately the drain) — tight per-pass budgets must reproduce
+    the single-pass render exactly, never drop or double-render a pair."""
+    cfg, params, occ, bcfg, baked = _setup()
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    kw = dict(bcfg=bcfg, tile=8, L=geo[0].shape[0], Lk=8,
+              max_samples=64, geometry=geo)
+    one = render_brick(baked, cfg, o, d, 16, 16, pairs_per_ray=8.0, **kw)
+    tight = render_brick(baked, cfg, o, d, 16, 16,
+                         pass_fracs=(0.07, 0.07, 0.07), drain_frac=8.0,
+                         **kw)
+    np.testing.assert_allclose(np.asarray(tight["rgb"]),
+                               np.asarray(one["rgb"]), atol=1e-4, rtol=0)
+    assert int(tight["pairs_dropped"]) == 0
+
+
 def test_budget_pressure_degrades_gracefully():
     """Under pairs-budget pressure the packing is sample-major: every ray
     keeps its NEAR windows and only far tails drop.  (Regression:
