@@ -189,6 +189,40 @@ def baked_apply(baked, cfg: NGPConfig, bcfg: BakedConfig, x, d):
 _APPLY_CACHE = {}
 
 
+def save_baked(path: str, baked, bcfg: BakedConfig):
+    """Write the baked field as a single .npz deployment artifact — the
+    serving analog of the reference's slim checkpoint (`ngp_pl/utils.py:
+    28-38`): bake once on the training machine, serve anywhere without
+    the training state.  ml_dtypes pools (bf16/fp8) round-trip through
+    npz as raw bytes and are viewed back to their tagged dtype on load."""
+    np.savez_compressed(
+        path,
+        block_map=np.asarray(baked["block_map"]),
+        pool=np.asarray(baked["pool"]),
+        pool_dtype=str(baked["pool"].dtype),
+        n_blocks=int(baked["n_blocks"]),
+        voxel_res=bcfg.voxel_res, block=bcfg.block, feat_dim=bcfg.feat_dim,
+        **{f"rgb_mlp_{i}": np.asarray(w)
+           for i, w in enumerate(baked["rgb_mlp"])})
+
+
+def load_baked(path: str):
+    """Load a save_baked artifact -> (baked dict, BakedConfig)."""
+    z = np.load(path)
+    dtype = np.dtype(str(z["pool_dtype"]))
+    baked = dict(
+        block_map=jnp.asarray(z["block_map"]),
+        pool=jnp.asarray(z["pool"].view(dtype)),
+        rgb_mlp=[jnp.asarray(z[f"rgb_mlp_{i}"])
+                 for i in range(len([k for k in z.files
+                                     if k.startswith("rgb_mlp_")]))],
+        n_blocks=int(z["n_blocks"]),
+    )
+    bcfg = BakedConfig(voxel_res=int(z["voxel_res"]), block=int(z["block"]),
+                       feat_dim=int(z["feat_dim"]), dtype=str(z["pool_dtype"]))
+    return baked, bcfg
+
+
 def make_baked_apply(bcfg: BakedConfig):
     """Cached apply_fn for render_test_fast (stable identity per bcfg, so
     the jitted renderer does not recompile every frame)."""

@@ -195,6 +195,13 @@ def get_opts(argv=None):
                              'pool and render the baked serving path')
     parser.add_argument('--bake_res', type=int, default=512,
                         help='baked voxel resolution per axis')
+    parser.add_argument('--save_bake', type=str, default=None,
+                        help='write the baked field to this .npz (the '
+                             'deployable serving artifact - bake once, '
+                             'serve anywhere)')
+    parser.add_argument('--load_bake', type=str, default=None,
+                        help='serve a previously saved bake instead of '
+                             'baking from the checkpoint')
     parser.add_argument('--bake_dtype', default='bfloat16',
                         choices=['bfloat16', 'float16', 'float8_e4m3fn'],
                         help='baked pool storage dtype; fp8 halves the '

@@ -80,7 +80,14 @@ def run(hparams):
             renderer = "oneshot"
         else:
             hparams.bake = True
-    if getattr(hparams, "bake", False):
+    if getattr(hparams, "load_bake", None):
+        from google_nerf_tpu.models.baked import (load_baked,
+                                                  render_test_baked)
+        baked, bcfg = load_baked(hparams.load_bake)
+        print(f'loaded bake: {baked["n_blocks"]} blocks '
+              f'(pool {baked["pool"].nbytes / 2**20:.0f} MiB, '
+              f'{bcfg.dtype})')
+    elif getattr(hparams, "bake", False):
         from google_nerf_tpu.models.baked import (BakedConfig, bake,
                                                   render_test_baked)
         bcfg = BakedConfig(voxel_res=hparams.bake_res,
@@ -90,6 +97,10 @@ def run(hparams):
                      bcfg)
         print(f'baked {baked["n_blocks"]} blocks in {time.time()-t0:.1f}s '
               f'(pool {baked["pool"].nbytes / 2**20:.0f} MiB)')
+        if getattr(hparams, "save_bake", None):
+            from google_nerf_tpu.models.baked import save_baked
+            save_baked(hparams.save_bake, baked, bcfg)
+            print(f'saved bake -> {hparams.save_bake}')
 
     brick_geo = None
     if renderer == "brick":

@@ -63,3 +63,28 @@ def test_baked_renderer_matches_live():
     # field): images must agree closely in the mean
     err = float(jnp.abs(bk["rgb"] - live["rgb"]).mean())
     assert err < 0.05, err
+
+
+def test_save_load_baked_roundtrip(tmp_path):
+    """save_baked/load_baked: the deployable .npz artifact reproduces the
+    bake bit-for-bit for bf16 and fp8 pools (ml_dtypes round-trip through
+    npz as raw bytes + a dtype tag)."""
+    from google_nerf_tpu.models.baked import load_baked, save_baked
+    cfg, params, occ, bcfg0, _ = _setup()
+    for dtype in ("bfloat16", "float8_e4m3fn"):
+        bcfg = BakedConfig(voxel_res=bcfg0.voxel_res, block=bcfg0.block,
+                           dtype=dtype)
+        baked = bake(params, cfg, occ, bcfg)
+        p = str(tmp_path / f"bake_{dtype}.npz")
+        save_baked(p, baked, bcfg)
+        got, gcfg = load_baked(p)
+        assert gcfg == bcfg
+        assert got["n_blocks"] == baked["n_blocks"]
+        assert got["pool"].dtype == baked["pool"].dtype
+        np.testing.assert_array_equal(
+            np.asarray(got["pool"]).view(np.uint8),
+            np.asarray(baked["pool"]).view(np.uint8))
+        np.testing.assert_array_equal(np.asarray(got["block_map"]),
+                                      np.asarray(baked["block_map"]))
+        for a, b in zip(got["rgb_mlp"], baked["rgb_mlp"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
