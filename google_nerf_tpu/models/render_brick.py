@@ -330,6 +330,7 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
         ray_over = jnp.zeros(R, bool)
         n0, n1, pb = jax.lax.sort((n0, n1, pb), num_keys=1)
     pair_valid = n1 >= n0
+    pairs_total = pair_valid.sum().astype(jnp.int32)
 
     field = partial(_pair_field, pool, rgb_mlp, rays_o, rays_du, t1,
                     dt=dt, S=S, V=V, Bk=Bk, s=s, F=F)
@@ -431,7 +432,7 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=tile_over.sum().astype(jnp.int32),
                 trunc_rays=(ray_over & (t2 > 0)).sum().astype(jnp.int32),
-                pairs_dropped=dropped)
+                pairs_dropped=dropped, pairs_total=pairs_total)
 
 
 def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
@@ -521,4 +522,5 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=cat["trunc_tiles"],
                 trunc_rays=cat["trunc_rays"],
-                pairs_dropped=cat["pairs_dropped"])
+                pairs_dropped=cat["pairs_dropped"],
+                pairs_total=cat["pairs_total"])

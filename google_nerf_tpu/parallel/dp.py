@@ -298,7 +298,8 @@ def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
     return dict(rgb=rgb, opacity=opacity, depth=unpermute(out["depth"]),
                 trunc_tiles=out["trunc_tiles"].sum(),
                 trunc_rays=out["trunc_rays"].sum(),
-                pairs_dropped=out["pairs_dropped"].sum())
+                pairs_dropped=out["pairs_dropped"].sum(),
+                pairs_total=out["pairs_total"].sum())
 
 
 def init_distributed(coordinator_address: Optional[str] = None,

@@ -142,8 +142,11 @@ def get_opts(argv=None):
                         help='brick renderer: bricks kept per tile list')
     parser.add_argument('--brick_Lk', type=int, default=24,
                         help='brick renderer: brick windows kept per ray')
-    parser.add_argument('--brick_ppr', type=float, default=3.0,
-                        help='brick renderer: packed pairs budget per ray')
+    parser.add_argument('--brick_ppr', type=float, default=0.0,
+                        help='brick renderer: packed pairs budget per ray; '
+                             '0 (default) auto-calibrates from pose 0\'s '
+                             'true window count (one extra compile) — set '
+                             'explicitly for benchmarking')
     parser.add_argument('--synthetic_style', default='solid',
                         choices=['solid', 'shell', 'textured'],
                         help='procedural synthetic dataset variant: '

@@ -108,6 +108,26 @@ def run(hparams):
                                                          render_brick)
         brick_geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
         print(f"brick geometry: {brick_geo[0].shape[0]} bricks")
+        if not getattr(hparams, "brick_ppr", 3.0):
+            # --brick_ppr 0 = auto: render pose 0 with a generous budget,
+            # read the true per-frame window count, size the budget with
+            # 1.5x margin for chunk imbalance (costs one extra compile)
+            ro0, rd0 = get_rays(jnp.asarray(dataset.directions),
+                                jnp.asarray(dataset.poses[0]))
+            rms0 = getattr(hparams, "render_max_samples", 512) \
+                or cfg.max_samples
+            probe = render_brick(
+                baked, cfg.model, ro0, rd0, w, h, bcfg=bcfg,
+                geometry=brick_geo, pairs_per_ray=16.0,
+                L=getattr(hparams, "brick_L", 256),
+                Lk=getattr(hparams, "brick_Lk", 24),
+                macro_tiles=getattr(hparams, "brick_macro", 8),
+                macro_L=getattr(hparams, "brick_macro_L", 1024),
+                max_samples=rms0)
+            hparams.brick_ppr = max(
+                0.5, round(1.5 * float(probe["pairs_total"]) / (w * h), 1))
+            print(f'brick auto budget: {int(probe["pairs_total"])} windows '
+                  f'-> --brick_ppr {hparams.brick_ppr}')
 
     directions = jnp.asarray(dataset.directions)
     psnrs, times = [], []
