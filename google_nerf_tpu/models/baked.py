@@ -122,16 +122,19 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
             for ox, oy, oz in [((c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1)]
         ], axis=4)                                   # (nb, Bk, Bk, Bk, 8, F)
         # occupancy gating: force sigma ~ 0 (pre-activation -30) in voxel
-        # cells whose (1-cell-dilated) occupancy cell is empty.  The
-        # marching renderers never SAMPLE those cells (occupancy test per
-        # sample); the brick rasterizer integrates every in-brick sample,
-        # so ungated fog inside kept blocks cost it -8.5 dB on the
-        # under-trained smoke scene while the march path was unaffected.
+        # cells whose occupancy cell is empty.  The marching renderers
+        # never SAMPLE those cells (exact per-sample occupancy test); the
+        # brick rasterizer integrates every in-brick sample, so ungated
+        # sigma inside kept blocks splits the renderers.  Gating must use
+        # the UNDILATED occupancy: the blocks are kept by the dilated
+        # grid (trilerp support), but gating by it leaves live sigma in
+        # the 1-cell dilation ring that only the raster integrates
+        # (measured 22x the true opacity on isolated-cell occupancy).
         gv = origin[i:end, None, None, None, :] + \
             np.stack(np.meshgrid(*([np.arange(Bk, dtype=np.int32)] * 3),
                                  indexing="ij"), -1)[None]
         cell = np.clip((gv * G) // V, 0, G - 1)
-        m = occ_d[cell[..., 0], cell[..., 1], cell[..., 2]]
+        m = occ0[cell[..., 0], cell[..., 1], cell[..., 2]]
         rows[..., 0] = np.where(m[..., None], rows[..., 0],
                                 np.float16(-30.0))
         pool[i * Bk ** 3:end * Bk ** 3] = rows.reshape(-1, 8 * F)

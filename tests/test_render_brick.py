@@ -93,6 +93,40 @@ def test_brick_matches_baked_march_renderer():
     assert float(jnp.abs(out["opacity"] - live["opacity"]).mean()) < 0.05
 
 
+def test_brick_matches_march_on_sparse_occupancy():
+    """Production-shaped scene: sparse occupancy -> empty blocks in the
+    block_map, real background rays, bricks covering ~20%% of the volume.
+    Brick raster and baked march must still agree."""
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 1e3
+    # each 4^3-voxel block overlaps 2^3 occupancy cells + 1-cell dilation,
+    # so p must be tiny for empty blocks to actually exist
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.01,
+        (cfg.cascades,) + (cfg.grid_size,) * 3)
+    bcfg = BakedConfig(voxel_res=32, block=4)
+    baked = bake(params, cfg, occ, bcfg)
+    assert baked["n_blocks"] < bcfg.block_res ** 3   # genuinely sparse
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ_u8 = pack_occupancy_u8(occ, 2, super_radius=5)
+    # sparse blobs split each ray into MANY disjoint segments: the march
+    # needs real capacity (n_keep) or IT becomes the lossy side
+    live = render_test_baked(baked, cfg, occ_u8, o, d, bcfg=bcfg,
+                             k=32, seg=8, n_segs=32, n_keep=32,
+                             max_samples=64, bucket=64, chunk=256)
+    geo = brick_geometry(baked["block_map"], bcfg, cfg)
+    out = render_brick(baked, cfg, o, d, 16, 16, bcfg=bcfg, tile=8,
+                       L=geo[0].shape[0], Lk=32, max_samples=64,
+                       pairs_per_ray=32.0, geometry=geo)
+    assert int(out["pairs_dropped"]) == 0
+    err = float(jnp.abs(out["rgb"] - live["rgb"]).mean())
+    assert err < 0.05, err
+    assert float(jnp.abs(out["opacity"] - live["opacity"]).mean()) < 0.05
+
+
 def test_non_tile_multiple_image_is_padded_and_cropped():
     """W/H not divisible by tile: edge-padded internally, output cropped
     to W*H and identical to the tile-multiple render of the same rays."""
