@@ -104,6 +104,42 @@ def main():
     jax.block_until_ready(outs)
     fps = n_frames / (time.time() - t0)
 
+    # ---- brick serving renderer at the same 800^2 view (bake once,
+    # rasterize cone-culled brick lists; models/render_brick.py).
+    # Guarded: the headline train metric prints even if this path fails.
+    brick_stats = {}
+    try:
+        from google_nerf_tpu.models.baked import BakedConfig, bake
+        from google_nerf_tpu.models.render_brick import (brick_geometry,
+                                                         render_brick)
+        bcfg = BakedConfig(voxel_res=512, block=8, dtype="float8_e4m3fn")
+        t0 = time.time()
+        baked = bake(state["params"], cfg.model, state["occ"], bcfg)
+        t_bake = time.time() - t0
+        geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
+
+        def brick_frame():
+            return render_brick(baked, cfg.model, rays_o, rays_d, w, h,
+                                bcfg=bcfg, T_threshold=1e-2, geometry=geo,
+                                L=256, Lk=24, pairs_per_ray=3.0,
+                                chunk_tiles=1024, max_samples=ms_render)
+
+        bo = brick_frame()
+        jax.block_until_ready(bo["rgb"])
+        t0 = time.time()
+        bos = [brick_frame()["rgb"] for _ in range(n_frames)]
+        jax.block_until_ready(bos)
+        brick_fps = n_frames / (time.time() - t0)
+        agree = float(jnp.abs(bo["rgb"] - out).mean())
+        brick_stats = {
+            "render_fps_800_brick": round(brick_fps, 2),
+            "brick_vs_oneshot_mae": round(agree, 4),
+            "brick_pairs_dropped": int(bo["pairs_dropped"]),
+            "bake_seconds": round(t_bake, 1),
+        }
+    except Exception as e:  # pragma: no cover - chip-env dependent
+        brick_stats = {"brick_error": f"{type(e).__name__}: {e}"[:120]}
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -116,6 +152,7 @@ def main():
             "render_fps_800": round(fps, 2),
             "render_fps_800_vs_baseline": round(fps / 32.44, 3),
             "device": str(jax.devices()[0]),
+            **brick_stats,
         },
     }))
 
