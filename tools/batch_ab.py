@@ -21,9 +21,9 @@ print = functools.partial(print, flush=True)
 
 
 def run_variant(batch_size: int, budget: int, *, levels: int = 8,
-                table_dtype: str = "bfloat16", grid_interval: int = 16,
-                log2_size: int = 19, style: str = "solid",
-                rays_total: int = 2 ** 23):
+                features: int = 2, table_dtype: str = "bfloat16",
+                grid_interval: int = 16, log2_size: int = 19,
+                style: str = "solid", rays_total: int = 2 ** 23):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -32,6 +32,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16, packed_levels=levels,
+                      packed_features=features,
                       packed_table_dtype=table_dtype,
                       packed_log2_size=log2_size)
     cfg = TrainConfig(model=model, batch_size=batch_size, k_samples=256,
@@ -67,7 +68,8 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     state, m = loop(state, warm, n_steps)
     dt = time.time() - t0
     rps = (n_steps - warm) * batch_size / dt
-    print(f"b={batch_size} bud={budget} lev={levels} dt={table_dtype[:6]} "
+    print(f"b={batch_size} bud={budget} lev={levels} F={features} "
+          f"dt={table_dtype[:6]} "
           f"gi={grid_interval} T=2^{log2_size} sty={style[:4]}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
@@ -90,6 +92,8 @@ def parse_variant(spec: str):
             kw["budget"] = int(p[3:])
         elif p.startswith("lev"):
             kw["levels"] = int(p[3:])
+        elif p.startswith("F") and p[1:].isdigit():
+            kw["features"] = int(p[1:])
         elif p.startswith("gi"):
             kw["grid_interval"] = int(p[2:])
         elif p.startswith("T") and p[1:].isdigit():
