@@ -118,10 +118,20 @@ def main():
         t_bake = time.time() - t0
         geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
 
+        # auto pairs budget (as test.py --brick_ppr 0): probe the frame's
+        # true window count with a generous budget, then size with 1.5x
+        # margin — an undersized fixed budget silently drops far windows
+        probe = render_brick(baked, cfg.model, rays_o, rays_d, w, h,
+                             bcfg=bcfg, T_threshold=1e-2, geometry=geo,
+                             L=256, Lk=24, pairs_per_ray=16.0,
+                             chunk_tiles=1024, max_samples=ms_render)
+        ppr = max(0.5, round(
+            1.5 * float(probe["pairs_total"]) / (w * h), 1))
+
         def brick_frame():
             return render_brick(baked, cfg.model, rays_o, rays_d, w, h,
                                 bcfg=bcfg, T_threshold=1e-2, geometry=geo,
-                                L=256, Lk=24, pairs_per_ray=3.0,
+                                L=256, Lk=24, pairs_per_ray=ppr,
                                 chunk_tiles=1024, max_samples=ms_render)
 
         bo = brick_frame()
@@ -135,6 +145,7 @@ def main():
             "render_fps_800_brick": round(brick_fps, 2),
             "brick_vs_oneshot_mae": round(agree, 4),
             "brick_pairs_dropped": int(bo["pairs_dropped"]),
+            "brick_ppr_auto": ppr,
             "bake_seconds": round(t_bake, 1),
         }
     except Exception as e:  # pragma: no cover - chip-env dependent
