@@ -4,7 +4,9 @@ grid-update cadence.
 
 Variant spec (argv[1]): comma list of colon-separated key=value fields,
 e.g. "b8192:bud98304,b8192:lev6,b8192:dtype=float8_e4m3fn,b8192:gi32".
-Bare "batch:budget" pairs (legacy) still work.
+Sampling-lattice knobs: k<k_samples> nk<n_keep> ms<max_samples>
+(e.g. "b16384:ms512:k128:nk16:bud131072" — the cheap-lattice recipe from
+DESIGN_NOTES round 4).  Bare "batch:budget" pairs (legacy) still work.
 
 Each variant costs a fresh remote compile (minutes); keep the list short.
 Prints ms/step, rays/s, vs-baseline, and train PSNR after an equal number
@@ -23,7 +25,9 @@ print = functools.partial(print, flush=True)
 def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 features: int = 2, table_dtype: str = "bfloat16",
                 grid_interval: int = 16, log2_size: int = 19,
-                style: str = "solid", rays_total: int = 2 ** 23):
+                style: str = "solid", rays_total: int = 2 ** 23,
+                k_samples: int = 256, n_keep: int = 32,
+                max_samples: int = 1024):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -35,7 +39,9 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                       packed_features=features,
                       packed_table_dtype=table_dtype,
                       packed_log2_size=log2_size)
-    cfg = TrainConfig(model=model, batch_size=batch_size, k_samples=256,
+    cfg = TrainConfig(model=model, batch_size=batch_size,
+                      k_samples=k_samples, n_keep=n_keep,
+                      max_samples=max_samples,
                       num_epochs=30, samples_budget=budget, random_bg=True,
                       exclude_incomplete="backfill", march="block",
                       grid_update_interval=grid_interval)
@@ -70,7 +76,8 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     rps = (n_steps - warm) * batch_size / dt
     print(f"b={batch_size} bud={budget} lev={levels} F={features} "
           f"dt={table_dtype[:6]} "
-          f"gi={grid_interval} T=2^{log2_size} sty={style[:4]}: "
+          f"gi={grid_interval} T=2^{log2_size} sty={style[:4]} "
+          f"k={k_samples} nk={n_keep} ms={max_samples}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
           f"psnr={float(m['psnr']):.2f} s_per_ray={float(m['s_per_ray']):.1f}"
@@ -100,6 +107,12 @@ def parse_variant(spec: str):
             kw["log2_size"] = int(p[1:])
         elif p.startswith("sty="):
             kw["style"] = p[4:]
+        elif p.startswith("k") and p[1:].isdigit():
+            kw["k_samples"] = int(p[1:])
+        elif p.startswith("nk"):
+            kw["n_keep"] = int(p[2:])
+        elif p.startswith("ms"):
+            kw["max_samples"] = int(p[2:])
         else:
             raise ValueError(f"bad field {p!r} in {spec!r}")
     return kw
