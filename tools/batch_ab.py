@@ -55,7 +55,11 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     warm = max(256, n_steps // 8)
     n_steps = max(n_steps, warm + 64)
 
-    def loop(state, lo, hi):
+    def loop(state, lo, hi, tail=None):
+        # tail: collect per-step psnr/mask_frac over the last 128 steps —
+        # single-step train psnr is several dB noisy across RNG-trajectory
+        # changes (gi-cadence probe, DESIGN_NOTES round 7), so rank variants
+        # by the tail mean instead.
         for i in range(lo, hi):
             if i % cfg.grid_update_interval == 0:
                 state = grid_update_step(
@@ -63,6 +67,9 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                     warmup=i < cfg.warmup_steps)
             state, metrics = fused_train_step(
                 state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg)
+            if tail is not None and i >= hi - 128:
+                tail.append((metrics["psnr"], metrics.get(
+                    "mask_frac", jnp.float32(1.0))))
         jax.block_until_ready(state)
         return state, metrics
 
@@ -71,16 +78,20 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     t_compile_warm = time.time() - t0
 
     t0 = time.time()
-    state, m = loop(state, warm, n_steps)
+    tail = []
+    state, m = loop(state, warm, n_steps, tail=tail)
     dt = time.time() - t0
     rps = (n_steps - warm) * batch_size / dt
+    psnr128 = float(jnp.mean(jnp.stack([p for p, _ in tail])))
+    mask128 = float(jnp.mean(jnp.stack([f for _, f in tail])))
     print(f"b={batch_size} bud={budget} lev={levels} F={features} "
           f"dt={table_dtype[:6]} "
           f"gi={grid_interval} T=2^{log2_size} sty={style[:4]} "
           f"k={k_samples} nk={n_keep} ms={max_samples}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
-          f"psnr={float(m['psnr']):.2f} s_per_ray={float(m['s_per_ray']):.1f}"
+          f"psnr128={psnr128:.2f} mask128={mask128:.3f} "
+          f"s_per_ray={float(m['s_per_ray']):.1f}"
           f"  [warm+compile {t_compile_warm:.0f}s]")
 
 
