@@ -36,6 +36,17 @@ from google_nerf_tpu.models.encoders import sh_encode_deg4
 from google_nerf_tpu.ops.trunc_exp import trunc_exp
 
 
+def baked_extent(cfg: NGPConfig) -> float:
+    """Half-width of the baked voxel grid.
+
+    Only cascade 0 is baked, so the grid must span exactly the cascade-0
+    occupancy bound, min(2^-1, scale) (`ops/grid.py:_cascade_bound`).
+    Using min(1, scale) here stretched occ[0] over [-1, 1] for any
+    0.5 < scale <= 1, so block selection and sigma gating read the wrong
+    occupancy cells (geometrically misplaced bake)."""
+    return min(0.5, cfg.scale)
+
+
 @dataclasses.dataclass(frozen=True)
 class BakedConfig:
     voxel_res: int = 512          # voxels per axis over [-scale, scale]
@@ -65,16 +76,18 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
     V, Bk = bcfg.voxel_res, bcfg.block
     Gb = bcfg.block_res
     G = occ.shape[1]
-    s = min(1.0, cfg.scale)
+    s = baked_extent(cfg)
 
     # occupied blocks: a block is baked iff any occupancy cell it overlaps
-    # is set (dilate by 1 cell for trilerp support at boundaries)
+    # is set (dilate by 1 cell for trilerp support at boundaries; pad-based
+    # so content at one face does not wrap spurious blocks to the other)
     occ0 = np.asarray(occ[0])
+    occ_p = np.pad(occ0, 1)
     occ_d = np.zeros_like(occ0)
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                occ_d |= np.roll(occ0, (dx, dy, dz), (0, 1, 2))
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                occ_d |= occ_p[dx:dx + G, dy:dy + G, dz:dz + G]
     # map occupancy cells (G^3 over [-s, s]) onto block grid (Gb^3)
     if G >= Gb:
         f = G // Gb
@@ -146,13 +159,26 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
     )
 
 
+def trilerp_w8(frac):
+    """Trilinear corner weights (..., 8) from in-voxel fractions (..., 3).
+
+    Corner c's offset on axis k is bit k of c (x = LSB) — the ONE
+    definition of the pool-row corner order; bake(), baked_field and the
+    brick rasterizer's _pair_field all use this helper so the layout
+    cannot silently diverge between the writers and the readers."""
+    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
+                        for c in range(8)], frac.dtype)
+    w = jnp.where(offs == 1, frac[..., None, :], 1.0 - frac[..., None, :])
+    return w[..., 0] * w[..., 1] * w[..., 2]
+
+
 def baked_field(baked, cfg: NGPConfig, bcfg: BakedConfig, x,
                 compute_dtype=jnp.bfloat16):
     """x: (N, 3) world -> (sigmas (N,), h (N, F)) via 2 gather rows/sample.
     Samples in empty blocks return sigma=0."""
     V, Bk = bcfg.voxel_res, bcfg.block
     Gb = bcfg.block_res
-    s = min(1.0, cfg.scale)
+    s = baked_extent(cfg)
     F = bcfg.feat_dim
 
     pos = jnp.clip((x / s * 0.5 + 0.5), 0.0, 1.0 - 1e-6) * V  # voxel coords
@@ -168,12 +194,7 @@ def baked_field(baked, cfg: NGPConfig, bcfg: BakedConfig, x,
     rows = jnp.take(baked["pool"], row_idx, axis=0)           # gather 2
     rows = rows.astype(compute_dtype).reshape(-1, 8, F)
 
-    # trilinear corner weights; corner c offset bit k = (c >> k) & 1
-    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
-                        for c in range(8)], compute_dtype)
-    w = jnp.where(offs[None] == 1, frac[:, None, :],
-                  1.0 - frac[:, None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]                     # (N, 8)
+    w = trilerp_w8(frac)                                      # (N, 8)
     h = jnp.einsum("nc,ncf->nf", w, rows).astype(jnp.float32)
     sig = jnp.where(pb >= 0, trunc_exp(h[..., 0]), 0.0)
     return sig, h

@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from google_nerf_tpu.models.baked import BakedConfig
+from google_nerf_tpu.models.baked import (BakedConfig, baked_extent,
+                                          trilerp_w8)
 from google_nerf_tpu.models.mlp import mlp_apply
 from google_nerf_tpu.models.ngp import NGPConfig
 from google_nerf_tpu.models.encoders import sh_encode_deg4
@@ -74,7 +75,7 @@ def brick_geometry(block_map, bcfg: BakedConfig, cfg: NGPConfig):
     """
     bm = np.asarray(block_map)
     Gb, Bk, V = bcfg.block_res, bcfg.block, bcfg.voxel_res
-    s = min(1.0, cfg.scale)
+    s = baked_extent(cfg)
     blk_ids = np.flatnonzero(bm >= 0).astype(np.int32)
     order = np.argsort(bm[blk_ids])          # pool order
     blk_ids = blk_ids[order]
@@ -237,11 +238,7 @@ def _pair_field(pool, rgb_mlp, rays_o, rays_du, t1, p_n0, p_n1, p_pb,
     row_idx = jnp.where(s_valid, p_pb[:, None] + lid, 0)
     rows = jnp.take(pool, row_idx.reshape(-1), axis=0)      # THE gather
     rows = rows.astype(jnp.bfloat16).reshape(P * S, 8, F)
-    offs = jnp.asarray([[(c >> k) & 1 for k in range(3)]
-                        for c in range(8)], jnp.bfloat16)
-    fr = frac.reshape(P * S, 1, 3)
-    w8 = jnp.where(offs[None] == 1, fr, 1.0 - fr)
-    w8 = w8[..., 0] * w8[..., 1] * w8[..., 2]
+    w8 = trilerp_w8(frac.reshape(P * S, 3))
     h = jnp.einsum("nc,ncf->nf", w8, rows).astype(jnp.float32)
     sigma = jnp.where(s_valid.reshape(-1), trunc_exp(h[:, 0]), 0.0)
     sh = sh_encode_deg4(rd)                                  # per pair
@@ -277,7 +274,7 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
     tpx = tile * tile
     T = R // tpx
     V, Bk = bcfg.voxel_res, bcfg.block
-    s = min(1.0, cfg.scale)
+    s = baked_extent(cfg)
     F = bcfg.feat_dim
     dt = SQRT3 / max_samples
 
@@ -470,7 +467,7 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     L = min(L, int(lo.shape[0]))
     Lk = min(Lk, L)
     # longest lattice window inside one brick: brick diagonal / dt
-    vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
+    vox_w = 2.0 * baked_extent(cfg) / bcfg.voxel_res
     S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
     outs = []
     # clamp the chunk to the actual tile count: padding is only for

@@ -121,6 +121,41 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
                 alive=alive)
 
 
+def _straggler_pass(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
+                    T, t_cur, alive, *, sr, budget, T_threshold, k, n_keep,
+                    sup, n_keep_sup, max_samples, apply_fn, march):
+    """One straggler pass: compact <=sr alive rays to the front (top_k),
+    resume their march from t_cur, and scatter the results back (masked on
+    is_real so slots beyond the true alive count are untouched).  The ONE
+    copy of the select/render/scatter step used by the fixed-schedule
+    loops and the while_loop drain."""
+    N = ro.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
+    svals, ridx = jax.lax.top_k(score, sr)
+    is_real = svals > -(N + 1)
+    q = _render_pass(params, cfg, occ_u8, ro[ridx], rdu[ridx],
+                     jnp.where(is_real, t_cur[ridx], jnp.inf),
+                     jnp.where(is_real, t2[ridx], 0.0),
+                     jnp.where(is_real, T[ridx], 0.0),
+                     T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+                     n_keep_sup=n_keep_sup, max_samples=max_samples,
+                     budget=budget, apply_fn=apply_fn, march=march)
+
+    def scat(full, add_or_new, mode="add"):
+        cur = full[ridx]
+        upd = cur + add_or_new if mode == "add" else add_or_new
+        return full.at[ridx].set(
+            jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
+                      upd, cur), unique_indices=True)
+
+    return (scat(rgb, q["rgb"]), scat(opacity, q["opacity"]),
+            scat(depth, q["depth"]), scat(T, q["T"], "set"),
+            scat(t_cur, q["t_next"], "set"),
+            scat(alive, q["alive"] & is_real, "set"))
+
+
+
 def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         exp_step_factor: float = 0.0,
                         T_threshold: float = 1e-2, chunk: int = 131072,
@@ -150,10 +185,16 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     over its missing tail — measured as a multi-dB PSNR loss.  The drain
     makes per-frame cost proportional to actual leftover content
     instead."""
+    if drain and not pooled_stragglers:
+        raise ValueError("drain=True requires pooled_stragglers=True "
+                         "(the drain runs on the image-wide pool)")
     R = rays_o.shape[0]
     chunk = min(chunk, max(R, 1))
     pad = (-R) % chunk
-    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3))]) if pad else rays_o
+    # pad rays originate far outside the AABB (guaranteed miss) so they
+    # never march content, join the straggler pool, or extend drain trips
+    ro = (jnp.concatenate([rays_o, jnp.full((pad, 3), 100.0)])
+          if pad else rays_o)
     rd = jnp.concatenate([rays_d, jnp.ones((pad, 3))]) if pad else rays_d
     if not pooled_stragglers:
         outs = []
@@ -201,34 +242,13 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                     drain_trips=trips,
                     alive_after_main=jnp.sum(alive).astype(jnp.int32))
     for _ in range(passes - 1):
-        iota = jnp.arange(N, dtype=jnp.int32)
-        score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
-        svals, ridx = jax.lax.top_k(score, sr)
-        is_real = svals > -(N + 1)
-        q = _render_pass(params, cfg, occ_u8, ro[ridx], rdu[ridx],
-                         jnp.where(is_real, t_cur[ridx], jnp.inf),
-                         jnp.where(is_real, acc["t2"][ridx], 0.0),
-                         jnp.where(is_real, T[ridx], 0.0),
-                         T_threshold=T_threshold, k=k, n_keep=n_keep,
-                         sup=sup, n_keep_sup=n_keep_sup,
-                         max_samples=max_samples,
-                         budget=(sr * k // max(budget_div // 2, 1)
-                                 if budget_div else 0),
-                         apply_fn=apply_fn, march=march)
-
-        def scat(full, add_or_new, mode="add"):
-            cur = full[ridx]
-            upd = cur + add_or_new if mode == "add" else add_or_new
-            return full.at[ridx].set(
-                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
-                          upd, cur), unique_indices=True)
-
-        rgb = scat(rgb, q["rgb"])
-        opacity = scat(opacity, q["opacity"])
-        depth = scat(depth, q["depth"])
-        T = scat(T, q["T"], "set")
-        t_cur = scat(t_cur, q["t_next"], "set")
-        alive = scat(alive, q["alive"] & is_real, "set")
+        rgb, opacity, depth, T, t_cur, alive = _straggler_pass(
+            params, cfg, occ_u8, ro, rdu, acc["t2"], rgb, opacity, depth,
+            T, t_cur, alive, sr=sr,
+            budget=(sr * k // max(budget_div // 2, 1) if budget_div else 0),
+            T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+            n_keep_sup=n_keep_sup, max_samples=max_samples,
+            apply_fn=apply_fn, march=march)
     bg = 1.0 if exp_step_factor == 0.0 else 0.0
     rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
     return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
@@ -244,37 +264,16 @@ def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
     """while_loop straggler drain: pull <=sr alive rays per trip (dense
     per-pass field eval, no packing sort) until no ray is alive or
     `max_passes` trips elapsed."""
-    N = ro.shape[0]
-    iota = jnp.arange(N, dtype=jnp.int32)
-
     def cond(c):
         return (c[0] < max_passes) & jnp.any(c[6])
 
     def body(c):
         i, rgb, opacity, depth, T, t_cur, alive = c
-        score = jnp.where(alive, -iota, jnp.int32(-(N + 1)))
-        svals, ridx = jax.lax.top_k(score, sr)
-        is_real = svals > -(N + 1)
-        q = _render_pass(params, cfg, occ_u8, ro[ridx], rdu[ridx],
-                         jnp.where(is_real, t_cur[ridx], jnp.inf),
-                         jnp.where(is_real, t2[ridx], 0.0),
-                         jnp.where(is_real, T[ridx], 0.0),
-                         T_threshold=T_threshold, k=k, n_keep=n_keep,
-                         sup=sup, n_keep_sup=n_keep_sup,
-                         max_samples=max_samples, budget=0,
-                         apply_fn=apply_fn, march=march)
-
-        def scat(full, add_or_new, mode="add"):
-            cur = full[ridx]
-            upd = cur + add_or_new if mode == "add" else add_or_new
-            return full.at[ridx].set(
-                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
-                          upd, cur), unique_indices=True)
-
-        return (i + 1, scat(rgb, q["rgb"]), scat(opacity, q["opacity"]),
-                scat(depth, q["depth"]), scat(T, q["T"], "set"),
-                scat(t_cur, q["t_next"], "set"),
-                scat(alive, q["alive"] & is_real, "set"))
+        return (i + 1,) + _straggler_pass(
+            params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
+            T, t_cur, alive, sr=sr, budget=0, T_threshold=T_threshold,
+            k=k, n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
+            max_samples=max_samples, apply_fn=apply_fn, march=march)
 
     c = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rgb, opacity, depth, T, t_cur, alive))
@@ -331,34 +330,12 @@ def _render_chunk_oneshot(params, cfg, occ_u8, rays_o, rays_d, *,
 
     sr = max(R // straggler_div, 1)
     for _ in range(passes - 1):
-        # compact up to sr alive rays to the front
-        iota = jnp.arange(R, dtype=jnp.int32)
-        score = jnp.where(alive, -iota, jnp.int32(-(R + 1)))
-        svals, ridx = jax.lax.top_k(score, sr)
-        is_real = svals > -(R + 1)
-        q = _render_pass(params, cfg, occ_u8, rays_o[ridx], rays_du[ridx],
-                         jnp.where(is_real, t_cur[ridx], jnp.inf),
-                         jnp.where(is_real, t2[ridx], 0.0),
-                         jnp.where(is_real, T[ridx], 0.0),
-                         T_threshold=T_threshold, k=k, n_keep=n_keep,
-                         sup=sup, n_keep_sup=n_keep_sup,
-                         max_samples=max_samples,
-                         budget=(sr * k // max(budget_div // 2, 1)
-                                 if budget_div else 0),
-                         apply_fn=apply_fn, march=march)
-
-        def scat(full, add_or_new, mode="add"):
-            cur = full[ridx]
-            upd = cur + add_or_new if mode == "add" else add_or_new
-            return full.at[ridx].set(
-                jnp.where(is_real.reshape((-1,) + (1,) * (upd.ndim - 1)),
-                          upd, cur), unique_indices=True)
-
-        rgb = scat(rgb, q["rgb"])
-        opacity = scat(opacity, q["opacity"])
-        depth = scat(depth, q["depth"])
-        T = scat(T, q["T"], "set")
-        t_cur = scat(t_cur, q["t_next"], "set")
-        alive = scat(alive, q["alive"] & is_real, "set")
+        rgb, opacity, depth, T, t_cur, alive = _straggler_pass(
+            params, cfg, occ_u8, rays_o, rays_du, t2, rgb, opacity, depth,
+            T, t_cur, alive, sr=sr,
+            budget=(sr * k // max(budget_div // 2, 1) if budget_div else 0),
+            T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+            n_keep_sup=n_keep_sup, max_samples=max_samples,
+            apply_fn=apply_fn, march=march)
 
     return dict(rgb=rgb, opacity=opacity, depth=depth)

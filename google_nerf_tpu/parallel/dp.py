@@ -221,7 +221,7 @@ def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
     independent (cull -> windows -> field -> per-ray combine), so there
     are no collectives and FPS scales linearly — same contract as
     render_test_oneshot_dp above.  Telemetry is summed across replicas."""
-    from google_nerf_tpu.models.baked import BakedConfig
+    from google_nerf_tpu.models.baked import BakedConfig, baked_extent
     from google_nerf_tpu.models.render_brick import (SQRT3, _render_tiles,
                                                      brick_geometry,
                                                      tile_order)
@@ -259,7 +259,7 @@ def render_brick_dp(baked, cfg, rays_o, rays_d, W, H, mesh: Mesh,
 
     L = min(L, int(lo.shape[0]))
     Lk = min(Lk, L)
-    vox_w = 2.0 * min(1.0, cfg.scale) / bcfg.voxel_res
+    vox_w = 2.0 * baked_extent(cfg) / bcfg.voxel_res
     S = int(np.ceil(bcfg.block * vox_w * SQRT3 / (SQRT3 / max_samples))) + 1
     mL = min(macro_L, int(lo.shape[0]))
     mt = macro_tiles if mL > 0 else 0

@@ -7,7 +7,8 @@ import numpy as np
 
 from google_nerf_tpu.core.rays import get_rays
 from google_nerf_tpu.data.synthetic import SyntheticDataset
-from google_nerf_tpu.models.baked import (BakedConfig, bake, baked_field,
+from google_nerf_tpu.models.baked import (BakedConfig, bake,
+                                          baked_extent, baked_field,
                                           render_test_baked)
 from google_nerf_tpu.models.ngp import NGPConfig, init_ngp, ngp_density
 from google_nerf_tpu.models.render_test_fast import render_test_fast
@@ -28,7 +29,7 @@ def _setup():
 
 def test_baked_exact_at_corners_and_trilerp_between():
     cfg, params, occ, bcfg, baked = _setup()
-    s = min(1.0, cfg.scale)
+    s = baked_extent(cfg)
     V = bcfg.voxel_res
     # voxel-corner positions: baked value == live field value exactly
     ij = np.array([[3, 5, 7], [0, 0, 0], [31, 31, 31], [16, 8, 24]])
@@ -88,3 +89,48 @@ def test_save_load_baked_roundtrip(tmp_path):
                                       np.asarray(baked["block_map"]))
         for a, b in zip(got["rgb_mlp"], baked["rgb_mlp"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bake_alignment_scale_above_half():
+    """Regression: for 0.5 < scale <= 1 the baked grid must span the
+    cascade-0 occupancy bound min(0.5, scale), not min(1, scale) — the old
+    mapping stretched occ[0] over [-1, 1], so sparse occupancy selected
+    blocks at 2x the world position and sigma-gated the true content."""
+    cfg = NGPConfig(scale=1.0, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    assert cfg.cascades >= 2
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 1e3
+    # occupy only the cascade-0 cell containing p = (0.25, 0.25, 0.25):
+    # cell = ((p / 0.5) * 0.5 + 0.5) * 16 = 12
+    occ = np.zeros((cfg.cascades,) + (cfg.grid_size,) * 3, bool)
+    occ[0, 12, 12, 12] = True
+    bcfg = BakedConfig(voxel_res=32, block=4)
+    baked = bake(params, cfg, jnp.asarray(occ), bcfg)
+    # p sits exactly on voxel corner 24 of the [-0.5, 0.5] baked grid
+    p = jnp.asarray([[0.25, 0.25, 0.25]], jnp.float32)
+    sig_b, h_b = baked_field(baked, cfg, bcfg, p)
+    sig_l, _ = ngp_density(params, cfg, p, return_feat=True)
+    np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_l),
+                               rtol=0.05, atol=1e-3)
+    # a point in an EMPTY occupancy cell (far corner) must be gated off
+    q = jnp.asarray([[-0.4, -0.4, -0.4]], jnp.float32)
+    sig_q, _ = baked_field(baked, cfg, bcfg, q)
+    assert float(sig_q[0]) < 1e-3
+
+
+def test_bake_dilation_does_not_wrap():
+    """Regression: the 1-cell trilerp-support dilation must not wrap
+    around the volume (np.roll): content at one face must not allocate
+    pool blocks at the opposite face."""
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    occ = np.zeros((cfg.cascades,) + (cfg.grid_size,) * 3, bool)
+    occ[0, 0, 8, 8] = True          # on the x=0 face
+    bcfg = BakedConfig(voxel_res=32, block=4)
+    baked = bake(params, cfg, jnp.asarray(occ), bcfg)
+    Gb = bcfg.block_res
+    bm = np.asarray(baked["block_map"]).reshape(Gb, Gb, Gb)
+    assert (bm[0] >= 0).any()       # content face baked
+    assert (bm[-1] < 0).all()       # opposite face must stay empty
