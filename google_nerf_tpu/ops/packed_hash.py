@@ -92,7 +92,7 @@ def init_packed_hash(key, cfg: PackedHashConfig) -> jnp.ndarray:
 
 
 def _cell_keys(x, cfg: PackedHashConfig):
-    """x: (N, 3) in [0,1] -> keys (L, N) int32 in [0, L*T), frac (L, N, 3).
+    """x: (N, 3) in [0,1] -> keys (L, N) int32 in [0, T), frac (L, N, 3).
 
     Dense levels (res^3 <= T) use the row-major cell index; finer levels the
     instant-ngp xor-prime hash of the CELL coordinate."""
@@ -110,9 +110,7 @@ def _cell_keys(x, cfg: PackedHashConfig):
          ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
          ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))) & jnp.uint32(T - 1)
     idx = jnp.where(dense[:, None], dense_idx, h.astype(jnp.int32))
-    idx = jnp.clip(idx, 0, T - 1)
-    level_off = (jnp.arange(cfg.n_levels, dtype=jnp.int32) * T)[:, None]
-    return idx + level_off, frac
+    return jnp.clip(idx, 0, T - 1), frac
 
 
 def _corner_weights(frac):
@@ -151,8 +149,12 @@ def _encode_fwd_impl(table, x, cfg: PackedHashConfig):
     F = cfg.n_features
     keys, frac = _cell_keys(x, cfg)                          # (L,N),(L,N,3)
     gd = jnp.dtype(cfg.table_dtype)
-    rows = jnp.take(table.astype(gd).reshape(L * T, W),
-                    keys.reshape(-1), axis=0)                # (L*N, W)
+    # One take PER LEVEL instead of one take over the (L*T, W) concat:
+    # each level's working set (2 MiB at T=2^16 bf16) rides the fast
+    # cache regime — 220 M rows/s vs 75 M for the 16 MiB single take
+    # (tools/microbench_gather2.py, v5e).
+    rows = jnp.stack([jnp.take(table[l].astype(gd), keys[l], axis=0)
+                      for l in range(L)])                    # (L, N, W)
     rows = rows.reshape(L, x.shape[0], 8, F).astype(jnp.float32)
     w = _corner_weights(frac)                                # (L, N, 8)
     feat = jnp.einsum("lnc,lncf->lnf", w, rows)
@@ -179,36 +181,38 @@ def _bwd(cfg, res, g):
     resv = jnp.asarray(cfg.resolutions, jnp.float32)
     dx = jnp.sum(dfrac * resv[:, None, None], axis=0)        # (N, 3)
 
-    # ---- dtable: sort + cumsum + marker merge (no scatter) ----
-    NL = L * n
-    LT = L * T
-    k_contrib = keys.reshape(-1)                             # (NL,)
-    pos = jnp.arange(NL, dtype=jnp.int32)
-    k_all = jnp.concatenate([k_contrib,
-                             jnp.arange(LT, dtype=jnp.int32)])
-    p_all = jnp.concatenate([pos, jnp.full((LT,), NL, jnp.int32)])
-    ks, ps = jax.lax.sort((k_all, p_all), num_keys=2)
+    # ---- dtable: batched per-level sort + cumsum + marker merge ----
+    # Levels are independent segment-sums, so sort (L, N+T) batched along
+    # the last axis instead of one flat (L*(N+T),) sort: XLA vectorizes
+    # the L lanes, each lane's working set is L x smaller, and the
+    # comparator runs log(N+T) instead of log(L*(N+T)) rounds.
+    k_contrib = keys                                         # (L, N) in [0,T)
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (L, n))
+    marker_k = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))
+    k_all = jnp.concatenate([k_contrib, marker_k], axis=1)   # (L, N+T)
+    p_all = jnp.concatenate(
+        [pos, jnp.full((L, T), n, jnp.int32)], axis=1)
+    ks, ps = jax.lax.sort((k_all, p_all), dimension=1, num_keys=2)
 
-    is_contrib = ps < NL
+    is_contrib = ps < n                                      # (L, N+T)
     safe = jnp.where(is_contrib, ps, 0)
-    w_flat = w.reshape(NL, 8)
-    g_flat = gl.reshape(NL, F)
-    wp = jnp.take(w_flat, safe, axis=0)
-    gp = jnp.take(g_flat, safe, axis=0)
-    payload = (wp[:, :, None] * gp[:, None, :]).reshape(NL + LT, W)
-    payload = jnp.where(is_contrib[:, None], payload, 0.0)
-    csum = jnp.cumsum(payload, axis=0)                       # (NL+LT, W)
+    wp = jnp.take_along_axis(w, safe[..., None], axis=1)     # (L, N+T, 8)
+    gp = jnp.take_along_axis(gl, safe[..., None], axis=1)    # (L, N+T, F)
+    payload = (wp[..., :, None] * gp[..., None, :]).reshape(L, n + T, W)
+    payload = jnp.where(is_contrib[..., None], payload, 0.0)
+    csum = jnp.cumsum(payload, axis=1)                       # (L, N+T, W)
 
     # extract marker rows in key order: among markers keys are unique and
-    # ascending, so sorting (marker? key : BIG, stream_pos) puts the LT
-    # markers first, ordered by key
-    stream = jnp.arange(NL + LT, dtype=jnp.int32)
-    mk = jnp.where(is_contrib, jnp.int32(LT), ks)
-    _, mrows = jax.lax.sort((mk, stream), num_keys=1)
-    q = jax.lax.dynamic_slice_in_dim(mrows, 0, LT)           # (LT,)
-    A = jnp.take(csum, q, axis=0)                            # (LT, W)
-    dtab = jnp.diff(A, axis=0, prepend=jnp.zeros((1, W), A.dtype))
-    return dtab.reshape(L, T, W), dx
+    # ascending, so sorting (marker? key : BIG, stream_pos) puts the T
+    # markers first in each lane, ordered by key
+    stream = jnp.broadcast_to(jnp.arange(n + T, dtype=jnp.int32), (L, n + T))
+    mk = jnp.where(is_contrib, jnp.int32(T), ks)
+    _, mrows = jax.lax.sort((mk, stream), dimension=1, num_keys=1)
+    q = mrows[:, :T]                                         # (L, T)
+    A = jnp.take_along_axis(csum, q[..., None], axis=1)      # (L, T, W)
+    dtab = jnp.diff(A, axis=1,
+                    prepend=jnp.zeros((L, 1, W), A.dtype))
+    return dtab, dx
 
 
 packed_hash_encode.defvjp(_fwd, _bwd)
@@ -223,7 +227,7 @@ def packed_hash_encode_ref(table, x, cfg: PackedHashConfig):
     w = _corner_weights(frac)                                # (L, N, 8)
     outs = []
     for l in range(L):
-        rows = table[l][keys[l] - l * T]                     # (N, 8F)
+        rows = table[l][keys[l]]                             # (N, 8F)
         rows = rows.reshape(-1, 8, F)
         outs.append(jnp.einsum("nc,ncf->nf", w[l], rows))
     return jnp.concatenate(outs, axis=-1).reshape(x.shape[0], L * F) \

@@ -28,7 +28,7 @@ def ref_encode(table, x, cfg):
     w = _corner_weights(frac)
     outs = []
     for l in range(L):
-        rows = jnp.take(table[l], keys[l] - l * T, axis=0).reshape(-1, 8, F)
+        rows = jnp.take(table[l], keys[l], axis=0).reshape(-1, 8, F)
         outs.append(jnp.einsum("nc,ncf->nf", w[l], rows))
     return jnp.moveaxis(jnp.stack(outs), 0, 1).reshape(x.shape[0], L * F)
 
@@ -150,7 +150,7 @@ def test_table_gradient_precision_at_scale():
     k_np = np.asarray(keys)
     for l in range(cfg.n_levels):
         contrib = (w[l][:, :, None] * gl[l][:, None, :]).reshape(n, 16)
-        np.add.at(ref[l], k_np[l] - l * cfg.table_size, contrib)
+        np.add.at(ref[l], k_np[l], contrib)
     err = np.abs(np.asarray(dt, np.float64) - ref)
     sig = np.abs(ref) > 1e-6
     rel = err[sig] / np.abs(ref[sig])
