@@ -49,7 +49,10 @@ def main():
                     warmup=i < cfg.warmup_steps)
             state, metrics = fused_train_step(
                 state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg)
-        jax.block_until_ready(state)
+        # true host fetch: block_until_ready can return early through the
+        # axon relay (tools/microbench_encoder_bwd3.py methodology), which
+        # would over-report throughput; fetching a scalar cannot
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
         return state, metrics
 
     # warmup: compile + converge the occupancy grid to realistic sparsity

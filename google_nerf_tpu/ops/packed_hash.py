@@ -151,8 +151,9 @@ def _encode_fwd_impl(table, x, cfg: PackedHashConfig):
     gd = jnp.dtype(cfg.table_dtype)
     # One take PER LEVEL instead of one take over the (L*T, W) concat:
     # each level's working set (2 MiB at T=2^16 bf16) rides the fast
-    # cache regime — 220 M rows/s vs 75 M for the 16 MiB single take
-    # (tools/microbench_gather2.py, v5e).
+    # cache regime — 6.25 ms vs 20.1 ms for the 16 MiB single take at
+    # flagship shapes (tools/microbench_encoder_bwd3.py, v5e, chained
+    # fetch-synchronised timing).
     rows = jnp.stack([jnp.take(table[l].astype(gd), keys[l], axis=0)
                       for l in range(L)])                    # (L, N, W)
     rows = rows.reshape(L, x.shape[0], 8, F).astype(jnp.float32)
@@ -186,6 +187,8 @@ def _bwd(cfg, res, g):
     # the last axis instead of one flat (L*(N+T),) sort: XLA vectorizes
     # the L lanes, each lane's working set is L x smaller, and the
     # comparator runs log(N+T) instead of log(L*(N+T)) rounds.
+    # Measured 19.0 ms vs 44.8 ms flat at flagship shapes
+    # (tools/microbench_encoder_bwd3.py, chained fetch-synced timing).
     k_contrib = keys                                         # (L, N) in [0,T)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (L, n))
     marker_k = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))

@@ -70,7 +70,10 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
             if tail is not None and i >= hi - 128:
                 tail.append((metrics["psnr"], metrics.get(
                     "mask_frac", jnp.float32(1.0))))
-        jax.block_until_ready(state)
+        # true host fetch: block_until_ready can return early through the
+        # axon relay (see tools/microbench_encoder_bwd2.py) — fetching a
+        # scalar value cannot
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
         return state, metrics
 
     t0 = time.time()

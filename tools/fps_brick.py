@@ -98,11 +98,13 @@ def main():
                                 **v)
         t0 = time.time()
         out = frame()
-        jax.block_until_ready(out["rgb"])
+        # true host fetch: block_until_ready can return early through the
+        # axon relay (tools/microbench_encoder_bwd3.py methodology)
+        _ = float(out["rgb"].ravel()[0])
         t_compile = time.time() - t0
         t0 = time.time()
         outs = [frame()["rgb"] for _ in range(3)]
-        jax.block_until_ready(outs)
+        _ = float(outs[-1].ravel()[0])
         dt = (time.time() - t0) / 3
         p_gt = float(psnr_fn(out["rgb"], gt))
         print(f"{dtype} {v}: {dt*1e3:.0f} ms = {1/dt:.2f} FPS "

@@ -68,12 +68,16 @@ def main():
     for name, fn in [("one_take(L*T=16MiB)", one_take),
                      ("per_level(2MiB each)", per_level),
                      ("per_level_dense_aware", per_level_dense_aware)]:
+        # BUG FIXED (was: lambda ignored the carry and called fn(table, idx)
+        # with constant inputs every iteration — the 220 M rows/s per-level
+        # figure recorded from that version is untrustworthy; the honest
+        # comparison lives in tools/microbench_encoder_bwd3.py)
         def step(c, fn=fn):
-            return fn(table, (idx + c[0].astype(jnp.int32)) % T), c[0]
+            tok = (c[0].ravel()[0] * 0).astype(jnp.int32)
+            return fn(table, (idx + tok) % T), c[1]
 
         out = fn(table, idx)
-        dt = chain_time(lambda c: (fn(table, idx), c[1]),
-                        (out, jnp.float32(0)), n=20)
+        dt = chain_time(step, (out, jnp.float32(0)), n=20)
         rows = L * N
         print(f"{name:26s} {dt*1e3:7.2f} ms   "
               f"{rows/dt/1e6:6.1f} M rows/s")
