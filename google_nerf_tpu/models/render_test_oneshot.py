@@ -27,8 +27,10 @@ import jax.numpy as jnp
 
 from google_nerf_tpu.models.ngp import NGPConfig, ngp_apply
 from google_nerf_tpu.ops.compaction import pack, plan_packing
-from google_nerf_tpu.ops.march_block import (block_group as _auto_group,
-                                             march_rays_train_block)
+from google_nerf_tpu.ops.march_block import (block2_group,
+                                             block_group as _auto_group,
+                                             march_rays_train_block,
+                                             march_rays_train_block2)
 from google_nerf_tpu.ops.march_seg import march_rays_train_seg
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 from google_nerf_tpu.ops.stream_composite import composite_stream_train
@@ -50,7 +52,17 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
     R = rays_o.shape[0]
     dt = SQRT3 / max_samples
     hits = jnp.stack([jnp.where(t_cur < t2, t_cur, -1.0), t2], 1)
-    if march == "block":
+    if march == "block2":
+        g2 = block2_group(max_samples, cfg.scale, cfg.grid_size)
+        nkg = max(1, (n_keep * 8) // g2)
+        m = march_rays_train_block2(rays_o, rays_d, hits, occ_u8,
+                                    scale=cfg.scale,
+                                    grid_size=cfg.grid_size,
+                                    max_samples=max_samples, k_samples=k,
+                                    noise=jnp.zeros(R),
+                                    n_keep_super=max(1, -(-nkg // 8) + 1),
+                                    n_keep_groups=nkg)
+    elif march == "block":
         g = _auto_group(max_samples, cfg.scale, cfg.grid_size)
         # keep-window budget mirrors the seg path's n_keep*8 candidate
         # reach (see models/rendering.py block branch)

@@ -26,8 +26,10 @@ from google_nerf_tpu.ops.composite import (composite_rays_test_round,
 from google_nerf_tpu.ops.stream_composite import composite_stream_train
 from google_nerf_tpu.ops.marching import (march_rays_test_round,
                                           march_rays_train)
-from google_nerf_tpu.ops.march_block import (block_group as auto_block_group,
-                                             march_rays_train_block)
+from google_nerf_tpu.ops.march_block import (block2_group, block_group as
+                                             auto_block_group,
+                                             march_rays_train_block,
+                                             march_rays_train_block2)
 from google_nerf_tpu.ops.march_seg import march_rays_train_seg
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
@@ -61,7 +63,21 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
                               jnp.full((3,), cfg.scale))
     hits = clamp_near(hits, NEAR_DISTANCE)
     noise = jax.random.uniform(key, (rays_o.shape[0],))
-    if occ_u8 is not None and exp_step_factor == 0.0 and march == "block":
+    if occ_u8 is not None and exp_step_factor == 0.0 and march == "block2":
+        # two-phase block marcher (ops/march_block.py): tiny-table super
+        # liveness prunes dead space before any candidate math; fine bits
+        # come from the 2 MiB stride-4 block table.  Keep budgets mirror
+        # the block branch below (same group size, so same reach).
+        g = block2_group(max_samples, cfg.scale, cfg.grid_size)
+        nkg = n_keep_groups or max(1, (n_keep * seg) // g)
+        nks = max(1, -(-nkg // 8) + 1)            # groups->supers (+1 slack)
+        m = march_rays_train_block2(rays_o, rays_du, hits, occ_u8,
+                                    scale=cfg.scale,
+                                    grid_size=cfg.grid_size,
+                                    max_samples=max_samples,
+                                    k_samples=k_samples, noise=noise,
+                                    n_keep_super=nks, n_keep_groups=nkg)
+    elif occ_u8 is not None and exp_step_factor == 0.0 and march == "block":
         # one-phase block-row marcher (ops/march_block.py).  The default
         # keep-window budget matches the segment marcher's reach
         # (n_keep segments x seg candidates), NOT k_samples//group — a

@@ -237,6 +237,45 @@ def pack_occupancy_blocks(occ, block: int = 8) -> jnp.ndarray:
     return jnp.stack(words, -1).reshape(G * G * G, 16)
 
 
+def pack_occupancy_blocks4(occ, stride: int = 4) -> jnp.ndarray:
+    """Stride-anchored 8^3 block rows for the two-phase block marcher
+    (ops/march_block.march_rays_train_block2).
+
+    Row a (raster index over the (G//stride)^3 anchor lattice) holds the
+    exact occupancy of cells [stride*a .. stride*a + 7] per axis, same bit
+    layout as pack_occupancy_blocks.  At stride 4 / G=128 the table is
+    32^3 x 64 B = 2 MiB — 64x smaller than the per-cell-anchored table, so
+    fine-phase gathers run in the fast working-set regime of the v5e
+    gather law (DESIGN_NOTES.md) instead of the >=32 MiB floor.  The
+    marcher must keep group cell-spans <= BLOCK - stride (see
+    march_block.block2_group)."""
+    G = occ.shape[1]
+    assert G % stride == 0
+    full = pack_occupancy_blocks(occ)
+    i = jnp.arange(G // stride, dtype=jnp.int32) * stride
+    flat = ((i[:, None, None] * G + i[None, :, None]) * G
+            + i[None, None, :]).reshape(-1)
+    return jnp.take(full, flat, axis=0)
+
+
+def pack_super_liveness(occ, window: int, stride: int = 8) -> jnp.ndarray:
+    """((G//stride)^3,) int32 forward-window liveness table: entry a is 1
+    iff any cell in [stride*a .. stride*a + window - 1]^3 is occupied.
+
+    One 4-byte gather from this (~4 KB at G=128) table answers "does this
+    64-candidate marching supergroup touch any content?" for the super
+    phase of march_rays_train_block2 — background rays then never pay
+    fine block-row gathers or per-candidate position math.  `window` must
+    be >= supergroup cell-span + stride (march_block.super_window)."""
+    assert occ.shape[0] == 1, "super liveness is single-cascade only"
+    G = occ.shape[1]
+    assert G % stride == 0
+    r = jax.lax.reduce_window(occ[0], False, jax.lax.bitwise_or,
+                              (window,) * 3, (stride,) * 3,
+                              [(0, window - 1)] * 3)
+    return r.astype(jnp.int32).reshape(-1)
+
+
 def pack_occupancy_u8(occ, dilation_radius: int = 2,
                       super_radius: int = 0) -> jnp.ndarray:
     """occ: (C, G, G, G) bool -> packed int32 word grid for the segment

@@ -30,6 +30,7 @@ cascades == 1); other scenes use march_seg / the dense marcher.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -56,6 +57,172 @@ def block_group(max_samples: int, scale: float, grid_size: int,
            and (2 * g - 1) * cells_per_step < BLOCK - 1):
         g *= 2
     return g
+
+
+def block2_group(max_samples: int, scale: float, grid_size: int,
+                 stride: int = 4, cap: int = 32) -> int:
+    """Largest power-of-2 divisor g of max_samples such that g consecutive
+    candidates span <= BLOCK - stride - 1 cells per axis — then the 8^3
+    block row anchored at the STRIDE-quantized floor of the group's min
+    cell still contains every candidate's bit (anchor can sit up to
+    stride-1 cells below the min cell)."""
+    dt = SQRT3 / max_samples
+    bound = min(0.5, scale)
+    cells_per_step = dt * grid_size / (2.0 * bound)
+    g = 1
+    while (2 * g <= cap and max_samples % (2 * g) == 0
+           and (2 * g - 1) * cells_per_step < BLOCK - stride):
+        g *= 2
+    return g
+
+
+def super_window(max_samples: int, scale: float, grid_size: int,
+                 sg: int = 8, stride: int = 4, sup_stride: int = 8) -> int:
+    """Forward-window size (cells) the super-liveness table must cover for
+    supergroups of sg fine groups: supergroup cell-span + anchor slack."""
+    dt = SQRT3 / max_samples
+    bound = min(0.5, scale)
+    cells_per_step = dt * grid_size / (2.0 * bound)
+    gs = block2_group(max_samples, scale, grid_size, stride) * sg
+    return int(math.ceil((gs - 1) * cells_per_step)) + 1 + sup_stride
+
+
+def pack_occupancy_block2(occ, *, max_samples: int, scale: float,
+                          sg: int = 8, stride: int = 4,
+                          sup_stride: int = 8):
+    """Both tables the two-phase marcher needs, as a pytree dict."""
+    from google_nerf_tpu.ops.grid import (pack_occupancy_blocks4,
+                                          pack_super_liveness)
+    G = occ.shape[1]
+    return dict(
+        blocks4=pack_occupancy_blocks4(occ, stride),
+        super=pack_super_liveness(
+            occ, super_window(max_samples, scale, G, sg, stride,
+                              sup_stride), sup_stride))
+
+
+@partial(jax.jit, static_argnames=("scale", "grid_size", "max_samples",
+                                   "k_samples", "sg", "n_keep_super",
+                                   "n_keep_groups", "stride", "sup_stride"))
+def march_rays_train_block2(rays_o, rays_d, hits_t, occ2, *, scale: float,
+                            grid_size: int, max_samples: int,
+                            k_samples: int, noise, sg: int = 8,
+                            n_keep_super: int = 4, n_keep_groups: int = 0,
+                            stride: int = 4, sup_stride: int = 8):
+    """Two-phase block marcher -> padded (R, K) samples.
+
+    Phase A (super): one 4-byte gather per supergroup of sg*g consecutive
+    candidates from the ~4 KB pack_super_liveness table (anchored at the
+    min of the supergroup's two ENDPOINT cells — positions are linear in
+    t, so per-axis extremes are at the endpoints).  Only the first
+    n_keep_super live supergroups descend; dead space costs qs (~8) tiny
+    gathers per ray and ZERO per-candidate position math.
+
+    Phase B (fine): exact per-candidate bits via one 64-byte block row per
+    g-candidate group from the 2 MiB stride-anchored
+    pack_occupancy_blocks4 table, then the same group-liveness compaction
+    as march_rays_train_block.
+
+    occ2: dict from pack_occupancy_block2 (same sg/stride/sup_stride).
+    Sample positions are IDENTICAL to the dense marcher whenever no
+    truncation occurs (the super table is a conservative superset);
+    t_resume is exact-conservative for multi-pass renderers.
+    Constant-step single-cascade scenes only."""
+    blocks4, sup_tab = occ2["blocks4"], occ2["super"]
+    R = rays_o.shape[0]
+    dt = SQRT3 / max_samples
+    g = block2_group(max_samples, scale, grid_size, stride)
+    gs = g * sg
+    qs = max_samples // gs
+    nks = min(n_keep_super, qs)
+    nk = min(n_keep_groups or max(1, -(-k_samples // g)), nks * sg)
+    k_samples = min(k_samples, nk * g)
+    Gq = grid_size // sup_stride
+    Gs = grid_size // stride
+
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    hit = t1 >= 0
+    t0 = jnp.maximum(t1, 0.0) + dt * noise
+    o = jax.lax.stop_gradient(rays_o)
+    d = jax.lax.stop_gradient(rays_d)
+
+    # ---- phase A: supergroup liveness from endpoint cells ----
+    s = jnp.arange(qs, dtype=jnp.float32)
+    tsa = t0[:, None] + s[None, :] * (gs * dt)               # (R, qs)
+    tsb = tsa + (gs - 1) * dt
+    na = _cell_index_single(o[:, None, :] + tsa[..., None] * d[:, None, :],
+                            scale, grid_size)
+    nb = _cell_index_single(o[:, None, :] + tsb[..., None] * d[:, None, :],
+                            scale, grid_size)
+    msup = jnp.minimum(na, nb)                               # (R, qs, 3)
+    a = jnp.clip(msup // sup_stride, 0, Gq - 1)
+    sidx = (a[..., 0] * Gq + a[..., 1]) * Gq + a[..., 2]
+    lives = (jnp.take(sup_tab, sidx, axis=0) > 0)            # (R, qs)
+    lives = lives & (tsa < t2[:, None]) & hit[:, None]
+    pick_s, svalid = _first_k(lives, nks)                    # (R, nks)
+    trunc_sup = lives.sum(-1) > nks
+    t_resume = jnp.where(
+        trunc_sup,
+        t0 + (jnp.max(jnp.where(svalid, pick_s, -1), -1)
+              .astype(jnp.float32) + 1.0) * gs * dt, jnp.inf)
+
+    # ---- phase B: exact bits inside kept supergroups ----
+    j = jnp.arange(gs, dtype=jnp.float32)
+    ts = (t0[:, None, None] + pick_s[..., None].astype(jnp.float32)
+          * (gs * dt) + j * dt).reshape(R, nks * gs)         # ascending t
+    xyz = o[:, None, :] + ts[..., None] * d[:, None, :]
+    n = _cell_index_single(xyz, scale, grid_size)
+    ng = n.reshape(R, nks * sg, g, 3)
+    anchor = jnp.clip(ng.min(-2) // stride, 0, Gs - 1)       # (R, nks*sg, 3)
+    widx = (anchor[..., 0] * Gs + anchor[..., 1]) * Gs + anchor[..., 2]
+    rows = jnp.take(blocks4, widx.reshape(-1),
+                    axis=0).reshape(R, nks * sg, WORDS)
+    off = ng - (anchor * stride)[..., None, :]               # in {0..7}
+    bitpos = (off[..., 0] * BLOCK + off[..., 1]) * BLOCK + off[..., 2]
+    wsel = bitpos >> 5
+    word = jnp.zeros_like(bitpos)
+    for w in range(WORDS):
+        word = word | jnp.where(wsel == w, rows[..., w][..., None], 0)
+    occ_bit = ((word >> (bitpos & 31)) & 1) > 0              # (R, nks*sg, g)
+    cand_ok = (occ_bit.reshape(R, nks, gs)
+               & svalid[..., None]).reshape(R, nks * gs)
+    cand_ok = cand_ok & (ts < t2[:, None]) & hit[:, None]
+
+    # ---- group-liveness compaction (as march_rays_train_block) ----
+    grp_ok = cand_ok.reshape(R, nks * sg, g)
+    live = grp_ok.any(-1)
+    pick, gvalid = _first_k(live, nk)                        # (R, nk)
+    trunc_grp = live.sum(-1) > nk
+    ts_grp0 = ts.reshape(R, nks * sg, g)[..., 0]             # group start t
+    t_resume = jnp.minimum(t_resume, jnp.where(
+        trunc_grp,
+        jnp.max(jnp.where(gvalid,
+                          jnp.take_along_axis(ts_grp0, pick, 1), 0.0), -1)
+        + g * dt, jnp.inf))
+    truncated = trunc_sup | trunc_grp
+    sel = jnp.take_along_axis(grp_ok, pick[..., None], 1)    # (R, nk, g)
+    ts_sel = jnp.take_along_axis(ts.reshape(R, nks * sg, g),
+                                 pick[..., None], 1)
+    cand = (sel & gvalid[..., None]).reshape(R, nk * g)
+    ts_flat = jax.lax.stop_gradient(ts_sel).reshape(R, nk * g)
+
+    if k_samples >= nk * g:
+        valid = cand
+        ts_out = jnp.where(valid, ts_flat, 0.0)
+    else:
+        idx, valid = _first_k(cand, k_samples)
+        trunc2 = cand.sum(-1) > k_samples
+        ts_out = jnp.where(valid, jnp.take_along_axis(ts_flat, idx, 1), 0.0)
+        t_resume = jnp.minimum(t_resume, jnp.where(
+            trunc2, jnp.max(jnp.where(valid, ts_out, 0.0), -1) + dt,
+            jnp.inf))
+        truncated = truncated | trunc2
+    deltas = jnp.where(valid, dt, 0.0)
+    xyzs = rays_o[:, None, :] + ts_out[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    return dict(xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts_out, valid=valid,
+                truncated=truncated, t_resume=t_resume,
+                total_samples=valid.sum())
 
 
 @partial(jax.jit, static_argnames=("scale", "grid_size", "max_samples",

@@ -32,6 +32,7 @@ from google_nerf_tpu.ops.grid import (mark_invisible_cells,
                                       pack_occupancy_blocks,
                                       pack_occupancy_u8,
                                       update_density_grid)
+from google_nerf_tpu.ops.march_block import pack_occupancy_block2
 from google_nerf_tpu.ops.march_seg import required_dilation_radius
 from google_nerf_tpu.train.losses import NeRFLoss
 
@@ -169,7 +170,12 @@ def init_train_state(key, cfg: TrainConfig, K, poses, img_wh) -> Dict[str, Any]:
     occ = jnp.zeros((m.cascades,) + (m.grid_size,) * 3, bool)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
-    if cfg.march == "block" and m.cascades == 1:
+    if cfg.march == "block2" and m.cascades == 1:
+        gs4 = m.grid_size // 4
+        gq = m.grid_size // 8
+        occ_u8 = dict(blocks4=jnp.zeros((gs4 ** 3, 16), jnp.int32),
+                      super=jnp.zeros((gq ** 3,), jnp.int32))
+    elif cfg.march == "block" and m.cascades == 1:
         occ_u8 = jnp.zeros((m.grid_size ** 3, 16), jnp.int32)
     else:
         occ_u8 = jnp.zeros_like(occ, jnp.int32)
@@ -237,9 +243,10 @@ def loss_and_results(params, occ, scene, batch, key, cfg: TrainConfig,
                            max_samples=cfg.max_samples,
                            samples_budget=cfg.samples_budget,
                            occ_u8=(occ["occ_u8"]
-                                   if cfg.march in ("seg", "block")
+                                   if cfg.march in ("seg", "block", "block2")
                                    and cfg.exp_step_factor == 0.0 else None),
-                           march=("block" if cfg.march == "block"
+                           march=(cfg.march if cfg.march in ("block",
+                                                             "block2")
                                   and cfg.model.cascades == 1 else "seg"),
                            seg=cfg.seg, n_keep=cfg.n_keep, sup=cfg.sup,
                            n_keep_sup=cfg.n_keep_sup,
@@ -318,7 +325,10 @@ def grid_update_step(state, key, *, cfg: TrainConfig, warmup: bool):
     out = dict(state)
     out["density_grid"] = new_grid
     out["occ"] = occ
-    if cfg.march == "block" and m.cascades == 1:
+    if cfg.march == "block2" and m.cascades == 1:
+        out["occ_u8"] = pack_occupancy_block2(
+            occ, max_samples=cfg.max_samples, scale=m.scale)
+    elif cfg.march == "block" and m.cascades == 1:
         out["occ_u8"] = pack_occupancy_blocks(occ)
     else:
         out["occ_u8"] = pack_occupancy_u8(

@@ -99,11 +99,13 @@ def get_opts(argv=None):
                         help='one random bg color per batch instead of the '
                              'default per-ray colors')
     parser.add_argument('--march', type=str, default='seg',
-                        choices=['seg', 'block', 'dense'],
+                        choices=['seg', 'block', 'block2', 'dense'],
                         help='training marcher: "seg" (two/three-phase '
                              'segment), "block" (one-phase 8^3 block rows, '
-                             'single-cascade only), "dense" (candidate '
-                             'lattice)')
+                             'single-cascade only), "block2" (two-phase: '
+                             'tiny-table super liveness + stride-4 block '
+                             'rows, single-cascade only), "dense" '
+                             '(candidate lattice)')
     parser.add_argument('--block_group', type=int, default=0,
                         help='march=block: candidates per block row '
                              '(0 = auto max)')

@@ -65,9 +65,17 @@ def run(hparams):
             32, cfg.model.grid_size, ms_pack, cfg.model.scale))
     # serving with the one-phase block marcher (single-cascade scenes):
     # exact-occupancy block rows, no dilation
-    serve_march = ("block" if getattr(hparams, "march", "seg") == "block"
+    serve_march = (getattr(hparams, "march", "seg")
+                   if getattr(hparams, "march", "seg") in ("block", "block2")
                    and cfg.model.cascades == 1 else "seg")
-    if serve_march == "block":
+    if serve_march == "block2":
+        from google_nerf_tpu.ops.march_block import pack_occupancy_block2
+        occ_oneshot = pack_occupancy_block2(
+            jnp.asarray(state["occ"]),
+            max_samples=(getattr(hparams, "render_max_samples", 512)
+                         or cfg.max_samples),
+            scale=cfg.model.scale)
+    elif serve_march == "block":
         from google_nerf_tpu.ops.grid import pack_occupancy_blocks
         occ_oneshot = pack_occupancy_blocks(jnp.asarray(state["occ"]))
     else:

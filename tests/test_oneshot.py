@@ -141,3 +141,33 @@ def test_drain_matches_fast_with_tiny_pool():
     # the test exercises the starvation case, not a trivial scene)
     err_starved = float(jnp.abs(starved["rgb"] - ref["rgb"]).mean())
     assert err_starved > err, (err_starved, err)
+
+
+def test_oneshot_block2_matches_block():
+    """The two-phase block marcher must render the same image as the
+    one-phase block marcher (identical candidate lattice; super phase is
+    a conservative superset)."""
+    from google_nerf_tpu.ops.grid import pack_occupancy_blocks
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(2), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(24, 20))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.10, (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    kw = dict(max_samples=ms, k=16, n_keep=8, chunk=480, passes=1,
+              budget_div=0, straggler_div=2, drain=True, T_threshold=1e-4)
+    ref = render_test_oneshot(params, cfg, pack_occupancy_blocks(occ), o, d,
+                              march="block", **kw)
+    got = render_test_oneshot(
+        params, cfg, pack_occupancy_block2(occ, max_samples=ms,
+                                           scale=cfg.scale), o, d,
+        march="block2", **kw)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(ref["rgb"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["opacity"]),
+                               np.asarray(ref["opacity"]), rtol=1e-4,
+                               atol=1e-4)

@@ -93,8 +93,9 @@ def validate(hparams, cfg, state, test_dataset, val_dir=None, mesh=None):
     lpips = LPIPS(hparams.lpips_weights) if hparams.eval_lpips else None
     directions = jnp.asarray(test_dataset.directions)
     state = dict(state)
-    if "occ_u8" in state and state["occ_u8"].ndim == 2:
-        # march=block stores 8^3 block rows; the fast test renderer walks
+    if "occ_u8" in state and (isinstance(state["occ_u8"], dict)
+                              or state["occ_u8"].ndim == 2):
+        # march=block/block2 store block rows; the fast test renderer walks
         # the seg-marcher word layout — repack from the boolean grid
         from google_nerf_tpu.ops.grid import pack_occupancy_u8
         from google_nerf_tpu.ops.march_seg import required_dilation_radius
@@ -224,7 +225,12 @@ def main(hparams, video_fps=30):
         from google_nerf_tpu.ops.grid import (pack_occupancy_blocks,
                                               pack_occupancy_u8)
         from google_nerf_tpu.ops.march_seg import required_dilation_radius
-        if cfg.march == 'block' and cfg.model.cascades == 1:
+        if cfg.march == 'block2' and cfg.model.cascades == 1:
+            from google_nerf_tpu.ops.march_block import pack_occupancy_block2
+            state["occ_u8"] = pack_occupancy_block2(
+                jnp.asarray(state["occ"]), max_samples=cfg.max_samples,
+                scale=cfg.model.scale)
+        elif cfg.march == 'block' and cfg.model.cascades == 1:
             state["occ_u8"] = pack_occupancy_blocks(jnp.asarray(state["occ"]))
         else:
             state["occ_u8"] = pack_occupancy_u8(
