@@ -100,11 +100,13 @@ def main():
                                    drain=True)["rgb"]
 
     out = render_frame()
-    jax.block_until_ready(out)
+    _ = float(out[0, 0])
     t0 = time.time()
     n_frames = 5
     outs = [render_frame() for _ in range(n_frames)]
-    jax.block_until_ready(outs)
+    # scalar fetch bounds all in-order dispatches (timing-audit law:
+    # block_until_ready can return early through the axon relay)
+    _ = float(outs[-1][0, 0])
     fps = n_frames / (time.time() - t0)
 
     # ---- brick serving renderer at the same 800^2 view (bake once,
@@ -138,10 +140,10 @@ def main():
                                 chunk_tiles=1024, max_samples=ms_render)
 
         bo = brick_frame()
-        jax.block_until_ready(bo["rgb"])
+        _ = float(bo["rgb"][0, 0])
         t0 = time.time()
         bos = [brick_frame()["rgb"] for _ in range(n_frames)]
-        jax.block_until_ready(bos)
+        _ = float(bos[-1][0, 0])
         brick_fps = n_frames / (time.time() - t0)
         agree = float(jnp.abs(bo["rgb"] - out).mean())
         brick_stats = {

@@ -177,7 +177,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         budget_div: int = 4, apply_fn=None,
                         pooled_stragglers: bool = True,
                         march: str = "seg", drain: bool = False,
-                        max_passes: int = 1024):
+                        max_passes: int = 1024,
+                        compact_main: bool = False):
     """Full-image one-shot renderer (bounded scenes).
 
     With `pooled_stragglers` (default), every chunk runs ONE main pass and
@@ -225,6 +226,33 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
 
     norm = jnp.linalg.norm(rd, axis=-1, keepdims=True)
     rdu = rd / jnp.where(norm > 0, norm, 1.0)
+    if compact_main:
+        # ---- compact main: no dense main pass at all.  One image-wide
+        # phase-A scan (8 tiny gathers/ray from the ~4 KB super table)
+        # marks the rays with ANY possible content; only those enter the
+        # drain loop's render trips, so background rays never pay fine
+        # marching or field evaluation.  Requires march="block2"+drain.
+        if march != "block2" or not drain:
+            raise ValueError("compact_main requires march='block2' and "
+                             "drain=True")
+        N = R + pad
+        acc = _compact_scan(cfg, occ_u8, ro, rdu,
+                            max_samples=max_samples)
+        rgb = jnp.zeros((N, 3))
+        opacity = jnp.zeros((N,))
+        depth = jnp.zeros((N,))
+        rgb2, opacity2, depth2, trips = _drain_pool(
+            params, cfg, occ_u8, ro, rdu, acc["t2"], rgb, opacity, depth,
+            jnp.ones((N,)), acc["t_cur"], acc["alive"],
+            sr=max(chunk // straggler_div, 1), max_passes=max_passes,
+            T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
+            n_keep_sup=n_keep_sup, max_samples=max_samples,
+            apply_fn=apply_fn, march=march)
+        bg = 1.0 if exp_step_factor == 0.0 else 0.0
+        out_rgb = rgb2[:R] + bg * (1.0 - opacity2[:R, None])
+        return dict(rgb=out_rgb, opacity=opacity2[:R], depth=depth2[:R],
+                    drain_trips=trips,
+                    alive_after_main=jnp.sum(acc["alive"]).astype(jnp.int32))
     # ---- main pass per chunk ----
     parts = []
     for i in range(0, R + pad, chunk):
@@ -264,6 +292,24 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
     bg = 1.0 if exp_step_factor == 0.0 else 0.0
     rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
     return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R])
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_samples"))
+def _compact_scan(cfg: NGPConfig, occ2, ro, rdu, *, max_samples: int):
+    """AABB clip + phase-A super scan for the compact-main renderer:
+    per-ray entry t, exit t, and a conservative 'has any content' flag."""
+    from google_nerf_tpu.ops.march_block import super_any_live
+    hits = ray_aabb_intersect(ro, rdu, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+    t_cur = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0),
+                      jnp.inf)
+    alive = super_any_live(ro, rdu, hits, occ2, scale=cfg.scale,
+                           grid_size=cfg.grid_size,
+                           max_samples=max_samples)
+    alive = alive & (t_cur < t2)
+    return dict(t2=t2, t_cur=t_cur, alive=alive)
 
 
 @partial(jax.jit, static_argnames=("sr", "max_passes", "cfg",

@@ -101,6 +101,46 @@ def pack_occupancy_block2(occ, *, max_samples: int, scale: float,
                               sup_stride), sup_stride))
 
 
+def _phase_a_lives(sup_tab, o, d, t0, t2, hit, *, scale, grid_size,
+                   dt, gs, qs, sup_stride):
+    """Supergroup liveness from endpoint cells: (R, qs) bool + (R, qs) tsa."""
+    Gq = grid_size // sup_stride
+    s = jnp.arange(qs, dtype=jnp.float32)
+    tsa = t0[:, None] + s[None, :] * (gs * dt)               # (R, qs)
+    tsb = tsa + (gs - 1) * dt
+    na = _cell_index_single(o[:, None, :] + tsa[..., None] * d[:, None, :],
+                            scale, grid_size)
+    nb = _cell_index_single(o[:, None, :] + tsb[..., None] * d[:, None, :],
+                            scale, grid_size)
+    msup = jnp.minimum(na, nb)                               # (R, qs, 3)
+    a = jnp.clip(msup // sup_stride, 0, Gq - 1)
+    sidx = (a[..., 0] * Gq + a[..., 1]) * Gq + a[..., 2]
+    lives = (jnp.take(sup_tab, sidx, axis=0) > 0)            # (R, qs)
+    return lives & (tsa < t2[:, None]) & hit[:, None], tsa
+
+
+@partial(jax.jit, static_argnames=("scale", "grid_size", "max_samples",
+                                   "sg", "stride", "sup_stride"))
+def super_any_live(rays_o, rays_d, hits_t, occ2, *, scale: float,
+                   grid_size: int, max_samples: int, sg: int = 8,
+                   stride: int = 4, sup_stride: int = 8):
+    """Phase-A-only scan: True iff ANY supergroup along the ray is live — a
+    conservative superset of 'this ray has an occupied candidate'.  Costs
+    max_samples/(g*sg) (~8) 4-byte gathers per ray from the ~4 KB super
+    table; used by the compact-main oneshot renderer to exclude background
+    rays from fine marching and field evaluation entirely."""
+    dt = SQRT3 / max_samples
+    g = block2_group(max_samples, scale, grid_size, stride)
+    gs = g * sg
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    lives, _ = _phase_a_lives(
+        occ2["super"], jax.lax.stop_gradient(rays_o),
+        jax.lax.stop_gradient(rays_d), jnp.maximum(t1, 0.0), t2, t1 >= 0,
+        scale=scale, grid_size=grid_size, dt=dt, gs=gs,
+        qs=max_samples // gs, sup_stride=sup_stride)
+    return lives.any(-1)
+
+
 @partial(jax.jit, static_argnames=("scale", "grid_size", "max_samples",
                                    "k_samples", "sg", "n_keep_super",
                                    "n_keep_groups", "stride", "sup_stride"))
@@ -147,18 +187,9 @@ def march_rays_train_block2(rays_o, rays_d, hits_t, occ2, *, scale: float,
     d = jax.lax.stop_gradient(rays_d)
 
     # ---- phase A: supergroup liveness from endpoint cells ----
-    s = jnp.arange(qs, dtype=jnp.float32)
-    tsa = t0[:, None] + s[None, :] * (gs * dt)               # (R, qs)
-    tsb = tsa + (gs - 1) * dt
-    na = _cell_index_single(o[:, None, :] + tsa[..., None] * d[:, None, :],
-                            scale, grid_size)
-    nb = _cell_index_single(o[:, None, :] + tsb[..., None] * d[:, None, :],
-                            scale, grid_size)
-    msup = jnp.minimum(na, nb)                               # (R, qs, 3)
-    a = jnp.clip(msup // sup_stride, 0, Gq - 1)
-    sidx = (a[..., 0] * Gq + a[..., 1]) * Gq + a[..., 2]
-    lives = (jnp.take(sup_tab, sidx, axis=0) > 0)            # (R, qs)
-    lives = lives & (tsa < t2[:, None]) & hit[:, None]
+    lives, tsa = _phase_a_lives(sup_tab, o, d, t0, t2, hit, scale=scale,
+                                grid_size=grid_size, dt=dt, gs=gs, qs=qs,
+                                sup_stride=sup_stride)
     pick_s, svalid = _first_k(lives, nks)                    # (R, nks)
     trunc_sup = lives.sum(-1) > nks
     t_resume = jnp.where(

@@ -195,6 +195,11 @@ def get_opts(argv=None):
     parser.add_argument('--oneshot_passes', type=int, default=6,
                         help='fixed straggler schedule length when '
                              '--no_oneshot_drain is set')
+    parser.add_argument('--no_oneshot_compact', dest='oneshot_compact',
+                        action='store_false', default=True,
+                        help='disable the compact main pass (phase-A ray '
+                             'culling + drain-only rendering; applies to '
+                             '--march block2 serving with drain on)')
     parser.add_argument('--bake', action='store_true', default=False,
                         help='test.py: bake the field to a sparse voxel '
                              'pool and render the baked serving path')

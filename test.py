@@ -191,6 +191,12 @@ def run(hparams):
                 straggler_div=getattr(hparams, "oneshot_straggler_div", 8),
                 drain=getattr(hparams, "oneshot_drain", True),
                 passes=getattr(hparams, "oneshot_passes", 6))
+            # compact main: phase-A ray culling + drain-only rendering
+            # (default ON for block2 serving — background rays cost 8
+            # tiny gathers instead of a full march + field eval)
+            if (serve_march == "block2" and os_kw["drain"]
+                    and getattr(hparams, "oneshot_compact", True)):
+                os_kw["compact_main"] = True
             if baked is not None:
                 from google_nerf_tpu.models.baked import make_baked_apply
                 os_kw["apply_fn"] = make_baked_apply(bcfg)

@@ -70,7 +70,12 @@ def main():
     def get_occ(ms, march="seg"):
         key_ = (ms, march)
         if key_ not in occ_cache:
-            if march == "block":
+            if march == "block2":
+                from google_nerf_tpu.ops.march_block import \
+                    pack_occupancy_block2
+                occ_cache[key_] = pack_occupancy_block2(
+                    state["occ"], max_samples=ms, scale=0.5)
+            elif march == "block":
                 occ_cache[key_] = pack_occupancy_blocks(state["occ"])
             else:
                 occ_cache[key_] = pack_occupancy_u8(
@@ -90,14 +95,15 @@ def main():
     if av.variants:
         variants = []
         for spec in av.variants.split(","):
-            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0, dr=0)
+            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0, dr=0, cm=0)
             for part in spec.split(":"):
                 kname = part.rstrip("0123456789")
                 f[kname] = int(part[len(kname):])
             kw = dict(max_samples=f["ms"], chunk=131072, k=f["k"],
                       passes=f["p"], budget_div=f["bd"],
                       straggler_div=f["sd"], drain=bool(f["dr"]),
-                      march="block" if f["mb"] else "seg")
+                      compact_main=bool(f["cm"]),
+                      march={0: "seg", 1: "block", 2: "block2"}[f["mb"]])
             variants.append((f"live {spec}", None, kw))
             if baked_fn is not None:
                 variants.append((f"baked {spec}", baked_fn, kw))
@@ -125,7 +131,10 @@ def main():
                   f"alive_after_main={int(full0['alive_after_main'])}")
         t0 = time.time()
         outs = [frame() for _ in range(3)]
-        jax.block_until_ready(outs)
+        # scalar fetch, not block_until_ready: dispatches execute in order
+        # on the device stream, so fetching an element of the LAST frame
+        # bounds them all (DESIGN_NOTES timing-audit law)
+        _ = float(outs[-1][0, 0])
         dt = (time.time() - t0) / 3
         print(f"{name} {v}: {dt*1e3:.0f} ms = {1/dt:.2f} FPS | "
               f"psnr {float(psnr_fn(out, gt)):.2f}")
