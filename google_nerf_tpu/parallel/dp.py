@@ -110,11 +110,28 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
     """Sharded density-grid maintenance: each replica evaluates 1/n of the
     sampled cells, pmax merges the maxima (SURVEY.md §5.8)."""
     from google_nerf_tpu.models.ngp import ngp_density
-    from google_nerf_tpu.ops.grid import update_density_grid
+    from google_nerf_tpu.ops.grid import (pack_occupancy_blocks,
+                                          pack_occupancy_u8,
+                                          update_density_grid)
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
     from google_nerf_tpu.ops.march_seg import required_dilation_radius
-    from google_nerf_tpu.ops.grid import pack_occupancy_u8
 
     m = cfg.model
+
+    def pack(occ):
+        # mirror train.system.grid_update_step: the packed layout must
+        # match the marcher cfg.march selects in loss_and_results
+        if cfg.march == "block2" and m.cascades == 1:
+            return pack_occupancy_block2(occ, max_samples=cfg.max_samples,
+                                         scale=m.scale)
+        if cfg.march == "block" and m.cascades == 1:
+            return pack_occupancy_blocks(occ)
+        return pack_occupancy_u8(
+            occ, required_dilation_radius(cfg.seg, m.grid_size,
+                                          cfg.max_samples, m.scale),
+            super_radius=(required_dilation_radius(
+                cfg.seg * cfg.sup, m.grid_size, cfg.max_samples,
+                m.scale) if cfg.sup > 1 else 0))
 
     def build(warmup: bool):
         def per_replica(state, key):
@@ -128,12 +145,7 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
             out = dict(state)
             out["density_grid"] = new_grid
             out["occ"] = occ
-            out["occ_u8"] = pack_occupancy_u8(
-                occ, required_dilation_radius(cfg.seg, m.grid_size,
-                                              cfg.max_samples, m.scale),
-                super_radius=(required_dilation_radius(
-                    cfg.seg * cfg.sup, m.grid_size, cfg.max_samples,
-                    m.scale) if cfg.sup > 1 else 0))
+            out["occ_u8"] = pack(occ)
             return out
 
         return shard_map(per_replica, mesh=mesh,

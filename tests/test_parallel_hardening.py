@@ -142,3 +142,29 @@ def test_shard_scene_for_host():
     assert shards[1]["images"].shape[0] == 3
     all_imgs = np.concatenate([np.asarray(s["images"]) for s in shards])
     assert all_imgs.shape[0] == 6
+
+
+def test_dp_block2_march_trains():
+    """DP grid update must pack the layout cfg.march selects — with
+    march='block2' the state carries the {blocks4, super} dict and the DP
+    step must train on it (regression: the DP update used to always pack
+    the seg layout, marching garbage under block/block2)."""
+    model = NGPConfig(scale=0.5, encoder="packed", packed_levels=2,
+                      packed_log2_size=8, grid_size=16)
+    cfg = TrainConfig(model=model, batch_size=16 * N_DEV, k_samples=8,
+                      max_samples=32, samples_budget=0, march="block2")
+    ds = SyntheticDataset(split="train", n_images=4, img_wh=(16, 16))
+    mesh = make_mesh(N_DEV)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.K, ds.poses,
+                             ds.img_wh)
+    state = replicate(state, mesh)
+    scene = replicate(ds.scene(), mesh)
+    gup = make_dp_grid_update(cfg, mesh)
+    step = make_dp_train_step(cfg, mesh)
+    state = gup(state, jax.random.PRNGKey(1), warmup=True)
+    assert isinstance(state["occ_u8"], dict)
+    for i in range(3):
+        state, metrics = step(state, scene, jax.random.fold_in(
+            jax.random.PRNGKey(2), i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["s_per_ray"]) > 0

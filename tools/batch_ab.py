@@ -27,7 +27,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 grid_interval: int = 16, log2_size: int = 19,
                 style: str = "solid", rays_total: int = 2 ** 23,
                 k_samples: int = 256, n_keep: int = 32,
-                max_samples: int = 1024):
+                max_samples: int = 1024, march: str = "block"):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -43,7 +43,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                       k_samples=k_samples, n_keep=n_keep,
                       max_samples=max_samples,
                       num_epochs=30, samples_budget=budget, random_bg=True,
-                      exclude_incomplete="backfill", march="block",
+                      exclude_incomplete="backfill", march=march,
                       grid_update_interval=grid_interval)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style=style)
@@ -90,7 +90,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     print(f"b={batch_size} bud={budget} lev={levels} F={features} "
           f"dt={table_dtype[:6]} "
           f"gi={grid_interval} T=2^{log2_size} sty={style[:4]} "
-          f"k={k_samples} nk={n_keep} ms={max_samples}: "
+          f"k={k_samples} nk={n_keep} ms={max_samples} mar={march}: "
           f"{dt / (n_steps - warm) * 1e3:6.1f} ms/step  "
           f"{rps:,.0f} rays/s ({rps / 819200:.3f}x)  "
           f"psnr128={psnr128:.2f} mask128={mask128:.3f} "
@@ -127,6 +127,8 @@ def parse_variant(spec: str):
             kw["n_keep"] = int(p[2:])
         elif p.startswith("ms"):
             kw["max_samples"] = int(p[2:])
+        elif p.startswith("mar="):
+            kw["march"] = p[4:]
         else:
             raise ValueError(f"bad field {p!r} in {spec!r}")
     return kw
