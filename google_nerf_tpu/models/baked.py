@@ -112,28 +112,33 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
     cgrid = np.stack(np.meshgrid(cg, cg, cg, indexing="ij"),
                      -1).reshape(-1, 3)                        # ((Bk+1)^3, 3)
     F = bcfg.feat_dim
-    # evaluate + downcast on device so each round transfers bf16-as-f16
-    # (the bake is dispatch/transfer bound, not compute bound)
-    eval_fn = jax.jit(lambda x: ngp_density(
-        params, cfg, x, return_feat=True)[1].astype(jnp.float16))
+    # Entirely device-side bake: each chunk evaluates the field on its
+    # blocks' corner grids, slices the per-voxel 8-corner rows, gates
+    # sigma, and casts to the pool dtype in ONE jitted program; the pool
+    # is born on device (the old numpy loop round-tripped every chunk
+    # through the host and was transfer-bound).
     n_cg = (Bk + 1) ** 3
     blocks_per_chunk = max(chunk // n_cg, 1)
-    pool = np.empty((n_blocks * Bk ** 3, 8 * F), np.float16)
-    for i in range(0, n_blocks, blocks_per_chunk):
-        end = min(i + blocks_per_chunk, n_blocks)
-        pts = (origin[i:end, None, :] + cgrid[None]).reshape(-1, 3)
-        xyz = (pts.astype(np.float32) / V * 2.0 - 1.0) * s
-        pad = blocks_per_chunk * n_cg - xyz.shape[0]
-        if pad:
-            xyz = np.concatenate([xyz, np.zeros((pad, 3), np.float32)])
-        feats = np.asarray(eval_fn(jnp.asarray(xyz)))[:(end - i) * n_cg]
-        Cg = feats.reshape(end - i, Bk + 1, Bk + 1, Bk + 1, F)
+    occ0_dev = jnp.asarray(occ0)
+    cgrid_dev = jnp.asarray(cgrid)
+    voxoff = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(Bk, dtype=jnp.int32)] * 3),
+                     indexing="ij"), -1).reshape(-1, 3)       # (Bk^3, 3)
+
+    @jax.jit
+    def bake_chunk(orig):                                     # (nb, 3) int32
+        nb = orig.shape[0]
+        pts = orig[:, None, :] + cgrid_dev[None]              # (nb, n_cg, 3)
+        xyz = (pts.astype(jnp.float32) / V * 2.0 - 1.0) * s
+        feats = ngp_density(params, cfg, xyz.reshape(-1, 3),
+                            return_feat=True)[1]
+        Cg = feats.reshape(nb, Bk + 1, Bk + 1, Bk + 1, F)
         # voxel (i,j,k) corner c (bits x=LSB, y, z) = Cg[i+ox, j+oy, k+oz]
-        rows = np.stack([
+        rows = jnp.stack([
             Cg[:, ox:ox + Bk, oy:oy + Bk, oz:oz + Bk]
             for c in range(8)
             for ox, oy, oz in [((c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1)]
-        ], axis=4)                                   # (nb, Bk, Bk, Bk, 8, F)
+        ], axis=4).reshape(nb, Bk ** 3, 8, F)
         # occupancy gating: force sigma ~ 0 (pre-activation -30) in voxel
         # cells whose occupancy cell is empty.  The marching renderers
         # never SAMPLE those cells (exact per-sample occupancy test); the
@@ -143,17 +148,26 @@ def bake(params, cfg: NGPConfig, occ, bcfg: BakedConfig = BakedConfig(),
         # grid (trilerp support), but gating by it leaves live sigma in
         # the 1-cell dilation ring that only the raster integrates
         # (measured 22x the true opacity on isolated-cell occupancy).
-        gv = origin[i:end, None, None, None, :] + \
-            np.stack(np.meshgrid(*([np.arange(Bk, dtype=np.int32)] * 3),
-                                 indexing="ij"), -1)[None]
-        cell = np.clip((gv * G) // V, 0, G - 1)
-        m = occ0[cell[..., 0], cell[..., 1], cell[..., 2]]
-        rows[..., 0] = np.where(m[..., None], rows[..., 0],
-                                np.float16(-30.0))
-        pool[i * Bk ** 3:end * Bk ** 3] = rows.reshape(-1, 8 * F)
+        gv = orig[:, None, :] + voxoff[None]                  # (nb, Bk^3, 3)
+        cell = jnp.clip((gv * G) // V, 0, G - 1)
+        m = occ0_dev[cell[..., 0], cell[..., 1], cell[..., 2]]
+        rows = rows.at[..., 0].set(
+            jnp.where(m[..., None], rows[..., 0], -30.0))
+        return rows.reshape(nb * Bk ** 3, 8 * F).astype(
+            jnp.dtype(bcfg.dtype))
+
+    origin_dev = jnp.asarray(origin)
+    pad_blocks = (-n_blocks) % blocks_per_chunk
+    if pad_blocks:
+        origin_dev = jnp.concatenate(
+            [origin_dev, jnp.zeros((pad_blocks, 3), jnp.int32)])
+    parts = [bake_chunk(origin_dev[i:i + blocks_per_chunk])
+             for i in range(0, origin_dev.shape[0], blocks_per_chunk)]
+    pool = (jnp.concatenate(parts)[:n_blocks * Bk ** 3]
+            if len(parts) > 1 else parts[0][:n_blocks * Bk ** 3])
     return dict(
         block_map=jnp.asarray(block_map),
-        pool=jnp.asarray(pool, jnp.dtype(bcfg.dtype)),
+        pool=pool,
         rgb_mlp=params["rgb_mlp"],
         n_blocks=n_blocks,
     )

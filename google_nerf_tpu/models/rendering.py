@@ -70,7 +70,10 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         # the block branch below (same group size, so same reach).
         g = block2_group(max_samples, cfg.scale, cfg.grid_size)
         nkg = n_keep_groups or max(1, (n_keep * seg) // g)
-        nks = max(1, -(-nkg // 8) + 1)            # groups->supers (+1 slack)
+        # groups->supers with +2 slack: content spread over sparse supers
+        # must not truncate earlier than the block branch would (the kept
+        # GROUPS are the capacity; supers only bound their spread)
+        nks = max(1, -(-nkg // 8) + 2)
         m = march_rays_train_block2(rays_o, rays_du, hits, occ_u8,
                                     scale=cfg.scale,
                                     grid_size=cfg.grid_size,

@@ -96,6 +96,15 @@ def main():
           f"({100.0 * n_alive / o.shape[0]:.1f}%)")
     timed(stage_super, o, d, hits, label="super scan 640k rays")
 
+    # --- stage: drain-trip ray selection (top_k over the full image) ---
+    iota = jnp.arange(o.shape[0], dtype=jnp.int32)
+
+    @jax.jit
+    def stage_topk(alive):
+        score = jnp.where(alive, -iota, jnp.int32(-(o.shape[0] + 1)))
+        return jax.lax.top_k(score, 131072 // 8)[1]
+    timed(stage_topk, alive, label="drain top_k 640k->16k")
+
     # --- stage: block2 march on a 131k chunk ---
     C = 131072
 
