@@ -49,6 +49,9 @@ def main():
     p.add_argument("--log2", type=int, default=0,
                    help="override table log2 size (0 = default)")
     p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--march", default="block",
+                   choices=["seg", "block", "block2", "dense"])
+    p.add_argument("--render_max_samples", type=int, default=512)
     p.add_argument("--random_bg", action="store_true",
                    help="train against random background colors (uses the "
                         "procedural gt alpha; kills white-fog floaters)")
@@ -62,7 +65,8 @@ def main():
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.eval.metrics import LPIPS, psnr, ssim
     from google_nerf_tpu.models.ngp import NGPConfig
-    from google_nerf_tpu.models.render_test_fast import render_test_fast
+    from google_nerf_tpu.models.render_test_oneshot import render_test_oneshot
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
                                               grid_update_step,
                                               init_train_state)
@@ -91,6 +95,7 @@ def main():
                       exclude_incomplete=args.exclude,
                       weight_decay=args.wd,
                       n_keep=args.n_keep, n_keep_sup=args.n_keep_sup,
+                      march=args.march,
                       samples_budget=args.budget or 16 * args.batch_size)
     scene = ds.scene(images_uint8=True)
     key = jax.random.PRNGKey(0)
@@ -106,12 +111,12 @@ def main():
                                           jax.random.fold_in(key, 2*i),
                                           cfg=cfg)
         if (i + 1) % 1000 == 0:
-            jax.block_until_ready(metrics)
             print(f"step {i+1}/{total_steps} "
                   f"psnr={float(metrics['psnr']):.2f} "
                   f"s_per_ray={float(metrics['s_per_ray']):.1f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    jax.block_until_ready(state)
+    # scalar fetch = honest completion bound (timing-audit law)
+    _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
     train_time = time.time() - t0
     print(f"train time: {train_time:.0f}s", flush=True)
 
@@ -120,12 +125,19 @@ def main():
     lp = LPIPS(args.lpips_weights) if args.lpips_weights else None
     dirs = jnp.asarray(test_ds.directions)
     psnrs, ssims, lpipss, times = [], [], [], []
+    # serving: compact-main block2 oneshot at the coarser serving lattice
+    # (test.py defaults); occ repacked for that lattice
+    ms_r = args.render_max_samples
+    occ_r = pack_occupancy_block2(jnp.asarray(state["occ"]),
+                                  max_samples=ms_r, scale=cfg.model.scale)
     for i in range(args.n_test):
         o, d = get_rays(dirs, jnp.asarray(test_ds.poses[i]))
         t1 = time.time()
-        out = render_test_fast(state["params"], cfg.model,
-                               state["occ_u8"], o, d, T_threshold=1e-2)
-        jax.block_until_ready(out["rgb"])
+        out = render_test_oneshot(state["params"], cfg.model, occ_r, o, d,
+                                  T_threshold=1e-2, max_samples=ms_r, k=32,
+                                  budget_div=0, straggler_div=8, drain=True,
+                                  march="block2", compact_main=True)
+        _ = float(out["rgb"][0, 0])
         times.append(time.time() - t1)
         pred = out["rgb"].reshape(wh[1], wh[0], 3)
         gt = jnp.asarray(test_ds.rays[i]).reshape(wh[1], wh[0], 3)
