@@ -71,3 +71,31 @@ def test_dp_oneshot_matches_serial():
     for k in ("rgb", "opacity", "depth"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_dp_oneshot_compact_matches_serial():
+    """compact-main (block2 occ dict + phase-A cull) through the DP
+    wrapper: dict occupancy must replicate, scalar drain stats must be
+    filtered, and the sharded image must equal the serial one."""
+    from google_nerf_tpu.models.render_test_oneshot import render_test_oneshot
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(24, 20))
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(6), 0.1, (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    occ2 = pack_occupancy_block2(occ, max_samples=ms, scale=cfg.scale)
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(max_samples=ms, k=16, n_keep=8, chunk=120, budget_div=0,
+              straggler_div=2, drain=True, T_threshold=1e-4,
+              march="block2", compact_main=True)
+    ref = render_test_oneshot(params, cfg, occ2, o, d, **kw)
+    mesh = make_mesh(4)
+    got = render_test_oneshot_dp(params, cfg, occ2, o, d, mesh, **kw)
+    for key in ("rgb", "opacity", "depth"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), atol=1e-5,
+                                   err_msg=key)
