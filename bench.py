@@ -77,27 +77,25 @@ def main():
     pose = jnp.broadcast_to(jnp.asarray(ds.poses[0]), (h * w, 3, 4))
     rays_o, rays_d = get_rays(dirs800, pose)
 
-    from google_nerf_tpu.ops.grid import pack_occupancy_u8
-    from google_nerf_tpu.ops.march_seg import required_dilation_radius
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
 
     # serving lattice: 512 measured ~lossless vs 1024 and strictly faster
-    # (see opt.py --render_max_samples); repack with radii for that dt
+    # (see opt.py --render_max_samples); block2 tables for that dt
     ms_render = 512
-    occ_render = pack_occupancy_u8(
-        state["occ"],
-        required_dilation_radius(8, cfg.model.grid_size, ms_render,
-                                 cfg.model.scale),
-        super_radius=required_dilation_radius(
-            32, cfg.model.grid_size, ms_render, cfg.model.scale))
+    occ_render = pack_occupancy_block2(state["occ"], max_samples=ms_render,
+                                       scale=cfg.model.scale)
 
-    def render_frame():
-        # one-shot renderer: dense main pass + while_loop straggler drain
-        # (exact — every alive ray is drained, no fixed-schedule starvation)
-        return render_test_oneshot(state["params"], cfg.model, occ_render,
+    def render_frame(apply_fn=None, p=None):
+        # compact-main one-shot: phase-A super scan culls background rays,
+        # drain trips render only content (exact — every alive ray drains)
+        return render_test_oneshot(p if p is not None else state["params"],
+                                   cfg.model, occ_render,
                                    rays_o, rays_d, T_threshold=1e-2,
                                    max_samples=ms_render, k=32,
                                    budget_div=0, straggler_div=8,
-                                   drain=True)["rgb"]
+                                   drain=True, march="block2",
+                                   compact_main=True,
+                                   apply_fn=apply_fn)["rgb"]
 
     out = render_frame()
     _ = float(out[0, 0])
@@ -146,7 +144,21 @@ def main():
         _ = float(bos[-1][0, 0])
         brick_fps = n_frames / (time.time() - t0)
         agree = float(jnp.abs(bo["rgb"] - out).mean())
+
+        # baked + compact oneshot: the deploy-path headline (1 pool row
+        # per sample instead of 8 live encoder rows)
+        from google_nerf_tpu.models.baked import make_baked_apply
+        baked_fn = make_baked_apply(bcfg)
+        ob = render_frame(apply_fn=baked_fn, p=baked)
+        _ = float(ob[0, 0])
+        t0 = time.time()
+        obs = [render_frame(apply_fn=baked_fn, p=baked)
+               for _ in range(n_frames)]
+        _ = float(obs[-1][0, 0])
+        baked_fps = n_frames / (time.time() - t0)
         brick_stats = {
+            "render_fps_800_baked_oneshot": round(baked_fps, 2),
+            "baked_vs_live_mae": round(float(jnp.abs(ob - out).mean()), 4),
             "render_fps_800_brick": round(brick_fps, 2),
             "brick_vs_oneshot_mae": round(agree, 4),
             "brick_pairs_dropped": int(bo["pairs_dropped"]),
