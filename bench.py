@@ -92,7 +92,7 @@ def main():
                                    cfg.model, occ_render,
                                    rays_o, rays_d, T_threshold=1e-2,
                                    max_samples=ms_render, k=32,
-                                   budget_div=0, straggler_div=8,
+                                   budget_div=0, straggler_div=2,
                                    drain=True, march="block2",
                                    compact_main=True,
                                    apply_fn=apply_fn)["rgb"]

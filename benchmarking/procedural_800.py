@@ -135,7 +135,7 @@ def main():
         t1 = time.time()
         out = render_test_oneshot(state["params"], cfg.model, occ_r, o, d,
                                   T_threshold=1e-2, max_samples=ms_r, k=32,
-                                  budget_div=0, straggler_div=8, drain=True,
+                                  budget_div=0, straggler_div=2, drain=True,
                                   march="block2", compact_main=True)
         _ = float(out["rgb"][0, 0])
         times.append(time.time() - t1)
