@@ -177,6 +177,7 @@ def main():
             "steady_state_steps_per_sec": round(n_timed / dt, 2),
             "train_psnr_at_1024_steps": round(float(metrics["psnr"]), 2),
             "s_per_ray": round(float(metrics["s_per_ray"]), 2),
+            "mask_frac": round(float(metrics.get("mask_frac", 1.0)), 3),
             "render_fps_800": round(fps, 2),
             "render_fps_800_vs_baseline": round(fps / 32.44, 3),
             "device": str(jax.devices()[0]),
