@@ -70,10 +70,12 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         # the block branch below (same group size, so same reach).
         g = block2_group(max_samples, cfg.scale, cfg.grid_size)
         nkg = n_keep_groups or max(1, (n_keep * seg) // g)
-        # groups->supers with +2 slack: content spread over sparse supers
-        # must not truncate earlier than the block branch would (the kept
-        # GROUPS are the capacity; supers only bound their spread)
-        nks = max(1, -(-nkg // 8) + 2)
+        # TRAIN keeps ALL supergroups: phase A's bounding-box liveness is
+        # conservative for skipping but its truncation flag has false
+        # positives that poison backfill supervision (measured -5 dB,
+        # see march_block.py phase-A note).  The marcher's win at train
+        # is the 2 MiB stride-4 fine table, not the skip.
+        nks = max(1, max_samples // (g * 8))
         m = march_rays_train_block2(rays_o, rays_du, hits, occ_u8,
                                     scale=cfg.scale,
                                     grid_size=cfg.grid_size,

@@ -187,15 +187,31 @@ def march_rays_train_block2(rays_o, rays_d, hits_t, occ2, *, scale: float,
     d = jax.lax.stop_gradient(rays_d)
 
     # ---- phase A: supergroup liveness from endpoint cells ----
-    lives, tsa = _phase_a_lives(sup_tab, o, d, t0, t2, hit, scale=scale,
-                                grid_size=grid_size, dt=dt, gs=gs, qs=qs,
-                                sup_stride=sup_stride)
-    pick_s, svalid = _first_k(lives, nks)                    # (R, nks)
-    trunc_sup = lives.sum(-1) > nks
-    t_resume = jnp.where(
-        trunc_sup,
-        t0 + (jnp.max(jnp.where(svalid, pick_s, -1), -1)
-              .astype(jnp.float32) + 1.0) * gs * dt, jnp.inf)
+    # NOTE the liveness test is a BOUNDING-BOX test: a diagonal ray's
+    # ~28-cell supergroup is tested as a ~28^3 cube, so rays passing NEAR
+    # content go falsely live.  That is benign for SKIPPING (wasted fine
+    # gathers) but poison for the TRUNCATION flag: backfill supervision
+    # trusts `truncated`, and falsely-flagged near-surface background
+    # rays lose exactly the supervision that clears fog (measured -5 dB
+    # at the flagship A/B).  With nks >= qs phase A is skipped entirely:
+    # every super is kept, truncation is exact (group-level only), and
+    # the marcher's win is purely the 2 MiB fine table.
+    if nks >= qs:
+        pick_s = jnp.broadcast_to(jnp.arange(qs, dtype=jnp.int32), (R, qs))
+        svalid = jnp.ones((R, qs), bool)
+        trunc_sup = jnp.zeros((R,), bool)
+        t_resume = jnp.full((R,), jnp.inf)
+    else:
+        lives, tsa = _phase_a_lives(sup_tab, o, d, t0, t2, hit,
+                                    scale=scale, grid_size=grid_size,
+                                    dt=dt, gs=gs, qs=qs,
+                                    sup_stride=sup_stride)
+        pick_s, svalid = _first_k(lives, nks)                # (R, nks)
+        trunc_sup = lives.sum(-1) > nks
+        t_resume = jnp.where(
+            trunc_sup,
+            t0 + (jnp.max(jnp.where(svalid, pick_s, -1), -1)
+                  .astype(jnp.float32) + 1.0) * gs * dt, jnp.inf)
 
     # ---- phase B: exact bits inside kept supergroups ----
     j = jnp.arange(gs, dtype=jnp.float32)
