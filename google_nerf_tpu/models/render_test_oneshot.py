@@ -40,12 +40,14 @@ NEAR_DISTANCE = 0.05
 
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",
-                                   "sup", "n_keep_sup", "max_samples",
-                                   "budget", "apply_fn", "march"))
+                                   "n_keep_super", "sup", "n_keep_sup",
+                                   "max_samples", "budget", "apply_fn",
+                                   "march"))
 def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
                  T_in, *, T_threshold: float, k: int, n_keep: int, sup: int,
                  n_keep_sup: int, max_samples: int, budget: int,
-                 apply_fn=None, march: str = "seg"):
+                 apply_fn=None, march: str = "seg",
+                 n_keep_super: int = 0):
     """One march+composite pass from per-ray t_cur.  Returns per-pass
     accumulations (already scaled by T_in) and the updated carry."""
     field = apply_fn or ngp_apply
@@ -55,12 +57,16 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
     if march == "block2":
         g2 = block2_group(max_samples, cfg.scale, cfg.grid_size)
         nkg = max(1, (n_keep * 8) // g2)
+        # n_keep_super: 0 = derive from the group budget (+1 slack);
+        # qs (max_samples // (g*8)) keeps ALL supers — exact spans, one
+        # trip per ray unless the k-slot capacity overflows
+        nks = n_keep_super or max(1, -(-nkg // 8) + 1)
         m = march_rays_train_block2(rays_o, rays_d, hits, occ_u8,
                                     scale=cfg.scale,
                                     grid_size=cfg.grid_size,
                                     max_samples=max_samples, k_samples=k,
                                     noise=jnp.zeros(R),
-                                    n_keep_super=max(1, -(-nkg // 8) + 1),
+                                    n_keep_super=nks,
                                     n_keep_groups=nkg)
     elif march == "block":
         g = _auto_group(max_samples, cfg.scale, cfg.grid_size)
@@ -135,7 +141,8 @@ def _render_pass(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, t_cur, t2,
 
 def _straggler_pass(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
                     T, t_cur, alive, *, sr, budget, T_threshold, k, n_keep,
-                    sup, n_keep_sup, max_samples, apply_fn, march):
+                    sup, n_keep_sup, max_samples, apply_fn, march,
+                    n_keep_super=0):
     """One straggler pass: compact <=sr alive rays to the front (top_k),
     resume their march from t_cur, and scatter the results back (masked on
     is_real so slots beyond the true alive count are untouched).  The ONE
@@ -152,7 +159,8 @@ def _straggler_pass(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
                      jnp.where(is_real, T[ridx], 0.0),
                      T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
                      n_keep_sup=n_keep_sup, max_samples=max_samples,
-                     budget=budget, apply_fn=apply_fn, march=march)
+                     budget=budget, apply_fn=apply_fn, march=march,
+                     n_keep_super=n_keep_super)
 
     def scat(full, add_or_new, mode="add"):
         cur = full[ridx]
@@ -178,7 +186,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         pooled_stragglers: bool = True,
                         march: str = "seg", drain: bool = False,
                         max_passes: int = 1024,
-                        compact_main: bool = False):
+                        compact_main: bool = False,
+                        n_keep_super: int = 0):
     """Full-image one-shot renderer (bounded scenes).
 
     With `pooled_stragglers` (default), every chunk runs ONE main pass and
@@ -247,7 +256,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             sr=max(chunk // straggler_div, 1), max_passes=max_passes,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
-            apply_fn=apply_fn, march=march)
+            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super)
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
         out_rgb = rgb2[:R] + bg * (1.0 - opacity2[:R, None])
         return dict(rgb=out_rgb, opacity=opacity2[:R], depth=depth2[:R],
@@ -275,7 +284,7 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             T, t_cur, alive, sr=sr, max_passes=max_passes,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
-            apply_fn=apply_fn, march=march)
+            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super)
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
         rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
         return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R],
@@ -315,10 +324,11 @@ def _compact_scan(cfg: NGPConfig, occ2, ro, rdu, *, max_samples: int):
 @partial(jax.jit, static_argnames=("sr", "max_passes", "cfg",
                                    "T_threshold", "k", "n_keep", "sup",
                                    "n_keep_sup", "max_samples", "apply_fn",
-                                   "march"))
+                                   "march", "n_keep_super"))
 def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
                 t_cur, alive, *, sr, max_passes, T_threshold, k, n_keep,
-                sup, n_keep_sup, max_samples, apply_fn, march):
+                sup, n_keep_sup, max_samples, apply_fn, march,
+                n_keep_super=0):
     """while_loop straggler drain: pull <=sr alive rays per trip (dense
     per-pass field eval, no packing sort) until no ray is alive or
     `max_passes` trips elapsed."""
@@ -331,7 +341,8 @@ def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
             params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
             T, t_cur, alive, sr=sr, budget=0, T_threshold=T_threshold,
             k=k, n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
-            max_samples=max_samples, apply_fn=apply_fn, march=march)
+            max_samples=max_samples, apply_fn=apply_fn, march=march,
+            n_keep_super=n_keep_super)
 
     c = jax.lax.while_loop(
         cond, body, (jnp.int32(0), rgb, opacity, depth, T, t_cur, alive))
