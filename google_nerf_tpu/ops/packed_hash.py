@@ -189,19 +189,26 @@ def _bwd(cfg, res, g):
     # comparator runs log(N+T) instead of log(L*(N+T)) rounds.
     # Measured 19.0 ms vs 44.8 ms flat at flagship shapes
     # (tools/microbench_encoder_bwd3.py, chained fetch-synced timing).
+    # The sort key is FUSED (cell_key*2 | is_marker) so the comparator
+    # runs on ONE int32 key (position rides along as a value operand),
+    # and the w x g outer-product payload is materialized ONCE at source
+    # order so the sorted-order payload costs ONE (L, N+T)-row gather
+    # instead of two (w then g) — gather rows are the backward's wall
+    # (v5e gather law, DESIGN_NOTES.md).
     k_contrib = keys                                         # (L, N) in [0,T)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (L, n))
     marker_k = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))
-    k_all = jnp.concatenate([k_contrib, marker_k], axis=1)   # (L, N+T)
+    k_all = jnp.concatenate(
+        [k_contrib * 2, marker_k * 2 + 1], axis=1)           # (L, N+T)
     p_all = jnp.concatenate(
         [pos, jnp.full((L, T), n, jnp.int32)], axis=1)
-    ks, ps = jax.lax.sort((k_all, p_all), dimension=1, num_keys=2)
+    ks, ps = jax.lax.sort((k_all, p_all), dimension=1, num_keys=1)
+    ks = ks >> 1
 
     is_contrib = ps < n                                      # (L, N+T)
     safe = jnp.where(is_contrib, ps, 0)
-    wp = jnp.take_along_axis(w, safe[..., None], axis=1)     # (L, N+T, 8)
-    gp = jnp.take_along_axis(gl, safe[..., None], axis=1)    # (L, N+T, F)
-    payload = (wp[..., :, None] * gp[..., None, :]).reshape(L, n + T, W)
+    payload_src = (w[..., :, None] * gl[..., None, :]).reshape(L, n, W)
+    payload = jnp.take_along_axis(payload_src, safe[..., None], axis=1)
     payload = jnp.where(is_contrib[..., None], payload, 0.0)
     csum = jnp.cumsum(payload, axis=1)                       # (L, N+T, W)
 
