@@ -331,22 +331,51 @@ def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
                 n_keep_super=0):
     """while_loop straggler drain: pull <=sr alive rays per trip (dense
     per-pass field eval, no packing sort) until no ray is alive or
-    `max_passes` trips elapsed."""
+    `max_passes` trips elapsed.
+
+    The per-ray mutable state rides ONE (N, 8) array [rgb | opacity |
+    depth | T | t_cur | alive] and the per-ray constants one (N, 7)
+    [ro | rdu | t2], so each trip costs 2 fat row gathers + 1 fat row
+    scatter instead of 6 narrow scatters + 11 narrow gathers — scatter
+    runs at only 8-16 M rows/s on v5e (DESIGN_NOTES law), so the narrow
+    form burned ~25-50 ms/trip on update traffic alone."""
+    N = ro.shape[0]
+    const = jnp.concatenate([ro, rdu, t2[:, None]], axis=1)
+    state = jnp.concatenate(
+        [rgb, opacity[:, None], depth[:, None], T[:, None],
+         t_cur[:, None], alive.astype(jnp.float32)[:, None]], axis=1)
+    iota = jnp.arange(N, dtype=jnp.int32)
+
     def cond(c):
-        return (c[0] < max_passes) & jnp.any(c[6])
+        return (c[0] < max_passes) & jnp.any(c[1][:, 7] > 0.5)
 
     def body(c):
-        i, rgb, opacity, depth, T, t_cur, alive = c
-        return (i + 1,) + _straggler_pass(
-            params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth,
-            T, t_cur, alive, sr=sr, budget=0, T_threshold=T_threshold,
-            k=k, n_keep=n_keep, sup=sup, n_keep_sup=n_keep_sup,
-            max_samples=max_samples, apply_fn=apply_fn, march=march,
-            n_keep_super=n_keep_super)
+        i, state = c
+        al = state[:, 7] > 0.5
+        score = jnp.where(al, -iota, jnp.int32(-(N + 1)))
+        svals, ridx = jax.lax.top_k(score, sr)
+        is_real = svals > -(N + 1)
+        cg = jnp.take(const, ridx, axis=0)
+        sg = jnp.take(state, ridx, axis=0)
+        q = _render_pass(params, cfg, occ_u8, cg[:, 0:3], cg[:, 3:6],
+                         jnp.where(is_real, sg[:, 6], jnp.inf),
+                         jnp.where(is_real, cg[:, 6], 0.0),
+                         jnp.where(is_real, sg[:, 5], 0.0),
+                         T_threshold=T_threshold, k=k, n_keep=n_keep,
+                         sup=sup, n_keep_sup=n_keep_sup,
+                         max_samples=max_samples, budget=0,
+                         apply_fn=apply_fn, march=march,
+                         n_keep_super=n_keep_super)
+        new = jnp.concatenate(
+            [sg[:, 0:3] + q["rgb"], (sg[:, 3] + q["opacity"])[:, None],
+             (sg[:, 4] + q["depth"])[:, None], q["T"][:, None],
+             q["t_next"][:, None],
+             (q["alive"] & is_real).astype(jnp.float32)[:, None]], axis=1)
+        rows = jnp.where(is_real[:, None], new, sg)
+        return i + 1, state.at[ridx].set(rows, unique_indices=True)
 
-    c = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), rgb, opacity, depth, T, t_cur, alive))
-    return c[1], c[2], c[3], c[0]
+    trips, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return state[:, 0:3], state[:, 3], state[:, 4], trips
 
 
 @partial(jax.jit, static_argnames=("cfg", "T_threshold", "k", "n_keep",

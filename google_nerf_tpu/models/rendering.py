@@ -125,16 +125,19 @@ def render_train(params, cfg: NGPConfig, occ_grid, rays_o, rays_d, key, *,
         plan = plan_packing(m["valid"], samples_budget, sample_major=False)
         keep2d = plan.keep.reshape(R, K)
         ray_mask = ~jnp.any(m["valid"] & ~keep2d, axis=-1)
-        sig_p, rgb_p = ngp_apply(params, cfg,
-                                 pack(m["xyzs"].reshape(-1, 3), plan),
-                                 pack(m["dirs"].reshape(-1, 3), plan))
+        # ONE fat 8-wide pack gather (xyz | dir | delta | t) instead of four
+        # narrow ones: gather cost on v5e is per-ROW for widths <= 256 B
+        # (DESIGN_NOTES gather law), so this quarters the pack row count.
+        feat = jnp.concatenate(
+            [m["xyzs"].reshape(-1, 3), m["dirs"].reshape(-1, 3),
+             m["deltas"].reshape(-1, 1), m["ts"].reshape(-1, 1)], axis=1)
+        fp = pack(feat, plan)
+        sig_p, rgb_p = ngp_apply(params, cfg, fp[:, :3], fp[:, 3:6])
         if stream:
             # composite in the packed stream (B rows) instead of unpacking
             # to the padded (R, K) grid — ~3 full R*K passes saved
             out = composite_stream_train(
-                plan, sig_p, rgb_p,
-                pack(m["deltas"].reshape(-1), plan),
-                pack(m["ts"].reshape(-1), plan), R, K, T_threshold)
+                plan, sig_p, rgb_p, fp[:, 6], fp[:, 7], R, K, T_threshold)
         else:
             sigmas = unpack(sig_p, plan).reshape(R, K)
             rgbs = unpack(rgb_p, plan).reshape(R, K, 3)

@@ -80,23 +80,29 @@ def composite_stream_train(plan, sig_p, rgb_p, dt_p, ts_p, R: int, K: int,
     start = jnp.take(plan.pos, base + jnp.where(has, first_f, 0))
     last = jnp.take(plan.pos, base + jnp.where(has, last_f, 0))
 
-    def ray_sum(v):
-        vc = jnp.cumsum(v)
-        hi = jnp.take(vc, last)
-        lo_idx = jnp.maximum(start - 1, 0)
-        lo = jnp.where(start > 0, jnp.take(vc, lo_idx), 0.0)
-        return jnp.where(has, hi - lo, 0.0)
+    # ALL seven per-ray reductions ride ONE (B, 7) cumsum + two (R, 7)-row
+    # gathers (instead of 7 scalar cumsums + 14 narrow gathers): lanes are
+    # free on the VPU and gather cost is per-row for widths <= 256 B.
+    lanes = jnp.stack(
+        [w, w * ts_p, w * ts_p * ts_p,
+         w * rgb_p[:, 0], w * rgb_p[:, 1], w * rgb_p[:, 2],
+         jnp.where(include, sd, 0.0)], axis=-1)
+    vc = jnp.cumsum(lanes, axis=0)
+    hi = jnp.take(vc, last, axis=0)
+    lo_idx = jnp.maximum(start - 1, 0)
+    lo = jnp.where((start > 0)[:, None], jnp.take(vc, lo_idx, axis=0), 0.0)
+    sums = jnp.where(has[:, None], hi - lo, 0.0)
 
     # hi - lo of a global cumsum can cancel to a TINY NEGATIVE for empty
     # rays; downstream -o*log(o) entropy would then be NaN.  w >= 0, so
     # clamping to [0, 1] only removes rounding error.
-    opacity = jnp.clip(ray_sum(w), 0.0, 1.0)
-    depth = ray_sum(w * ts_p)
-    depth_sq = ray_sum(w * ts_p * ts_p)
-    rgb = jnp.stack([ray_sum(w * rgb_p[:, c]) for c in range(3)], -1)
+    opacity = jnp.clip(sums[:, 0], 0.0, 1.0)
+    depth = sums[:, 1]
+    depth_sq = sums[:, 2]
+    rgb = sums[:, 3:6]
     # aux for multi-pass rendering: per-ray included optical depth (gives
     # the transmittance multiplier exp(-tau)) and last kept sample t
-    tau = ray_sum(jnp.where(include, sd, 0.0))
+    tau = sums[:, 6]
     t_last = jnp.where(has, jnp.take(ts_p, last), 0.0)
     return dict(opacity=opacity, depth=depth, depth_sq=depth_sq, rgb=rgb,
                 tau=tau, t_last=t_last)
