@@ -187,7 +187,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
                         march: str = "seg", drain: bool = False,
                         max_passes: int = 1024,
                         compact_main: bool = False,
-                        n_keep_super: int = 0):
+                        n_keep_super: int = 0,
+                        drain_budget_div: int = 0):
     """Full-image one-shot renderer (bounded scenes).
 
     With `pooled_stragglers` (default), every chunk runs ONE main pass and
@@ -250,13 +251,16 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
         rgb = jnp.zeros((N, 3))
         opacity = jnp.zeros((N,))
         depth = jnp.zeros((N,))
+        srvalidate = max(chunk // straggler_div, 1)
         rgb2, opacity2, depth2, trips = _drain_pool(
             params, cfg, occ_u8, ro, rdu, acc["t2"], rgb, opacity, depth,
             jnp.ones((N,)), acc["t_cur"], acc["alive"],
-            sr=max(chunk // straggler_div, 1), max_passes=max_passes,
+            sr=srvalidate, max_passes=max_passes,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
-            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super)
+            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super,
+            budget=(srvalidate * k // drain_budget_div
+                    if drain_budget_div else 0))
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
         out_rgb = rgb2[:R] + bg * (1.0 - opacity2[:R, None])
         return dict(rgb=out_rgb, opacity=opacity2[:R], depth=depth2[:R],
@@ -284,7 +288,8 @@ def render_test_oneshot(params, cfg: NGPConfig, occ_u8, rays_o, rays_d, *,
             T, t_cur, alive, sr=sr, max_passes=max_passes,
             T_threshold=T_threshold, k=k, n_keep=n_keep, sup=sup,
             n_keep_sup=n_keep_sup, max_samples=max_samples,
-            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super)
+            apply_fn=apply_fn, march=march, n_keep_super=n_keep_super,
+            budget=(sr * k // drain_budget_div if drain_budget_div else 0))
         bg = 1.0 if exp_step_factor == 0.0 else 0.0
         rgb = rgb[:R] + bg * (1.0 - opacity[:R, None])
         return dict(rgb=rgb, opacity=opacity[:R], depth=depth[:R],
@@ -324,11 +329,11 @@ def _compact_scan(cfg: NGPConfig, occ2, ro, rdu, *, max_samples: int):
 @partial(jax.jit, static_argnames=("sr", "max_passes", "cfg",
                                    "T_threshold", "k", "n_keep", "sup",
                                    "n_keep_sup", "max_samples", "apply_fn",
-                                   "march", "n_keep_super"))
+                                   "march", "n_keep_super", "budget"))
 def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
                 t_cur, alive, *, sr, max_passes, T_threshold, k, n_keep,
                 sup, n_keep_sup, max_samples, apply_fn, march,
-                n_keep_super=0):
+                n_keep_super=0, budget: int = 0):
     """while_loop straggler drain: pull <=sr alive rays per trip (dense
     per-pass field eval, no packing sort) until no ray is alive or
     `max_passes` trips elapsed.
@@ -363,7 +368,7 @@ def _drain_pool(params, cfg, occ_u8, ro, rdu, t2, rgb, opacity, depth, T,
                          jnp.where(is_real, sg[:, 5], 0.0),
                          T_threshold=T_threshold, k=k, n_keep=n_keep,
                          sup=sup, n_keep_sup=n_keep_sup,
-                         max_samples=max_samples, budget=0,
+                         max_samples=max_samples, budget=budget,
                          apply_fn=apply_fn, march=march,
                          n_keep_super=n_keep_super)
         new = jnp.concatenate(

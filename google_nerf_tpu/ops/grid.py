@@ -107,11 +107,16 @@ def _segment_max_dense(idx, vals, n: int):
     its contributions; a running max then carries each cell's maximum into
     its marker, and a second sort extracts markers in cell order."""
     m = idx.shape[0]
-    k_all = jnp.concatenate([idx, jnp.arange(n, dtype=idx.dtype)])
-    tag = jnp.concatenate([jnp.zeros((m,), jnp.int32),
-                           jnp.ones((n,), jnp.int32)])
+    # FUSED key (cell*2 | is_marker) -> single-key sort with one value
+    # operand instead of a 2-key sort dragging a third lane (same trick as
+    # ops/packed_hash backward): markers still order after their cell's
+    # contributions.
+    k_all = jnp.concatenate([idx * 2,
+                             jnp.arange(n, dtype=idx.dtype) * 2 + 1])
     v_all = jnp.concatenate([vals, jnp.zeros((n,), vals.dtype)])
-    ks, tags, vs = jax.lax.sort((k_all, tag, v_all), num_keys=2)
+    ks_f, vs = jax.lax.sort((k_all, v_all), num_keys=1)
+    ks = ks_f >> 1
+    tags = ks_f & 1
     # segmented running max (reset at cell boundaries) via associative scan
     boundary = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
 

@@ -200,3 +200,33 @@ def test_oneshot_compact_main_matches():
     # the cull must actually cull: alive-in count <= ray count, and
     # background-heavy frames leave most rays out of the drain
     assert int(got["alive_after_main"]) <= o.shape[0]
+
+
+def test_drain_budget_pack_matches_dense():
+    """Budget-packed drain trips (drain_budget_div > 0) must reproduce the
+    dense-drain image: the budget only defers over-budget rays to a later
+    trip (processed=False -> retry), it never changes their compositing."""
+    from google_nerf_tpu.ops.march_block import pack_occupancy_block2
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=32,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(4), cfg)
+    params["packed_table"] = params["packed_table"] * 2e3
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(24, 20))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    occ = jax.random.bernoulli(
+        jax.random.PRNGKey(8), 0.08, (cfg.cascades,) + (cfg.grid_size,) * 3)
+    ms = 256
+    occ2 = pack_occupancy_block2(occ, max_samples=ms, scale=cfg.scale)
+    kw = dict(max_samples=ms, k=16, n_keep=8, chunk=480, budget_div=0,
+              straggler_div=2, drain=True, T_threshold=1e-4, march="block2",
+              compact_main=True)
+    ref = render_test_oneshot(params, cfg, occ2, o, d, **kw)
+    for div in (2, 8):
+        got = render_test_oneshot(params, cfg, occ2, o, d,
+                                  drain_budget_div=div, **kw)
+        np.testing.assert_allclose(np.asarray(got["rgb"]),
+                                   np.asarray(ref["rgb"]), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["opacity"]),
+                                   np.asarray(ref["opacity"]), rtol=1e-4,
+                                   atol=1e-4)
