@@ -195,6 +195,11 @@ def get_opts(argv=None):
     parser.add_argument('--oneshot_passes', type=int, default=6,
                         help='fixed straggler schedule length when '
                              '--no_oneshot_drain is set')
+    parser.add_argument('--oneshot_drain_budget_div', type=int, default=0,
+                        help='drain trips: field budget = trip_rays * '
+                             'oneshot_k // div (0 = dense padded eval); '
+                             'over-budget rays defer to the next trip '
+                             '(exact either way)')
     parser.add_argument('--no_oneshot_compact', dest='oneshot_compact',
                         action='store_false', default=True,
                         help='disable the compact main pass (phase-A ray '

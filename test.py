@@ -190,7 +190,9 @@ def run(hparams):
                 budget_div=getattr(hparams, "oneshot_budget_div", 0),
                 straggler_div=getattr(hparams, "oneshot_straggler_div", 8),
                 drain=getattr(hparams, "oneshot_drain", True),
-                passes=getattr(hparams, "oneshot_passes", 6))
+                passes=getattr(hparams, "oneshot_passes", 6),
+                drain_budget_div=getattr(hparams,
+                                         "oneshot_drain_budget_div", 0))
             # compact main: phase-A ray culling + drain-only rendering
             # (default ON for block2 serving — background rays cost 8
             # tiny gathers instead of a full march + field eval)
