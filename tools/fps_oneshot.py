@@ -95,7 +95,8 @@ def main():
     if av.variants:
         variants = []
         for spec in av.variants.split(","):
-            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0, dr=0, cm=0, ks=0)
+            f = dict(k=64, p=4, bd=4, sd=4, ms=512, mb=0, dr=0, cm=0, ks=0,
+                     dbd=0)
             for part in spec.split(":"):
                 kname = part.rstrip("0123456789")
                 f[kname] = int(part[len(kname):])
@@ -103,6 +104,7 @@ def main():
                       passes=f["p"], budget_div=f["bd"],
                       straggler_div=f["sd"], drain=bool(f["dr"]),
                       compact_main=bool(f["cm"]), n_keep_super=f["ks"],
+                      drain_budget_div=f["dbd"],
                       march={0: "seg", 1: "block", 2: "block2"}[f["mb"]])
             variants.append((f"live {spec}", None, kw))
             if baked_fn is not None:
