@@ -36,7 +36,12 @@ def main():
                       random_bg=True, exclude_incomplete="backfill",
                       march="block")
 
-    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256))
+    # style="textured": shell geometry + high-frequency surface detail —
+    # the realized samples/ray and encoder stress match real benchmark
+    # scenes (data/synthetic.py:44-51); the earlier "solid" default
+    # flattered rays/s with opaque interiors the grid prunes early
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
+                          style="textured")
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
@@ -122,14 +127,17 @@ def main():
         geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
 
         # auto pairs budget (as test.py --brick_ppr 0): probe the frame's
-        # true window count with a generous budget, then size with 1.5x
-        # margin — an undersized fixed budget silently drops far windows
+        # true window counts with a generous budget, then size the shared
+        # per-chunk budget off the DENSEST chunk (content concentrates in
+        # central chunks; 1.5x the frame MEAN starved them — BENCH_r01
+        # measured 560,930 dropped pairs at auto ppr 9.3)
         probe = render_brick(baked, cfg.model, rays_o, rays_d, w, h,
                              bcfg=bcfg, T_threshold=1e-2, geometry=geo,
                              L=256, Lk=24, pairs_per_ray=16.0,
                              chunk_tiles=1024, max_samples=ms_render)
-        ppr = max(0.5, round(
-            1.5 * float(probe["pairs_total"]) / (w * h), 1))
+        chunk_rays = 1024 * 64  # chunk_tiles * tile^2
+        ppr = max(0.5, round(1.25 * float(
+            jnp.max(probe["pairs_per_chunk"])) / chunk_rays, 1))
 
         def brick_frame():
             return render_brick(baked, cfg.model, rays_o, rays_d, w, h,

@@ -9,9 +9,9 @@ TPU-native equivalents of the tinycudann encodings consumed by the reference
 
 All are fresh JAX implementations trained from scratch (no weight porting is
 needed for NGP), so we match the *function class*, not tcnn's exact layouts.
-The hash encode is one fused gather + trilinear interpolation over a padded
-(L, T, F) table; gradients reach the table through XLA's scatter-add of the
-gather VJP (a Pallas kernel can replace this hot path; see ops/pallas).
+The hash encode runs per-level bf16 gathers + trilinear interpolation over
+the (L, T, F) table; gradients reach the table through the zero-scatter
+batched sort backward (ops/table_gather.batched_table_gather).
 """
 from __future__ import annotations
 
@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from google_nerf_tpu.ops.table_gather import table_gather
+from google_nerf_tpu.ops.table_gather import (batched_table_gather,
+                                              table_gather)  # noqa: F401
+# (table_gather re-exported: external users treat this module as the
+# encoder-op surface)
 
 # ---------------------------------------------------------------------------
 # Frequency encoding
@@ -86,6 +89,7 @@ class HashGridConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 1.3819  # exp(ln(2048*scale/16)/(L-1)), scale=.5
+    table_dtype: str = "bfloat16"    # gather dtype (params stay f32)
 
     @property
     def table_size(self) -> int:
@@ -141,6 +145,12 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
     Per level: scale x by the level resolution, trilinearly interpolate the 8
     surrounding vertices.  Levels whose dense vertex count (res+1)^3 fits in T
     are indexed densely; larger levels use the instant-ngp xor-prime hash.
+
+    Row traffic rides `ops.table_gather.batched_table_gather`: per-level
+    bf16 takes forward (small per-level working sets — the fast gather
+    regime) and ONE batched (L, 8N+T) fused-single-key sort backward with
+    zero scatters, the same pipeline the packed flagship encoder uses
+    (ops/packed_hash.py; VERDICT r1 item 3).
     """
     L, T, F = table.shape
     resolutions = jnp.asarray(cfg.resolutions, jnp.int32)  # (L,)
@@ -152,12 +162,6 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
                   .astype(x.dtype)).astype(jnp.int32)
     frac = pos - c0.astype(x.dtype)
 
-    flat_table = table.reshape(L * T, F)
-    level_off = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
-
-    # one fused gather for all 8 corners x L levels: the custom sorted-
-    # segment VJP (ops/table_gather) then needs a single sort for the whole
-    # backward instead of XLA's serial scatter-add per corner.
     idxs, ws = [], []
     for corner in range(8):
         offs = jnp.asarray([(corner >> k) & 1 for k in range(3)], jnp.int32)
@@ -165,8 +169,9 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
         ws.append(jnp.prod(
             jnp.where(offs[None, None, :] == 1, frac, 1.0 - frac), axis=-1))
         idxs.append(_corner_indices(c, level_dense, resolutions, T))
-    all_idx = (jnp.stack(idxs) + level_off).reshape(-1)     # (8*L*N,)
-    w = jnp.stack(ws)                                       # (8, L, N)
-    feats = table_gather(flat_table, all_idx).reshape(8, L, x.shape[0], F)
-    out = jnp.einsum("cln,clnf->lnf", w, feats)
+    all_idx = jnp.stack(idxs, axis=1).reshape(L, 8 * x.shape[0])  # (L, 8N)
+    w = jnp.stack(ws)                                             # (8, L, N)
+    feats = batched_table_gather(table, all_idx, cfg.table_dtype) \
+        .reshape(L, 8, x.shape[0], F)
+    out = jnp.einsum("cln,lcnf->lnf", w, feats)
     return jnp.moveaxis(out, 0, 1).reshape(x.shape[0], L * F)

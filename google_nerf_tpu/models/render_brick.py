@@ -503,6 +503,10 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}
+    # per-chunk pair counts: budget sizing must key off the DENSEST chunk
+    # (content concentrates in central chunks; a frame-mean budget starves
+    # them — BENCH_r01 measured 560,930 dropped pairs at auto ppr 9.3)
+    cat["pairs_per_chunk"] = jnp.stack([o["pairs_total"] for o in outs])
 
     def unpermute(x):
         x = jnp.take(x[:Wp * Hp], inv, axis=0)
@@ -520,4 +524,5 @@ def render_brick(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                 trunc_tiles=cat["trunc_tiles"],
                 trunc_rays=cat["trunc_rays"],
                 pairs_dropped=cat["pairs_dropped"],
-                pairs_total=cat["pairs_total"])
+                pairs_total=cat["pairs_total"],
+                pairs_per_chunk=cat["pairs_per_chunk"])

@@ -132,10 +132,18 @@ def run(hparams):
                 macro_tiles=getattr(hparams, "brick_macro", 8),
                 macro_L=getattr(hparams, "brick_macro_L", 1024),
                 max_samples=rms0)
-            hparams.brick_ppr = max(
-                0.5, round(1.5 * float(probe["pairs_total"]) / (w * h), 1))
+            # size the shared per-chunk budget off the DENSEST chunk, not
+            # the frame mean: content concentrates in central chunks and a
+            # mean-based budget starves them (BENCH_r01: 560,930 dropped
+            # pairs at the old 1.5x-mean auto sizing)
+            tpx = 8 * 8
+            n_tiles = ((w + 7) // 8) * ((h + 7) // 8)
+            chunk_rays = min(2048, n_tiles) * tpx
+            hparams.brick_ppr = max(0.5, round(1.25 * float(
+                jnp.max(probe["pairs_per_chunk"])) / chunk_rays, 1))
             print(f'brick auto budget: {int(probe["pairs_total"])} windows '
-                  f'-> --brick_ppr {hparams.brick_ppr}')
+                  f'(densest chunk {int(jnp.max(probe["pairs_per_chunk"]))}'
+                  f'/{chunk_rays} rays) -> --brick_ppr {hparams.brick_ppr}')
 
     directions = jnp.asarray(dataset.directions)
     psnrs, times = [], []

@@ -98,13 +98,71 @@ def test_table_gather_backward_extremes():
         np.testing.assert_allclose(np.asarray(g), ref, atol=1e-5)
 
 
+def test_batched_table_gather_matches_scatter_reference():
+    """The batched per-level fused-key sort backward must equal explicit
+    per-level scatter accumulation (incl. collisions and untouched rows)."""
+    from google_nerf_tpu.ops.table_gather import batched_table_gather
+    rng = np.random.RandomState(5)
+    L, T, M, F = 3, 32, 200, 2
+    table = jnp.asarray(rng.randn(L, T, F).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, T, (L, M)).astype(np.int32))
+    cot = jnp.asarray(rng.randn(L, M, F).astype(np.float32))
+
+    out = batched_table_gather(table, idx, "float32")
+    for l in range(L):
+        np.testing.assert_allclose(np.asarray(out[l]),
+                                   np.asarray(table)[l][np.asarray(idx[l])],
+                                   atol=1e-6)
+
+    g = jax.grad(lambda t: (batched_table_gather(t, idx, "float32")
+                            * cot).sum())(table)
+    ref = np.zeros((L, T, F), np.float32)
+    for l in range(L):
+        np.add.at(ref[l], np.asarray(idx[l]), np.asarray(cot[l]))
+    np.testing.assert_allclose(np.asarray(g), ref, atol=1e-4)
+
+    # extremes: every contribution on one row / all rows unique
+    for pattern in (jnp.zeros((L, M), jnp.int32),
+                    jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                                     (L, T))):
+        ones = jnp.ones(pattern.shape + (F,))
+        g = jax.grad(lambda t: (batched_table_gather(t, pattern, "float32")
+                                * ones).sum())(table)
+        ref = np.zeros((L, T, F), np.float32)
+        for l in range(L):
+            np.add.at(ref[l], np.asarray(pattern[l]),
+                      np.ones((pattern.shape[1], F), np.float32))
+        np.testing.assert_allclose(np.asarray(g), ref, atol=1e-5)
+
+
+def test_hash_encode_bf16_gather_close_to_f32():
+    """The bf16 default gather path must stay within quantization noise of
+    the f32 path (values O(1))."""
+    from google_nerf_tpu.models.encoders import (hashgrid_config_for_scale,
+                                                 hash_encode, init_hashgrid)
+    cfg32 = hashgrid_config_for_scale(0.5, num_levels=4,
+                                      log2_hashmap_size=10,
+                                      table_dtype="float32")
+    cfg16 = hashgrid_config_for_scale(0.5, num_levels=4,
+                                      log2_hashmap_size=10)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg32) * 1e4  # ~U(-1,1)
+    x = jnp.asarray(np.random.RandomState(7).rand(64, 3), jnp.float32)
+    a = np.asarray(hash_encode(table, x, cfg32))
+    b = np.asarray(hash_encode(table, x, cfg16))
+    assert np.abs(a - b).max() < 1e-2
+    assert np.abs(a - b).mean() < 2e-3
+
+
 def test_hash_encode_grads_unchanged_after_rewrite():
     """The fused-gather hash encode must produce identical grads to a naive
     per-corner implementation (checked against numeric finite differences
     on a small table)."""
     from google_nerf_tpu.models.encoders import (hashgrid_config_for_scale,
                                                  hash_encode, init_hashgrid)
-    cfg = hashgrid_config_for_scale(0.5, num_levels=2, log2_hashmap_size=8)
+    # f32 gathers for the finite-difference check: the bf16 default
+    # quantizes the forward below the eps=1e-3 probe's resolution
+    cfg = hashgrid_config_for_scale(0.5, num_levels=2, log2_hashmap_size=8,
+                                    table_dtype="float32")
     table = init_hashgrid(jax.random.PRNGKey(0), cfg) * 1e4  # ~U(-1,1)
     x = jnp.asarray(np.random.RandomState(3).rand(5, 3), jnp.float32)
 

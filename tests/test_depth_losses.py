@@ -150,6 +150,7 @@ def test_pwn_planes_flat_plane_zero():
     assert float(loss) == pytest.approx(0.0, abs=5e-2)
 
 
+@pytest.mark.slow
 def test_orchestrator_modes_and_raw():
     rng = np.random.default_rng(0)
     b, h, w = 2, 32, 32

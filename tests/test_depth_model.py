@@ -28,6 +28,7 @@ def test_encoder_lateral_shapes():
         (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
 
 
+@pytest.mark.slow
 def test_depthnet_full_resolution_output():
     cfg = DepthModelConfig(backbone="resnet18")
     variables = init_depth_model(jax.random.PRNGKey(0), cfg, (64, 64))

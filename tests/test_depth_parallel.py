@@ -19,6 +19,7 @@ from google_nerf_tpu.depth.model import (DepthModelConfig, DepthNet,
 N_DEV = 8
 
 
+@pytest.mark.slow
 def test_syncbn_matches_global_batch_stats():
     """BatchNorm with axis_name reduces over the whole global batch: a
     sharded forward must equal the unsharded forward (the reference's

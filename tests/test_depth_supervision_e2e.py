@@ -49,6 +49,7 @@ def _gt_depth(ds):
     return np.stack(depths).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_depth_prior_supervision_changes_training():
     ds = SyntheticDataset(split="train", n_images=12, img_wh=(24, 24))
     depth_priors = _gt_depth(ds)

@@ -32,6 +32,7 @@ def _write_demo_dataset(root, n=6, hw=64):
         json.dump(annos, f)
 
 
+@pytest.mark.slow
 def test_cimle_smoke_train(tmp_path):
     pytest.importorskip("cv2")
     from google_nerf_tpu.depth.config import DepthCfg
@@ -125,6 +126,7 @@ def test_zcache_selects_argmin(tmp_path):
     assert not np.allclose(z[0], z[1])
 
 
+@pytest.mark.slow
 def test_calibrate_adain_sets_stats(tmp_path):
     pytest.importorskip("cv2")
     from google_nerf_tpu.depth.config import DepthCfg
@@ -152,6 +154,7 @@ def test_calibrate_adain_sets_stats(tmp_path):
     assert any(not np.allclose(np.asarray(v), 0) for v in after.values())
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     pytest.importorskip("cv2")
     from google_nerf_tpu.depth.config import DepthCfg

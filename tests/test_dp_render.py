@@ -8,6 +8,7 @@ per-rank validation + metric all-gather, `ngp_pl/train.py:218-227`).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from google_nerf_tpu.core.rays import get_rays
 from google_nerf_tpu.data.synthetic import SyntheticDataset
@@ -44,6 +45,7 @@ def test_dp_render_matches_serial():
     assert got["rgb"].shape == ref["rgb"].shape
 
 
+@pytest.mark.slow
 def test_dp_oneshot_matches_serial():
     """The flagship serving renderer (one-shot + drain) sharded over the
     mesh must match the serial run exactly — the linear-FPS-scaling claim
@@ -73,6 +75,7 @@ def test_dp_oneshot_matches_serial():
                                    atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_dp_oneshot_compact_matches_serial():
     """compact-main (block2 occ dict + phase-A cull) through the DP
     wrapper: dict occupancy must replicate, scalar drain stats must be

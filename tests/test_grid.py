@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from google_nerf_tpu.ops.grid import (cell_coords, cells_to_world,
                                       mark_invisible_cells,
@@ -44,6 +45,7 @@ def _ball_density(x):
     return 30.0 * (jnp.linalg.norm(x, axis=-1) < 0.2)
 
 
+@pytest.mark.slow
 def test_update_density_grid_warmup_marks_ball():
     grid0 = jnp.zeros((1, G, G, G))
     new, occ = update_density_grid(
@@ -59,6 +61,7 @@ def test_update_density_grid_warmup_marks_ball():
     assert occ[0][outside].mean() < 0.01  # empty space stays empty
 
 
+@pytest.mark.slow
 def test_update_density_grid_invisible_cells_stay_dead():
     grid0 = -jnp.ones((1, G, G, G))
     new, occ = update_density_grid(
@@ -77,6 +80,7 @@ def test_update_density_grid_ema_decay():
     np.testing.assert_allclose(np.asarray(new), 9.5, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_update_density_grid_sampled_phase_runs():
     grid0 = jnp.zeros((1, G, G, G))
     new, occ = update_density_grid(
@@ -103,6 +107,7 @@ def test_erode_kills_isolated_floater():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_segment_max_dense_vs_scatter():
     from google_nerf_tpu.ops.grid import _segment_max_dense
     key = jax.random.PRNGKey(11)

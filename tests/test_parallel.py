@@ -46,6 +46,7 @@ def test_dp_train_step_runs_and_reduces():
     assert np.isfinite(np.asarray(w)).all()
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_gradient_direction():
     """A DP step with the same global batch must move params, and metrics
     must be finite; exact equality with single-chip isn't required (batch

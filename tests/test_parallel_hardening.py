@@ -53,6 +53,7 @@ def test_dp_replica_param_consistency(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_dp_matches_single_chip_gradients(setup):
     """pmean of per-shard grads on a FIXED batch == single-chip grads of
     the full batch (the DDP equivalence the reference relies on)."""

@@ -58,6 +58,7 @@ def test_fast_handles_all_dead_rays(scene):
     np.testing.assert_allclose(np.asarray(out["opacity"]), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fast_on_trained_tiny_scene():
     """End-to-end: fast renderer reproduces gt on a quickly-trained scene."""
     from google_nerf_tpu.core.rays import get_rays

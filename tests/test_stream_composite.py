@@ -45,6 +45,7 @@ def test_stream_matches_padded(budget):
         assert ray_mask.all()
 
 
+@pytest.mark.slow
 def test_stream_gradients_match():
     R, K, budget = 32, 8, 256
     valid, sig, rgb, dt, ts = _fixture(jax.random.PRNGKey(1), R, K)
@@ -68,6 +69,7 @@ def test_stream_gradients_match():
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stream_scattered_valid():
     """Full-capacity marcher rows have scattered (non-prefix) validity."""
     R, K, budget = 48, 12, 400
@@ -91,6 +93,7 @@ def test_stream_scattered_valid():
                                    rtol=2e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_inf_sigma_does_not_poison_later_rays():
     """One TruncExp-overflow slot (sigma = inf) must only saturate ITS ray
     (T -> 0 downstream), never NaN later rays in the stream — regression

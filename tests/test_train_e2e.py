@@ -2,6 +2,10 @@
 high PSNR in a few hundred steps (SURVEY.md §4 'implication for the TPU
 build')."""
 import jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # module fixture trains 400 steps (~25 min
+                                # on this CPU); every test here shares it
 import jax.numpy as jnp
 import numpy as np
 import pytest

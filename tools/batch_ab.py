@@ -27,18 +27,25 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 grid_interval: int = 16, log2_size: int = 19,
                 style: str = "solid", rays_total: int = 2 ** 23,
                 k_samples: int = 256, n_keep: int = 32,
-                max_samples: int = 1024, march: str = "block"):
+                max_samples: int = 1024, march: str = "block",
+                encoder: str = "packed"):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
                                               grid_update_step,
                                               init_train_state)
 
-    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+    # lev/F/T map onto whichever encoder is selected: packed_* for the
+    # flagship, num_levels/n_features/log2_hashmap_size for the
+    # reference-capacity vertex-shared hash (enc=hash defaults to the
+    # reference L16/T2^19 when lev/T are given explicitly)
+    model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
                       compute_dtype=jnp.bfloat16, packed_levels=levels,
                       packed_features=features,
                       packed_table_dtype=table_dtype,
-                      packed_log2_size=log2_size)
+                      packed_log2_size=log2_size,
+                      num_levels=levels, n_features=features,
+                      log2_hashmap_size=log2_size)
     cfg = TrainConfig(model=model, batch_size=batch_size,
                       k_samples=k_samples, n_keep=n_keep,
                       max_samples=max_samples,
@@ -87,7 +94,8 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
     rps = (n_steps - warm) * batch_size / dt
     psnr128 = float(jnp.mean(jnp.stack([p for p, _ in tail])))
     mask128 = float(jnp.mean(jnp.stack([f for _, f in tail])))
-    print(f"b={batch_size} bud={budget} lev={levels} F={features} "
+    print(f"b={batch_size} bud={budget} enc={encoder[:4]} "
+          f"lev={levels} F={features} "
           f"dt={table_dtype[:6]} "
           f"gi={grid_interval} T=2^{log2_size} sty={style[:4]} "
           f"k={k_samples} nk={n_keep} ms={max_samples} mar={march}: "
@@ -129,6 +137,8 @@ def parse_variant(spec: str):
             kw["max_samples"] = int(p[2:])
         elif p.startswith("mar="):
             kw["march"] = p[4:]
+        elif p.startswith("enc="):
+            kw["encoder"] = p[4:]
         else:
             raise ValueError(f"bad field {p!r} in {spec!r}")
     return kw

@@ -70,20 +70,45 @@ def main():
     gt = jnp.asarray(ds_t.rays[0])
 
     FR = (0.5, 0.35, 0.25, 0.18, 0.12, 0.08)   # early-term pass budgets
+
+    # auto pairs budget per max_samples: probe the frame's true window
+    # counts with a generous budget and size the shared per-chunk budget
+    # off the DENSEST chunk (content concentrates in central chunks;
+    # a frame-mean budget starved them — BENCH_r01 measured 560,930
+    # dropped pairs at auto ppr 9.3)
+    ppr_cache = {}
+
+    def auto_ppr(ms):
+        if ms not in ppr_cache:
+            probe = render_brick(baked, cfg.model, o, d, 800, 800,
+                                 bcfg=bcfg, T_threshold=1e-2, geometry=geo,
+                                 tile=8, chunk_tiles=1024, L=256, Lk=24,
+                                 pairs_per_ray=16.0, max_samples=ms)
+            chunk_rays = 1024 * 64
+            ppr_cache[ms] = max(0.5, round(1.25 * float(
+                jnp.max(probe["pairs_per_chunk"])) / chunk_rays, 1))
+            print(f"auto ppr[ms={ms}]: {int(probe['pairs_total'])} windows "
+                  f"(densest chunk "
+                  f"{int(jnp.max(probe['pairs_per_chunk']))}) "
+                  f"-> ppr {ppr_cache[ms]}")
+        return ppr_cache[ms]
+
     # L=256 is the quality default (tiered selection rescues L=96 at
     # 256^2 but still truncates content); at 800^2 the tile cones are
     # ~10x narrower, so the fp8 L=96 variant measures whether the
     # cheaper lists hold at serving resolution.
     variants = [
         ("bfloat16", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
-                          pairs_per_ray=3.0, max_samples=512)),
+                          pairs_per_ray=auto_ppr(512), max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
-                               pairs_per_ray=3.0, max_samples=512)),
+                               pairs_per_ray=auto_ppr(512),
+                               max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=96, Lk=24,
-                               pairs_per_ray=3.0, max_samples=512)),
+                               pairs_per_ray=auto_ppr(512),
+                               max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
-                               pairs_per_ray=3.0, max_samples=512,
-                               macro_tiles=0)),   # cull-hierarchy A/B
+                               pairs_per_ray=auto_ppr(256),
+                               max_samples=256)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,
                                pass_fracs=FR, max_samples=512)),
         ("float8_e4m3fn", dict(tile=8, chunk_tiles=1024, L=256, Lk=24,

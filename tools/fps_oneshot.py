@@ -89,8 +89,11 @@ def main():
     ap.add_argument("--bake", action="store_true")
     ap.add_argument("--variants", default="",
                     help="comma list of k<k>:p<passes>:bd<budget_div>:"
-                         "sd<straggler_div>:ms<max_samples> specs; each "
-                         "runs live (and baked with --bake)")
+                         "sd<straggler_div>:ms<max_samples>:mb<marcher "
+                         "0=seg 1=block 2=block2>:dr<drain 0/1>:"
+                         "cm<compact_main 0/1>:ks<n_keep_super>:"
+                         "dbd<drain_budget_div> specs; each runs live "
+                         "(and baked with --bake)")
     av = ap.parse_args(sys.argv[1:])
     if av.variants:
         variants = []

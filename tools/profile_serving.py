@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--ms", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--style", default="shell")
     av = ap.parse_args(sys.argv[1:])
 
     from google_nerf_tpu.core.rays import get_rays
@@ -57,13 +58,21 @@ def main():
 
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, num_epochs=30,
-                      samples_budget=131072, random_bg=True)
+    # cfg matches bench.py EXACTLY (k_samples/backfill/march included):
+    # the fused train program then hits the remote compile cache — a
+    # config-off-by-one costs a fresh compile (tens of minutes when the
+    # tunnel is degraded)
+    cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
+                      num_epochs=30, samples_budget=131072,
+                      random_bg=True, exclude_incomplete="backfill",
+                      march="block")
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
-                          style="shell")
+                          style=av.style)
     scene = ds.scene()
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
+    import time as _t
+    t_train0 = _t.time()
     for i in range(av.steps):
         if i % 16 == 0:
             state = grid_update_step(state, jax.random.fold_in(key, 2*i+1),
@@ -71,12 +80,16 @@ def main():
         state, metrics = fused_train_step(state, scene,
                                           jax.random.fold_in(key, 2*i),
                                           cfg=cfg)
+        if i % 500 == 0:
+            _ = float(metrics["psnr"])
+            print(f"  step {i}: psnr={float(metrics['psnr']):.1f} "
+                  f"({_t.time()-t_train0:.0f}s)")
     _ = float(state["params"]["packed_table"].ravel()[0])
     print(f"trained: psnr={float(metrics['psnr']):.1f} "
           f"occ={float(state['occ'].mean()):.3f}")
 
     ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
-                            style="shell")
+                            style=av.style)
     o, d = get_rays(jnp.asarray(ds_t.directions), jnp.asarray(ds_t.poses[0]))
     gt = jnp.asarray(ds_t.rays[0])
     ms = av.ms
@@ -138,10 +151,13 @@ def main():
         print(f"bake {time.time() - t0:.0f}s {baked['n_blocks']} blocks")
         baked_fn = make_baked_apply(bcfg)
 
+        # baked must be an ARGUMENT, not a closure: a closed-over ~100 MB
+        # fp8 pool becomes an HLO constant and the remote-compile request
+        # blows the tunnel's body limit (HTTP 413)
         @jax.jit
-        def stage_field_baked(xs, dirs):
+        def stage_field_baked(baked, xs, dirs):
             return baked_fn(baked, cfg.model, xs, dirs)[0]
-        timed(stage_field_baked, xs, dirs,
+        timed(stage_field_baked, baked, xs, dirs,
               label=f"baked field {N} samples")
 
     # --- full frames ---
