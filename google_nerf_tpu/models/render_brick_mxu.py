@@ -1,0 +1,185 @@
+"""Tile-rasterized brick renderer with the MXU field kernel.
+
+Same raster front-end as models/render_brick.py (cone cull -> per-tile
+front-to-back brick lists), but the per-sample pool GATHER — the measured
+<1 FPS wall of the XLA brick renderer (DESIGN_NOTES round 7 gather law) —
+is replaced by ops/pallas/brick_field.brick_field_tiles: one slab DMA +
+one-hot trilerp matmuls per (tile, brick), with in-kernel compositing and
+brick-granular early ray termination.
+
+Differences vs render_brick (all by design):
+  * no pairs budget, no packing, no drops — every (tile, brick) pair the
+    cull keeps is rendered (the budget starvation class of BENCH_r01
+    cannot occur); capacity is the per-tile list length L instead;
+  * compositing order is the tile list's front-to-back order (center
+    depth along the tile cone axis), not each ray's exact entry order;
+    near-equal-depth brick ties can swap — agreement with render_brick
+    is to rendering tolerance (tests/test_render_brick_mxu.py);
+  * requires the fixed serving geometry: tile=8, block=8, feat_dim=16
+    (the kernel's (64, 512)x(512, 128) matmul shape).
+
+Reference serving analog: `ngp_pl/test.py:30-45` (FPS protocol),
+`ngp_pl/models/rendering.py:43-114` (lattice + T_threshold semantics).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from google_nerf_tpu.models.baked import BakedConfig, baked_extent
+from google_nerf_tpu.models.encoders import sh_encode_deg4
+from google_nerf_tpu.models.ngp import NGPConfig
+from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
+                                                 _tile_lists,
+                                                 brick_geometry, tile_order)
+from google_nerf_tpu.ops.pallas.brick_field import (brick_field_tiles,
+                                                    window_span)
+from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
+
+SQRT3 = 3.0 ** 0.5
+NEAR_DISTANCE = 0.05
+
+
+@partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
+                                   "T_threshold", "macro_tiles", "macro_L",
+                                   "interpret"))
+def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
+               cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
+               T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
+               interpret: bool = False):
+    """Render one tile-contiguous chunk of rays via the MXU kernel."""
+    R = rays_o.shape[0]
+    T = R // 64
+    s = baked_extent(cfg)
+    dt = SQRT3 / max_samples
+
+    hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
+                              jnp.full((3,), cfg.scale))
+    hits = clamp_near(hits, NEAR_DISTANCE)
+    t2 = jnp.where(hits[:, 1] > 0, hits[:, 1], 0.0)
+    t1 = jnp.where(hits[:, 0] >= 0, jnp.maximum(hits[:, 0], 0.0), 0.0)
+
+    # cone cull -> per-tile brick lists (reused raster front-end)
+    o_t, axis_t, tan_t = _tile_cones(rays_o, rays_du, T, 64)
+    t_far = t2.reshape(T, 64).max(-1)
+    if macro_tiles > 1 and macro_L > 0:
+        Tm = T // macro_tiles
+        o_m, axis_m, tan_m = _tile_cones(rays_o, rays_du, Tm,
+                                         64 * macro_tiles)
+        t_far_m = t_far.reshape(Tm, macro_tiles).max(-1)
+        midx, m_over = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
+                                   t_far_m, L=macro_L)
+        bidx, t_over = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
+                                     tan_t, t_far, mt=macro_tiles,
+                                     L=min(L, macro_L))
+        tile_over = t_over | jnp.repeat(m_over, macro_tiles)
+    else:
+        bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
+                                      tan_t, t_far, L=L)
+    Lp = bidx.shape[1]
+
+    # re-key the selected lists to PLAIN front-to-back center depth: the
+    # selection key's relevance tiers would misorder the in-kernel
+    # composite (tier-1 bricks sort behind farther tier-0 bricks)
+    safe = jnp.maximum(bidx, 0)
+    c = 0.5 * (brick_lo + brick_hi)[safe]                   # (T, Lp, 3)
+    t_c = jnp.sum((c - o_t[:, None, :]) * axis_t[:, None, :], -1)
+    key = jnp.where(bidx >= 0, t_c, jnp.inf)
+    _, bidx = jax.lax.sort((key, bidx), dimension=1, num_keys=1)
+
+    safe = jnp.maximum(bidx, 0)
+    pool_blk = safe.reshape(-1).astype(jnp.int32)           # pool order ==
+    vld = (bidx >= 0).reshape(-1).astype(jnp.int32)         # geometry order
+    meta = jnp.concatenate(
+        [brick_lo[safe], brick_hi[safe],
+         jnp.zeros(safe.shape + (2,), jnp.float32)],
+        axis=-1).reshape(-1, 8)
+
+    rays8 = jnp.concatenate(
+        [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
+    sh = sh_encode_deg4(rays_du)
+
+    out = brick_field_tiles(
+        pool_blk, vld, meta, rays8, sh, pool3,
+        rgb_mlp[0], rgb_mlp[1], rgb_mlp[2],
+        S=window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale),
+        dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
+        tau_max=float(-np.log(T_threshold)), interpret=interpret)
+
+    tau = out[:, 0]
+    return dict(rgb=out[:, 1:4], depth=out[:, 4],
+                opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
+                pairs_rendered=out[:, 5].sum().astype(jnp.int32),
+                trunc_tiles=tile_over.sum().astype(jnp.int32))
+
+
+def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
+                     bcfg: BakedConfig = BakedConfig(), L: int = 48,
+                     max_samples: int = 512, T_threshold: float = 1e-2,
+                     chunk_tiles: int = 512, macro_tiles: int = 8,
+                     macro_L: int = 1024, geometry=None,
+                     exp_step_factor: float = 0.0, interpret: bool = False):
+    """Full-frame MXU brick renderer over (W*H) rays, image row-major."""
+    tile = 8
+    assert bcfg.block == 8 and bcfg.feat_dim == 16, \
+        "kernel geometry is fixed at block=8, feat_dim=16"
+    lo, hi, pool_base = geometry if geometry is not None else \
+        brick_geometry(baked["block_map"], bcfg, cfg)
+    pool3 = baked["pool"].reshape(-1, 512, 128)
+    Wp = ((W + tile - 1) // tile) * tile
+    Hp = ((H + tile - 1) // tile) * tile
+    if (Wp, Hp) != (W, H):
+        col = np.minimum(np.arange(Wp), W - 1)
+        row = np.minimum(np.arange(Hp), H - 1)
+        sel = jnp.asarray((row[:, None] * W + col[None]).reshape(-1))
+        rays_o = jnp.take(rays_o, sel, axis=0)
+        rays_d = jnp.take(rays_d, sel, axis=0)
+    perm, inv = tile_order(Wp, Hp, tile)
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rdu = rays_d / jnp.where(norm > 0, norm, 1.0)
+    ro_t = jnp.take(rays_o, perm, axis=0)
+    rd_t = jnp.take(rdu, perm, axis=0)
+
+    n_tiles = (Wp * Hp) // 64
+    L = min(L, int(lo.shape[0]))
+    cpr = max(min(int(chunk_tiles), n_tiles), 1)
+    mL = min(macro_L, int(lo.shape[0]))
+    mt = macro_tiles if mL > 0 else 0
+    while mt > 1 and cpr % mt:
+        mt //= 2
+    outs = []
+    for i in range(0, n_tiles, cpr):
+        n_c = min(cpr, n_tiles - i)
+        sl = slice(i * 64, (i + n_c) * 64)
+        pad = (cpr - n_c) * 64
+        ro_c, rd_c = ro_t[sl], rd_t[sl]
+        if pad:
+            ro_c = jnp.concatenate([ro_c, jnp.full((pad, 3), 100.0)])
+            rd_c = jnp.concatenate([rd_c, jnp.ones((pad, 3)) / SQRT3])
+        outs.append(_mxu_tiles(
+            pool3, baked["rgb_mlp"], lo, hi, ro_c, rd_c, cfg=cfg,
+            bcfg=bcfg, L=L, max_samples=max_samples,
+            T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
+            macro_L=mL, interpret=interpret))
+    cat = {k: jnp.concatenate([o[k] for o in outs])
+           if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
+           for k in outs[0]}
+
+    def unpermute(x):
+        x = jnp.take(x[:Wp * Hp], inv, axis=0)
+        if (Wp, Hp) != (W, H):
+            x = x.reshape((Hp, Wp) + x.shape[1:])[:H, :W]
+            x = x.reshape((H * W,) + x.shape[2:])
+        return x
+
+    rgb = unpermute(cat["rgb"])
+    opacity = unpermute(cat["opacity"])
+    depth = unpermute(cat["depth"])
+    bg = 1.0 if exp_step_factor == 0.0 else 0.0
+    rgb = rgb + bg * (1.0 - opacity[:, None])
+    return dict(rgb=rgb, opacity=opacity, depth=depth,
+                trunc_tiles=cat["trunc_tiles"],
+                pairs_rendered=cat["pairs_rendered"])

@@ -1,0 +1,141 @@
+"""MXU brick-field kernel (ops/pallas/brick_field.py): golden semantics in
+interpreter mode, early-termination behavior, and whole-frame agreement
+with the XLA brick renderer on the same baked field."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from google_nerf_tpu.core.rays import get_rays
+from google_nerf_tpu.data.synthetic import SyntheticDataset
+from google_nerf_tpu.models.baked import BakedConfig, bake
+from google_nerf_tpu.models.mlp import init_mlp
+from google_nerf_tpu.models.ngp import NGPConfig, init_ngp
+from google_nerf_tpu.models.render_brick import render_brick
+from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
+from google_nerf_tpu.ops.pallas.brick_field import (
+    brick_field_tiles, brick_field_tiles_reference, window_span)
+
+
+def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
+    """Random bricks laid along +z in [-0.5, 0.5]^3 with rays marching
+    through them from z=-1."""
+    rng = np.random.RandomState(seed)
+    V, s = 32, 0.5
+    # bricks: blocks of the V/8-per-axis block grid, placed on the z axis
+    blk = np.stack([np.full(n_blocks, 1), np.full(n_blocks, 1),
+                    np.arange(n_blocks)], -1)  # block coords in 4^3 grid
+    lo = (blk * 8 / V * 2.0 - 1.0) * s
+    hi = ((blk + 1) * 8 / V * 2.0 - 1.0) * s
+    pool3 = rng.randn(n_blocks, 512, 128).astype(np.float32) * 0.1
+    pool3[..., 0::16] = rng.randn(n_blocks, 512, 8) * sigma_scale
+    # per-(t,l) lists: both tiles see all bricks front-to-back
+    order = np.arange(n_blocks)
+    pool_blk = np.tile(order[:Lp], T).astype(np.int32)
+    vld = np.ones(T * Lp, np.int32)
+    vld[Lp - 1] = 0  # one pad slot exercises the valid gate
+    meta = np.zeros((T * Lp, 8), np.float32)
+    for t in range(T):
+        for l in range(Lp):
+            meta[t * Lp + l, 0:3] = lo[order[l]]
+            meta[t * Lp + l, 3:6] = hi[order[l]]
+    # rays: per tile 64 rays from z=-1 toward +z with jitter
+    o = np.concatenate([
+        np.stack([np.full(64, -0.3 + 0.6 * t), np.zeros(64),
+                  np.full(64, -1.0)], -1) for t in range(T)])
+    d = np.stack([rng.uniform(-0.2, 0.2, T * 64),
+                  rng.uniform(-0.2, 0.2, T * 64),
+                  np.ones(T * 64)], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t1 = np.full(T * 64, 0.3, np.float32)
+    t2 = np.full(T * 64, 2.5, np.float32)
+    rays = np.concatenate([o, d, t1[:, None], t2[:, None]],
+                          -1).astype(np.float32)
+    sh = rng.randn(T * 64, 16).astype(np.float32) * 0.3
+    key = jax.random.PRNGKey(1)
+    w1, w2, w3 = init_mlp(key, [32, 64, 64, 3])
+    kw = dict(S=9, dt=float(np.sqrt(3) / 128), inv2s=1.0, V=V,
+              tau_max=float(-np.log(1e-2)))
+    return (pool_blk, vld, meta, rays, sh, pool3,
+            np.asarray(w1), np.asarray(w2), np.asarray(w3)), kw
+
+
+def test_kernel_matches_reference_interpret():
+    args, kw = _toy_inputs()
+    got = np.asarray(brick_field_tiles(
+        *[jnp.asarray(a) for a in args], interpret=True, **kw))
+    want = brick_field_tiles_reference(*args, **kw)
+    # kernel computes the field in bf16 (one-hot exact, slab/MLP cast);
+    # reference is f32 — rendering-tolerance agreement
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+    # rays that hit nothing accumulate nothing
+    misses = want[:, 5] == 0
+    assert np.all(got[misses, 0] == 0)
+
+
+def test_kernel_early_termination_skips_occluded_bricks():
+    """An opaque first brick must stop the composite: later bricks add
+    no color and the pairs-rendered counter freezes."""
+    args, kw = _toy_inputs(sigma_scale=0.0)
+    pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3 = args
+    opaque = pool3.copy()
+    opaque[0, :, 0::16] = 9.0          # e^9 * dt >> tau_max in brick 0
+    out_o = np.asarray(brick_field_tiles(
+        jnp.asarray(pool_blk), jnp.asarray(vld), jnp.asarray(meta),
+        jnp.asarray(rays), jnp.asarray(sh), jnp.asarray(opaque),
+        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
+        interpret=True, **kw))
+    ref_o = brick_field_tiles_reference(
+        pool_blk, vld, meta, rays, sh, opaque, w1, w2, w3, **kw)
+    np.testing.assert_array_equal(out_o[:, 5], ref_o[:, 5])
+    # saturated rays render strictly fewer pairs than the list offers
+    hit_rays = out_o[:, 5] > 0
+    assert np.all(out_o[hit_rays, 5] < np.sum(vld[:3]) + 1)
+    # opacity saturates
+    assert np.all(1.0 - np.exp(-out_o[hit_rays, 0]) > 0.98)
+
+
+def test_window_span_matches_render_brick_rule():
+    # render_brick: S = ceil(Bk * vox_w * sqrt3 / (sqrt3/ms)) + 1
+    for ms, Bk, V in [(512, 8, 512), (256, 8, 512), (64, 8, 32)]:
+        s = 0.5
+        vox_w = 2.0 * s / V
+        want = int(np.ceil(Bk * vox_w * np.sqrt(3)
+                           / (np.sqrt(3) / ms))) + 1
+        assert window_span(ms, Bk, V, s) == want
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = NGPConfig(scale=0.5, encoder="packed", grid_size=16,
+                    packed_log2_size=12, packed_levels=4)
+    params = init_ngp(jax.random.PRNGKey(0), cfg)
+    params["packed_table"] = params["packed_table"] * 1e3
+    occ = jnp.ones((cfg.cascades,) + (cfg.grid_size,) * 3, bool)
+    bcfg = BakedConfig(voxel_res=32, block=8)
+    baked = bake(params, cfg, occ, bcfg)
+    return cfg, bcfg, baked
+
+
+def test_mxu_frame_matches_xla_brick_renderer(scene):
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2)
+    ref = render_brick(baked, cfg, o, d, 16, 16, tile=8, L=64, Lk=64,
+                       pairs_per_ray=64.0, macro_tiles=0, **kw)
+    got = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, macro_tiles=0,
+                           interpret=True, **kw)
+    assert int(ref["pairs_dropped"]) == 0
+    mae = float(jnp.abs(got["rgb"] - ref["rgb"]).mean())
+    assert mae < 2e-2, mae
+    np.testing.assert_allclose(np.asarray(got["opacity"]),
+                               np.asarray(ref["opacity"]), atol=5e-2)
+    # background rays identical (both renderers leave them untouched)
+    bgm = np.asarray(ref["opacity"]) == 0
+    if bgm.any():
+        np.testing.assert_allclose(np.asarray(got["rgb"])[bgm],
+                                   np.asarray(ref["rgb"])[bgm], atol=1e-6)
