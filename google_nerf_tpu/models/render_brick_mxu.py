@@ -121,8 +121,10 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      max_samples: int = 512, T_threshold: float = 1e-2,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
                      macro_L: int = 1024, geometry=None,
-                     exp_step_factor: float = 0.0, interpret: bool = False):
+                     exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major."""
+    if interpret is None:  # Mosaic needs a TPU; elsewhere run interpreted
+        interpret = jax.default_backend() != "tpu"
     tile = 8
     assert bcfg.block == 8 and bcfg.feat_dim == 16, \
         "kernel geometry is fixed at block=8, feat_dim=16"

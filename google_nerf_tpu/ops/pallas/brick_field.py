@@ -77,10 +77,11 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
     valid = vld_ref[t * Lp + l] > 0
 
     # exact slab test of the tile's rays against THIS brick
+    m = meta_ref[0]                                    # (1, 8) brick row
     inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
                             jnp.where(du >= 0, 1e-10, -1e-10))
-    t_lo = (meta_ref[0:1, 0:3] - o) * inv_d            # (64, 3)
-    t_hi = (meta_ref[0:1, 3:6] - o) * inv_d
+    t_lo = (m[0:1, 0:3] - o) * inv_d                   # (64, 3)
+    t_hi = (m[0:1, 3:6] - o) * inv_d
     ta = jnp.max(jnp.minimum(t_lo, t_hi), axis=1, keepdims=True)
     tb = jnp.min(jnp.maximum(t_lo, t_hi), axis=1, keepdims=True)
     ta = jnp.maximum(ta, t1)
@@ -186,8 +187,11 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
         num_scalar_prefetch=2,
         grid=(T, Lp),
         in_specs=[
-            pl.BlockSpec((1, 8),
-                         lambda t, l, pb, vl: (t * Lp + l, 0)),
+            # meta rides as (TL, 1, 8): the TPU block rule needs the last
+            # two block dims divisible by (8, 128) OR equal to the array
+            # dims — (1, 8) on a (TL, 8) array violates the second-minor
+            pl.BlockSpec((1, 1, 8),
+                         lambda t, l, pb, vl: (t * Lp + l, 0, 0)),
             pl.BlockSpec((TPX, 8), lambda t, l, pb, vl: (t, 0)),
             pl.BlockSpec((TPX, 16), lambda t, l, pb, vl: (t, 0)),
             pl.BlockSpec((1, VOX, ROWW),
@@ -198,6 +202,7 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
         ],
         out_specs=pl.BlockSpec((TPX, 8), lambda t, l, pb, vl: (t, 0)),
     )
+    meta = meta.reshape(TL, 1, 8)
     kern = functools.partial(_kernel, Lp=Lp, S=S, dt=dt, inv2s=inv2s, V=V,
                              tau_max=tau_max)
     return pl.pallas_call(

@@ -133,13 +133,19 @@ def get_opts(argv=None):
                              'steps after warmup (0 = off)')
     parser.add_argument('--debug_nans', action='store_true', default=False,
                         help='enable jax_debug_nans (detect_anomaly analog)')
-    parser.add_argument('--renderer', choices=['fast', 'oneshot', 'brick'],
+    parser.add_argument('--renderer', choices=['fast', 'oneshot', 'brick',
+                                               'brick_mxu'],
                         default='oneshot',
                         help='test.py renderer: "oneshot" = single train-'
                              'style march + straggler re-passes, '
                              '"fast" = while-loop alive-bucket renderer, '
                              '"brick" = tile-rasterized baked-brick serving '
-                             'renderer (implies --bake; bounded scenes)')
+                             'renderer (implies --bake; bounded scenes), '
+                             '"brick_mxu" = brick raster with the Pallas '
+                             'MXU field kernel (implies --bake)')
+    parser.add_argument('--brick_mxu_L', type=int, default=64,
+                        help='brick_mxu renderer: bricks composited per '
+                             'tile (the per-tile list capacity)')
     parser.add_argument('--brick_L', type=int, default=256,
                         help='brick renderer: bricks kept per tile list')
     parser.add_argument('--brick_Lk', type=int, default=24,

@@ -81,9 +81,9 @@ def run(hparams):
     else:
         occ_oneshot = occ_u8
     baked = bcfg = None
-    if renderer == "brick":
+    if renderer in ("brick", "brick_mxu"):
         if cfg.exp_step_factor != 0.0:
-            print("brick renderer targets bounded scenes; "
+            print("brick renderers target bounded scenes; "
                   "falling back to oneshot")
             renderer = "oneshot"
         else:
@@ -111,6 +111,10 @@ def run(hparams):
             print(f'saved bake -> {hparams.save_bake}')
 
     brick_geo = None
+    if renderer == "brick_mxu":
+        from google_nerf_tpu.models.render_brick import brick_geometry
+        brick_geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
+        print(f"brick geometry: {brick_geo[0].shape[0]} bricks")
     if renderer == "brick":
         from google_nerf_tpu.models.render_brick import (brick_geometry,
                                                          render_brick)
@@ -151,7 +155,25 @@ def run(hparams):
         rays_o, rays_d = get_rays(directions,
                                   jnp.asarray(dataset.poses[i]))
         t0 = time.time()
-        if renderer == "brick":
+        if renderer == "brick_mxu":
+            from google_nerf_tpu.models.render_brick_mxu import \
+                render_brick_mxu
+            rms = getattr(hparams, "render_max_samples", 512) \
+                or cfg.max_samples
+            out = render_brick_mxu(
+                baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
+                T_threshold=1e-2, geometry=brick_geo,
+                L=getattr(hparams, "brick_mxu_L", 64),
+                macro_tiles=getattr(hparams, "brick_macro", 8),
+                macro_L=getattr(hparams, "brick_macro_L", 1024),
+                max_samples=rms)
+            if i == 0:
+                # trunc_tiles counts tiles whose brick list overflowed
+                # (content culled — raise --brick_mxu_L)
+                print(f'brick_mxu telemetry (frame 0): '
+                      f'trunc_tiles={int(out["trunc_tiles"])} '
+                      f'pairs={int(out["pairs_rendered"])}')
+        elif renderer == "brick":
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples
             br_kw = dict(
