@@ -59,9 +59,19 @@ FEAT = 16
 
 
 def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
-            w2_ref, w3_ref, out_ref, *, Lp: int, S: int, dt: float,
-            inv2s: float, V: int, tau_max: float):
-    """One (tile t, list slot l) grid step; out block revisited across l."""
+            w2_ref, w3_ref, lmat_ref, esel_ref, out_ref, *, Lp: int, S: int,
+            dt: float, inv2s: float, V: int, tau_max: float):
+    """One (tile t, list slot l) grid step; out block revisited across l.
+
+    The whole window is evaluated as ONE batch of N = S*64 samples laid
+    out s-major (row j = s*64 + r): one (N, 512) one-hot x slab matmul,
+    one MLP pass, and the ordered front-to-back composite itself runs on
+    the MXU via two constant matmuls — `lmat` (N, N) lower-triangular-
+    within-ray for the exclusive tau cumsum, `esel` (64, N) for the
+    per-ray reduction.  The batched layout replaced an unrolled
+    S-iteration loop of (64, .) ops whose VPU cost dominated the matmuls
+    (measured 0.92 FPS at 800^2, bf16 == fp8 timing -> compute-bound).
+    """
     t = pl.program_id(0)
     l = pl.program_id(1)
 
@@ -96,61 +106,72 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
 
     @pl.when(work)
     def _body():
+        N = S * TPX
         slab = slab_ref[0].astype(jnp.bfloat16)             # (512, 128)
-        sh = sh_ref[:]                                      # (64, 16)
         # corner-weight group reduce: (128, 16) constant, R[d*16+f, f]=1
         r_row = jax.lax.broadcasted_iota(jnp.int32, (ROWW, FEAT), 0)
         r_col = jax.lax.broadcasted_iota(jnp.int32, (ROWW, FEAT), 1)
         red = (r_row % FEAT == r_col).astype(jnp.bfloat16)
-        # corner index per pool lane: rows are corner-major (lane =
-        # corner*FEAT + feat, models/baked.py bake/trilerp_w8, x = LSB)
-        clane = jax.lax.broadcasted_iota(jnp.int32, (TPX, ROWW), 1) // FEAT
-        col512 = jax.lax.broadcasted_iota(jnp.int32, (TPX, VOX), 1)
 
-        tau_c = jnp.zeros((TPX, 1), jnp.float32)
-        rgbw = jnp.zeros((TPX, 3), jnp.float32)
-        depw = jnp.zeros((TPX, 1), jnp.float32)
-        for s in range(S):
-            n_s = n0 + float(s)
-            s_ok = hit & (n_s <= n1)
-            ts = t1 + (n_s + 0.5) * dt                      # (64, 1)
-            xyz = o + ts * du                               # (64, 3)
-            pos = jnp.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-            v0 = jnp.floor(pos)
-            frac = pos - v0
-            loc = jnp.clip(v0 - jnp.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
-            lid = ((loc[:, 0:1] * 8.0 + loc[:, 1:2]) * 8.0
-                   + loc[:, 2:3]).astype(jnp.int32)         # (64, 1)
-            onehot = jnp.where(s_ok & (col512 == lid), 1.0, 0.0) \
-                .astype(jnp.bfloat16)
-            out8 = jnp.dot(onehot, slab,
-                           preferred_element_type=jnp.float32)  # (64,128)
-            # trilinear corner weights applied per lane (corner = clane)
-            w128 = jnp.ones((TPX, ROWW), jnp.float32)
-            for k in range(3):
-                fk = frac[:, k:k + 1]
-                w128 = w128 * jnp.where((clane >> k) & 1 == 1, fk, 1.0 - fk)
-            h = jnp.dot((out8 * w128).astype(jnp.bfloat16), red,
-                        preferred_element_type=jnp.float32)     # (64, 16)
-            sd = jnp.where(s_ok,
-                           jnp.exp(jnp.minimum(h[:, 0:1], 30.0)) * dt,
-                           0.0)
-            sd = jnp.minimum(sd, 80.0)
-            # rgb MLP on the window's samples (bias-free, models/mlp.py)
-            a = jnp.concatenate([sh, h], axis=1).astype(jnp.bfloat16)
-            a = jnp.maximum(jnp.dot(a, w1_ref[:].astype(jnp.bfloat16),
-                                    preferred_element_type=jnp.float32),
-                            0.0).astype(jnp.bfloat16)
-            a = jnp.maximum(jnp.dot(a, w2_ref[:].astype(jnp.bfloat16),
-                                    preferred_element_type=jnp.float32),
-                            0.0).astype(jnp.bfloat16)
-            rgb_s = jax.nn.sigmoid(
-                jnp.dot(a, w3_ref[:].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32))    # (64, 3)
-            w = jnp.exp(-tau_c) * (1.0 - jnp.exp(-sd))
-            rgbw = rgbw + w * rgb_s
-            depw = depw + w * ts
-            tau_c = tau_c + sd
+        # s-major sample domain: row j = s*64 + r (a (S, 64, C) -> (N, C)
+        # leading-dim merge keeps the 64-sublane layout intact)
+        def up(x):
+            return jnp.broadcast_to(x[None], (S,) + x.shape) \
+                .reshape(N, x.shape[1])
+
+        s_n = jax.lax.broadcasted_iota(
+            jnp.float32, (S, TPX, 1), 0).reshape(N, 1)
+        n_s = up(n0) + s_n
+        s_ok = up(hit) & (n_s <= up(n1))                    # (N, 1)
+        ts = up(t1) + (n_s + 0.5) * dt
+        xyz = up(o) + ts * up(du)                           # (N, 3)
+        pos = jnp.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
+        v0 = jnp.floor(pos)
+        frac = pos - v0
+        loc = jnp.clip(v0 - jnp.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
+        lid = ((loc[:, 0:1] * 8.0 + loc[:, 1:2]) * 8.0
+               + loc[:, 2:3]).astype(jnp.int32)             # (N, 1)
+        colv = jax.lax.broadcasted_iota(jnp.int32, (N, VOX), 1)
+        onehot = jnp.where(s_ok & (colv == lid), 1.0, 0.0) \
+            .astype(jnp.bfloat16)
+        out8 = jnp.dot(onehot, slab,
+                       preferred_element_type=jnp.float32)  # (N, 128)
+        # trilinear corner weights per pool lane: rows are corner-major
+        # (lane = corner*FEAT + feat, models/baked.py bake/trilerp_w8,
+        # x = LSB)
+        clane = jax.lax.broadcasted_iota(jnp.int32, (N, ROWW), 1) // FEAT
+        w128 = jnp.ones((N, ROWW), jnp.float32)
+        for k in range(3):
+            fk = frac[:, k:k + 1]
+            w128 = w128 * jnp.where((clane >> k) & 1 == 1, fk, 1.0 - fk)
+        h = jnp.dot((out8 * w128).astype(jnp.bfloat16), red,
+                    preferred_element_type=jnp.float32)     # (N, 16)
+        sd = jnp.where(s_ok,
+                       jnp.exp(jnp.minimum(h[:, 0:1], 30.0)) * dt, 0.0)
+        sd = jnp.minimum(sd, 80.0)                          # (N, 1)
+        # rgb MLP on the whole window batch (bias-free, models/mlp.py)
+        a = jnp.concatenate([up(sh_ref[:]), h], axis=1).astype(jnp.bfloat16)
+        a = jnp.maximum(jnp.dot(a, w1_ref[:].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32),
+                        0.0).astype(jnp.bfloat16)
+        a = jnp.maximum(jnp.dot(a, w2_ref[:].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32),
+                        0.0).astype(jnp.bfloat16)
+        rgb_s = jax.nn.sigmoid(
+            jnp.dot(a, w3_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32))    # (N, 3)
+
+        # ordered composite as matmuls: exclusive within-ray tau cumsum
+        # (lmat), then per-ray reduction (esel) — both f32 constants
+        cum_excl = jnp.dot(lmat_ref[:], sd,
+                           preferred_element_type=jnp.float32)  # (N, 1)
+        w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
+        payload = jnp.concatenate([sd, w * rgb_s, w * ts], axis=1)
+        acc = jnp.dot(esel_ref[:], payload,
+                      preferred_element_type=jnp.float32)   # (64, 5)
+        tau_c = acc[:, 0:1]
+        rgbw = acc[:, 1:4]
+        depw = acc[:, 4:5]
 
         # pair contribution behind the ray's carried transmittance
         T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
@@ -183,6 +204,15 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
     TL = pool_blk.shape[0]
     T = rays.shape[0] // TPX
     Lp = TL // T
+    # composite constants (s-major row j = s*64 + r): lmat = strictly-
+    # earlier-sample-same-ray mask, esel = per-ray reduction one-hot
+    N = S * TPX
+    jj = np.arange(N)
+    lmat = jnp.asarray(((jj[:, None] % TPX == jj[None, :] % TPX)
+                        & (jj[None, :] // TPX < jj[:, None] // TPX))
+                       .astype(np.float32))
+    esel = jnp.asarray((np.arange(TPX)[:, None] == jj[None, :] % TPX)
+                       .astype(np.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T, Lp),
@@ -196,6 +226,8 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
             pl.BlockSpec((TPX, 16), lambda t, l, pb, vl: (t, 0)),
             pl.BlockSpec((1, VOX, ROWW),
                          lambda t, l, pb, vl: (pb[t * Lp + l], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -215,7 +247,7 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
                                           + 64 * 3 + ROWW * FEAT),
             bytes_accessed=T * Lp * VOX * ROWW * pool3.dtype.itemsize,
             transcendentals=T * Lp * S * TPX * 4),
-    )(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3)
+    )(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, lmat, esel)
 
 
 def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,
