@@ -119,8 +119,9 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
             return jnp.broadcast_to(x[None], (S,) + x.shape) \
                 .reshape(N, x.shape[1])
 
+        # iota must be integer-typed on Mosaic; cast after
         s_n = jax.lax.broadcasted_iota(
-            jnp.float32, (S, TPX, 1), 0).reshape(N, 1)
+            jnp.int32, (S, TPX, 1), 0).reshape(N, 1).astype(jnp.float32)
         n_s = up(n0) + s_n
         s_ok = up(hit) & (n_s <= up(n1))                    # (N, 1)
         ts = up(t1) + (n_s + 0.5) * dt

@@ -75,7 +75,7 @@ def main():
         ("float8_e4m3fn", dict(L=96, max_samples=512, chunk_tiles=512)),
         ("float8_e4m3fn", dict(L=64, max_samples=256, chunk_tiles=512)),
         ("bfloat16", dict(L=64, max_samples=512, chunk_tiles=512)),
-        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=2048)),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=1024)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
                                macro_tiles=0)),
     ]
