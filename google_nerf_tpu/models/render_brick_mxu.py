@@ -91,7 +91,16 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     _, bidx = jax.lax.sort((key, bidx), dimension=1, num_keys=1)
 
     safe = jnp.maximum(bidx, 0)
-    pool_blk = safe.reshape(-1).astype(jnp.int32)           # pool order ==
+    # pad slots are a suffix after the depth re-key (key=inf): fill them
+    # with the tile's LAST valid block id so the Mosaic pipeline sees an
+    # unchanged block index and SKIPS the slab DMA — measured tile lists
+    # are ~5% occupied at 800^2, so pad-slot DMAs dominate traffic if
+    # they alternate with real blocks
+    nvalid = jnp.sum(bidx >= 0, axis=1)                     # (T,)
+    last_valid = safe[jnp.arange(safe.shape[0]),
+                      jnp.maximum(nvalid - 1, 0)]           # (T,)
+    pool_blk = jnp.where(bidx >= 0, safe,
+                         last_valid[:, None]).reshape(-1).astype(jnp.int32)
     vld = (bidx >= 0).reshape(-1).astype(jnp.int32)         # geometry order
     meta = jnp.concatenate(
         [brick_lo[safe], brick_hi[safe],

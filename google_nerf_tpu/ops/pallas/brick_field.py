@@ -59,18 +59,18 @@ FEAT = 16
 
 
 def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
-            w2_ref, w3_ref, lmat_ref, esel_ref, out_ref, *, Lp: int, S: int,
+            w2_ref, w3_ref, out_ref, *, Lp: int, S: int,
             dt: float, inv2s: float, V: int, tau_max: float):
     """One (tile t, list slot l) grid step; out block revisited across l.
 
     The whole window is evaluated as ONE batch of N = S*64 samples laid
-    out s-major (row j = s*64 + r): one (N, 512) one-hot x slab matmul,
-    one MLP pass, and the ordered front-to-back composite itself runs on
-    the MXU via two constant matmuls — `lmat` (N, N) lower-triangular-
-    within-ray for the exclusive tau cumsum, `esel` (64, N) for the
-    per-ray reduction.  The batched layout replaced an unrolled
-    S-iteration loop of (64, .) ops whose VPU cost dominated the matmuls
-    (measured 0.92 FPS at 800^2, bf16 == fp8 timing -> compute-bound).
+    out s-major (row j = s*64 + r): one (N, 512) one-hot x slab matmul
+    and one MLP pass.  The ordered front-to-back composite rides the
+    same layout: reshape (N, 1) -> (S, 64) is free, so the within-ray
+    exclusive tau cumsum and the per-ray reduction are ~S VPU adds.
+    The batched layout replaced an unrolled S-iteration loop of (64, .)
+    ops whose VPU cost dominated the matmuls (measured 0.92 FPS at
+    800^2, bf16 == fp8 timing -> compute-bound).
     """
     t = pl.program_id(0)
     l = pl.program_id(1)
@@ -162,14 +162,17 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
             jnp.dot(a, w3_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32))    # (N, 3)
 
-        # ordered composite as matmuls: exclusive within-ray tau cumsum
-        # (lmat), then per-ray reduction (esel) — both f32 constants
-        cum_excl = jnp.dot(lmat_ref[:], sd,
-                           preferred_element_type=jnp.float32)  # (N, 1)
+        # ordered composite: the s-major layout makes the within-ray
+        # exclusive tau cumsum a (S, 64) axis-0 cumsum and the per-ray
+        # reduction an axis-0 sum — leading-dim reshapes are free on the
+        # (N, .) sublane layout, and both ops are ~S VPU adds (an earlier
+        # (N, N) lmat matvec spent as many MXU passes as the one-hot
+        # gather itself at 1/128 lane utility)
+        sd_s = sd.reshape(S, TPX)
+        cum_excl = (jnp.cumsum(sd_s, axis=0) - sd_s).reshape(N, 1)
         w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
         payload = jnp.concatenate([sd, w * rgb_s, w * ts], axis=1)
-        acc = jnp.dot(esel_ref[:], payload,
-                      preferred_element_type=jnp.float32)   # (64, 5)
+        acc = jnp.sum(payload.reshape(S, TPX, 5), axis=0)   # (64, 5)
         tau_c = acc[:, 0:1]
         rgbw = acc[:, 1:4]
         depw = acc[:, 4:5]
@@ -205,15 +208,6 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
     TL = pool_blk.shape[0]
     T = rays.shape[0] // TPX
     Lp = TL // T
-    # composite constants (s-major row j = s*64 + r): lmat = strictly-
-    # earlier-sample-same-ray mask, esel = per-ray reduction one-hot
-    N = S * TPX
-    jj = np.arange(N)
-    lmat = jnp.asarray(((jj[:, None] % TPX == jj[None, :] % TPX)
-                        & (jj[None, :] // TPX < jj[:, None] // TPX))
-                       .astype(np.float32))
-    esel = jnp.asarray((np.arange(TPX)[:, None] == jj[None, :] % TPX)
-                       .astype(np.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T, Lp),
@@ -227,8 +221,6 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
             pl.BlockSpec((TPX, 16), lambda t, l, pb, vl: (t, 0)),
             pl.BlockSpec((1, VOX, ROWW),
                          lambda t, l, pb, vl: (pb[t * Lp + l], 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -248,7 +240,7 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
                                           + 64 * 3 + ROWW * FEAT),
             bytes_accessed=T * Lp * VOX * ROWW * pool3.dtype.itemsize,
             transcendentals=T * Lp * S * TPX * 4),
-    )(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, lmat, esel)
+    )(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3)
 
 
 def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,
