@@ -93,6 +93,7 @@ def test_sobel_edges_detects_step():
     assert e[8, 2] == 0.0
 
 
+@pytest.mark.slow
 def test_ranking_loss_orders_correctly():
     """Pred that inverts gt ordering scores worse than gt-consistent pred."""
     rng = np.random.default_rng(0)
@@ -128,6 +129,7 @@ def test_box_blur_constant():
     assert float(y[0, 0, 0]) == pytest.approx(4.0 * 4 / 9, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_pwn_edges_runs_and_zero_for_perfect():
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(1.0, 5.0, (1, 32, 32)).astype(np.float32))
@@ -139,6 +141,7 @@ def test_pwn_edges_runs_and_zero_for_perfect():
     assert float(diff.sum()) >= float(same.sum())
 
 
+@pytest.mark.slow
 def test_pwn_planes_flat_plane_zero():
     """All sampled points on one plane share the normal -> loss ~ 0."""
     h = w = 32

@@ -36,6 +36,7 @@ def test_depthnet_full_resolution_output():
     assert logit.shape == (2, 64, 64, 1)
 
 
+@pytest.mark.slow
 def test_depth_inference_positive():
     """RelDepthModel.inference: depth - min + 0.01 > 0
     (multi_depth_model_woauxi.py:16-21)."""
@@ -46,6 +47,7 @@ def test_depth_inference_positive():
     assert float(d.min()) == pytest.approx(0.01, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_cimle_z_changes_output():
     cfg = DepthModelConfig(backbone="resnet18", d_latent=8)
     variables = init_depth_model(jax.random.PRNGKey(0), cfg, (32, 32))
@@ -77,6 +79,7 @@ def test_adain_mean_var_shifts_applied():
     assert not np.allclose(np.asarray(base), np.asarray(out))
 
 
+@pytest.mark.slow
 def test_auxi_branch_shapes():
     cfg = DepthModelConfig(backbone="resnet18", with_auxi=True)
     variables = init_depth_model(jax.random.PRNGKey(0), cfg, (64, 64))
@@ -96,6 +99,7 @@ def test_upsample_bilinear_matches_torch_align_corners():
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_weight_conversion_resnet18_torchvision_names():
     """Converter maps torchvision/LeReS key names onto the flax tree."""
     from google_nerf_tpu.depth.weights import (convert_torch_state_dict,

@@ -98,6 +98,7 @@ def test_multi_dataset_sampler_interleaves(tmp_path):
     assert batch["quality_flg"].shape == (2,)
 
 
+@pytest.mark.slow
 def test_zcache_selects_argmin(tmp_path):
     pytest.importorskip("cv2")
     from google_nerf_tpu.depth.config import DepthCfg

@@ -71,6 +71,7 @@ def test_update_density_grid_invisible_cells_stay_dead():
     assert not np.asarray(occ).any()
 
 
+@pytest.mark.slow
 def test_update_density_grid_ema_decay():
     # positive grid + zero density field -> values decay by 0.95
     grid0 = jnp.full((1, G, G, G), 10.0)

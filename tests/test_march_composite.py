@@ -1,3 +1,4 @@
+import pytest
 """Numeric tests of the marcher/compositor against naive per-ray loops that
 replicate the vren CUDA semantics (SURVEY.md §4 test strategy)."""
 import jax
@@ -175,6 +176,7 @@ def test_composite_gradients_finite():
     assert np.all(np.asarray(gs)[~v] == 0)
 
 
+@pytest.mark.slow
 def test_test_round_marching_resumes_correctly():
     """Rounds of (march_test + composite_test) must reproduce the one-shot
     train-time march/composite when the model is deterministic."""

@@ -1,3 +1,4 @@
+import pytest
 """Multi-scene parallel training: scenes train simultaneously and
 independently (SURVEY §2.5 stretch)."""
 import numpy as np
@@ -17,6 +18,7 @@ from google_nerf_tpu.train.system import (TrainConfig, grid_update_step,
 S = 4
 
 
+@pytest.mark.slow
 def test_multiscene_step_trains_each_scene():
     mesh = Mesh(np.array(jax.devices()[:S]), ("scene",))
     model = NGPConfig(scale=0.5, encoder="packed", packed_levels=2,

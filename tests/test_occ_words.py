@@ -1,3 +1,4 @@
+import pytest
 """Block-word packed occupancy (ops/grid.pack_occupancy_u8 bits 3..29) and
 the grouped lookups built on it (ops/march_seg)."""
 import numpy as np
@@ -60,6 +61,7 @@ def test_block_lookup_equals_per_candidate_bit0():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
 
+@pytest.mark.slow
 def test_seg_live_block_conservative():
     """Segment liveness must have zero false negatives vs the exact
     per-candidate test, for any segment whose span is < 2 cells."""

@@ -88,6 +88,7 @@ def test_x_gradient_matches_autodiff(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradient_collisions_accumulate():
     """Many samples in the same cell must sum their gradients exactly."""
     cfg = PackedHashConfig(n_levels=1, n_features=2, log2_table_size=8,

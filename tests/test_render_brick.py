@@ -1,3 +1,4 @@
+import pytest
 """Tile-rasterized brick renderer: conservative culling, zero-cost
 background rays, and agreement with the march-based baked renderer on the
 same serving lattice."""
@@ -36,6 +37,7 @@ def test_tile_order_is_permutation():
     assert np.array_equal(perm[:16], expect)
 
 
+@pytest.mark.slow
 def test_cone_cull_is_conservative():
     """Every brick a ray hits must be in that ray's tile list."""
     cfg, params, occ, bcfg, baked = _setup()
@@ -72,6 +74,7 @@ def test_cone_cull_is_conservative():
                     assert in_list[t, b], (t, r, b)
 
 
+@pytest.mark.slow
 def test_brick_matches_baked_march_renderer():
     cfg, params, occ, bcfg, baked = _setup()
     ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))

@@ -124,6 +124,7 @@ def test_inf_sigma_does_not_poison_later_rays():
     assert np.isfinite(np.asarray(g)[np.arange(R) != 2]).all(), "grad NaN"
 
 
+@pytest.mark.slow
 def test_empty_ray_opacity_never_negative_and_loss_finite():
     """Cancellation in the global ray-reduction cumsum could return a tiny
     NEGATIVE opacity for empty rays; -o*log(o) then NaN'd the sigma/table
