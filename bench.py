@@ -173,6 +173,30 @@ def main():
             "brick_ppr_auto": ppr,
             "bake_seconds": round(t_bake, 1),
         }
+
+        # MXU tile-raster renderer (ops/pallas/brick_field.py): slab-DMA +
+        # one-hot trilerp matmuls, no pairs budget — the gather-free path
+        try:
+            from google_nerf_tpu.models.render_brick_mxu import \
+                render_brick_mxu
+
+            def mxu_frame():
+                return render_brick_mxu(baked, cfg.model, rays_o, rays_d,
+                                        w, h, bcfg=bcfg, L=64,
+                                        max_samples=ms_render,
+                                        T_threshold=1e-2, geometry=geo)
+            mo = mxu_frame()
+            _ = float(mo["rgb"][0, 0])
+            t0 = time.time()
+            mos = [mxu_frame()["rgb"] for _ in range(n_frames)]
+            _ = float(mos[-1][0, 0])
+            brick_stats["render_fps_800_mxu"] = round(
+                n_frames / (time.time() - t0), 2)
+            brick_stats["mxu_vs_oneshot_mae"] = round(
+                float(jnp.abs(mo["rgb"] - out).mean()), 4)
+            brick_stats["mxu_trunc_tiles"] = int(mo["trunc_tiles"])
+        except Exception as e:  # pragma: no cover - chip-env dependent
+            brick_stats["mxu_error"] = f"{type(e).__name__}: {e}"[:120]
     except Exception as e:  # pragma: no cover - chip-env dependent
         brick_stats = {"brick_error": f"{type(e).__name__}: {e}"[:120]}
 

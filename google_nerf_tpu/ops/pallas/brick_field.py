@@ -168,8 +168,13 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
         # (N, .) sublane layout, and both ops are ~S VPU adds (an earlier
         # (N, N) lmat matvec spent as many MXU passes as the one-hot
         # gather itself at 1/128 lane utility)
+        # Mosaic has no cumsum lowering — S is tiny, unroll the exclusive
+        # prefix as S chained adds on (1, 64) rows
         sd_s = sd.reshape(S, TPX)
-        cum_excl = (jnp.cumsum(sd_s, axis=0) - sd_s).reshape(N, 1)
+        rows = [jnp.zeros((1, TPX), jnp.float32)]
+        for si in range(S - 1):
+            rows.append(rows[-1] + sd_s[si:si + 1])
+        cum_excl = jnp.concatenate(rows, axis=0).reshape(N, 1)
         w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
         payload = jnp.concatenate([sd, w * rgb_s, w * ts], axis=1)
         acc = jnp.sum(payload.reshape(S, TPX, 5), axis=0)   # (64, 5)
