@@ -36,6 +36,7 @@ from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  _tile_lists,
                                                  brick_geometry, tile_order)
 from google_nerf_tpu.ops.pallas.brick_field import (brick_field_tiles,
+                                                    brick_field_tiles_t,
                                                     window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
@@ -45,10 +46,11 @@ NEAR_DISTANCE = 0.05
 
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
-                                   "interpret"))
+                                   "kernel", "bands", "interpret"))
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
+               kernel: str = "n", bands: tuple = (),
                interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
@@ -111,17 +113,46 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
 
-    out = brick_field_tiles(
-        pool_blk, vld, meta, rays8, sh, pool3,
-        rgb_mlp[0], rgb_mlp[1], rgb_mlp[2],
+    field = brick_field_tiles_t if kernel == "t" else brick_field_tiles
+    fkw = dict(
         S=window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale),
         dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
         tau_max=float(-np.log(T_threshold)), interpret=interpret)
+    fargs = (pool_blk, vld, meta, rays8, sh, pool3,
+             rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
+    band_drop = jnp.int32(0)
+    if not bands:
+        out = field(*fargs, **fkw)
+    else:
+        # band scheduling: tiles argsorted by brick-list occupancy, each
+        # band rendered at its own (static) slot capacity — empty list
+        # slots stop costing grid steps.  Lists are depth-sorted with
+        # pads last, so a capacity cut drops only the FARTHEST bricks of
+        # over-long lists (counted in band_drop).
+        assert sum(n for n, _ in bands) == T, (bands, T)
+        nvalid = jnp.sum(bidx >= 0, axis=1).astype(jnp.int32)   # (T,)
+        order = jnp.argsort(-nvalid).astype(jnp.int32)
+        band_of = jnp.zeros((T,), jnp.int32)
+        outs = []
+        pos = 0
+        for b, (nb, lpb) in enumerate(bands):
+            tid_b = jax.lax.slice_in_dim(order, pos, pos + nb)
+            pos += nb
+            band_of = band_of.at[tid_b].set(b)
+            outs.append(field(*fargs, tid=tid_b, Lp_band=min(lpb, Lp),
+                              **fkw))
+            band_drop = band_drop + jnp.sum(
+                jnp.maximum(nvalid[tid_b] - lpb, 0))
+        sel = jnp.repeat(band_of, 64)[:, None]                  # (T*64, 1)
+        out = outs[0]
+        for b in range(1, len(bands)):
+            out = jnp.where(sel == b, outs[b], out)
 
     tau = out[:, 0]
     return dict(rgb=out[:, 1:4], depth=out[:, 4],
                 opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
                 pairs_rendered=out[:, 5].sum().astype(jnp.int32),
+                pairs_band_dropped=band_drop,
                 trunc_tiles=tile_over.sum().astype(jnp.int32))
 
 
@@ -129,9 +160,16 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      bcfg: BakedConfig = BakedConfig(), L: int = 48,
                      max_samples: int = 512, T_threshold: float = 1e-2,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
-                     macro_L: int = 1024, geometry=None,
-                     exp_step_factor: float = 0.0, interpret=None):
-    """Full-frame MXU brick renderer over (W*H) rays, image row-major."""
+                     macro_L: int = 1024, geometry=None, kernel: str = "n",
+                     bands=(), exp_step_factor: float = 0.0,
+                     interpret=None):
+    """Full-frame MXU brick renderer over (W*H) rays, image row-major.
+
+    bands: () = every tile gets L list slots (one kernel call/chunk);
+    "auto" = occupancy-banded scheduling (1/8 of tiles at L, 1/8 at L/2,
+    1/4 at L/4, 1/2 at L/8 — tiles argsorted by true list occupancy);
+    or an explicit tuple of (n_tiles, Lp) pairs summing to chunk_tiles.
+    """
     if interpret is None:  # Mosaic needs a TPU; elsewhere run interpreted
         interpret = jax.default_backend() != "tpu"
     tile = 8
@@ -139,7 +177,15 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         "kernel geometry is fixed at block=8, feat_dim=16"
     lo, hi, pool_base = geometry if geometry is not None else \
         brick_geometry(baked["block_map"], bcfg, cfg)
-    pool3 = baked["pool"].reshape(-1, 512, 128)
+    if kernel == "t":
+        # the t-kernel wants slabs pre-transposed to (128, 512); cache the
+        # one-time device transpose on the baked dict
+        if "poolT" not in baked:
+            baked["poolT"] = jnp.swapaxes(
+                baked["pool"].reshape(-1, 512, 128), 1, 2)
+        pool3 = baked["poolT"]
+    else:
+        pool3 = baked["pool"].reshape(-1, 512, 128)
     Wp = ((W + tile - 1) // tile) * tile
     Hp = ((H + tile - 1) // tile) * tile
     if (Wp, Hp) != (W, H):
@@ -157,6 +203,12 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     n_tiles = (Wp * Hp) // 64
     L = min(L, int(lo.shape[0]))
     cpr = max(min(int(chunk_tiles), n_tiles), 1)
+    if bands == "auto":
+        e, q = cpr // 8, cpr // 4
+        bands = ((e, L), (e, max(L // 2, 8)), (q, max(L // 4, 8)),
+                 (cpr - e - e - q, max(L // 8, 8)))
+        bands = tuple((n, lp) for n, lp in bands if n > 0)
+    bands = tuple(bands)
     mL = min(macro_L, int(lo.shape[0]))
     mt = macro_tiles if mL > 0 else 0
     while mt > 1 and cpr % mt:
@@ -174,7 +226,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             pool3, baked["rgb_mlp"], lo, hi, ro_c, rd_c, cfg=cfg,
             bcfg=bcfg, L=L, max_samples=max_samples,
             T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
-            macro_L=mL, interpret=interpret))
+            macro_L=mL, kernel=kernel, bands=bands, interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}
@@ -193,4 +245,5 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     rgb = rgb + bg * (1.0 - opacity[:, None])
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=cat["trunc_tiles"],
-                pairs_rendered=cat["pairs_rendered"])
+                pairs_rendered=cat["pairs_rendered"],
+                pairs_band_dropped=cat["pairs_band_dropped"])

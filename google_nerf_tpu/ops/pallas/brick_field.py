@@ -58,8 +58,8 @@ ROWW = 128        # pool row lanes (8 corners x 16 features)
 FEAT = 16
 
 
-def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
-            w2_ref, w3_ref, out_ref, *, Lp: int, S: int,
+def _kernel(pb_ref, vld_ref, tid_ref, meta_ref, rays_ref, sh_ref, slab_ref,
+            w1_ref, w2_ref, w3_ref, out_ref, *, Lp: int, S: int,
             dt: float, inv2s: float, V: int, tau_max: float):
     """One (tile t, list slot l) grid step; out block revisited across l.
 
@@ -84,7 +84,7 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
     du = rays[:, 3:6]
     t1 = rays[:, 6:7]                       # (64, 1)
     t2 = rays[:, 7:8]
-    valid = vld_ref[t * Lp + l] > 0
+    valid = vld_ref[tid_ref[t] * Lp + l] > 0
 
     # exact slab test of the tile's rays against THIS brick
     m = meta_ref[0]                                    # (1, 8) brick row
@@ -168,16 +168,19 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
         # (N, .) sublane layout, and both ops are ~S VPU adds (an earlier
         # (N, N) lmat matvec spent as many MXU passes as the one-hot
         # gather itself at 1/128 lane utility)
-        # Mosaic has no cumsum lowering — S is tiny, unroll the exclusive
-        # prefix as S chained adds on (1, 64) rows
-        sd_s = sd.reshape(S, TPX)
-        rows = [jnp.zeros((1, TPX), jnp.float32)]
+        # Mosaic has no cumsum lowering and rejects (S*64, 1) <-> (S, 64)
+        # cross-tiling reshapes; S is tiny, so the exclusive prefix and
+        # the per-ray reduction both unroll over 64-row SUBLANE slices of
+        # the s-major (N, 1) layout (slice si = samples s=si of all rays)
+        cums = [jnp.zeros((TPX, 1), jnp.float32)]
         for si in range(S - 1):
-            rows.append(rows[-1] + sd_s[si:si + 1])
-        cum_excl = jnp.concatenate(rows, axis=0).reshape(N, 1)
+            cums.append(cums[-1] + sd[si * TPX:(si + 1) * TPX])
+        cum_excl = jnp.concatenate(cums, axis=0)            # (N, 1)
         w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
         payload = jnp.concatenate([sd, w * rgb_s, w * ts], axis=1)
-        acc = jnp.sum(payload.reshape(S, TPX, 5), axis=0)   # (64, 5)
+        acc = payload[0:TPX]
+        for si in range(1, S):
+            acc = acc + payload[si * TPX:(si + 1) * TPX]    # (64, 5)
         tau_c = acc[:, 0:1]
         rgbw = acc[:, 1:4]
         depw = acc[:, 4:5]
@@ -194,10 +197,11 @@ def _kernel(pb_ref, vld_ref, meta_ref, rays_ref, sh_ref, slab_ref, w1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "interpret"))
+    "S", "dt", "inv2s", "V", "tau_max", "Lp_band", "interpret"))
 def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
                       S: int, dt: float, inv2s: float, V: int,
-                      tau_max: float, interpret: bool = False):
+                      tau_max: float, tid=None, Lp_band: int = 0,
+                      interpret: bool = False):
     """Composite T tiles' rays through their brick lists on the MXU.
 
     pool_blk: (T*Lp,) int32 pool-block DMA index (invalid slots sanitized
@@ -208,29 +212,41 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
     sh:       (T*64, 16) f32 SH4 dir features (models/encoders).
     pool3:    (n_blocks, 512, 128) baked pool (any float dtype).
     w1/w2/w3: rgb MLP weights (32,64)/(64,64)/(64,3).
+    tid:      optional (Tb,) int32 tile ids to render (band scheduling) —
+        all referenced arrays stay full-size and UNSORTED; the scalar-
+        prefetched ids steer the DMA index maps, and each tile's output
+        lands at its own block (unlisted tiles' blocks are UNDEFINED).
+    Lp_band:  list-slot capacity for this call (<= Lp; 0 = full Lp).
+        Lists are depth-sorted with pads last, so a band truncation
+        drops the FARTHEST bricks.
     Returns (T*64, 8) f32 [tau, rgb*3, depth-weight, n_pairs, 0, 0].
     """
     TL = pool_blk.shape[0]
     T = rays.shape[0] // TPX
     Lp = TL // T
+    if tid is None:
+        tid = jnp.arange(T, dtype=jnp.int32)
+    Tb = tid.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T, Lp),
+        num_scalar_prefetch=3,
+        grid=(Tb, Lp_band or Lp),
         in_specs=[
             # meta rides as (TL, 1, 8): the TPU block rule needs the last
             # two block dims divisible by (8, 128) OR equal to the array
             # dims — (1, 8) on a (TL, 8) array violates the second-minor
             pl.BlockSpec((1, 1, 8),
-                         lambda t, l, pb, vl: (t * Lp + l, 0, 0)),
-            pl.BlockSpec((TPX, 8), lambda t, l, pb, vl: (t, 0)),
-            pl.BlockSpec((TPX, 16), lambda t, l, pb, vl: (t, 0)),
+                         lambda t, l, pb, vl, td: (td[t] * Lp + l, 0, 0)),
+            pl.BlockSpec((TPX, 8), lambda t, l, pb, vl, td: (td[t], 0)),
+            pl.BlockSpec((TPX, 16), lambda t, l, pb, vl, td: (td[t], 0)),
             pl.BlockSpec((1, VOX, ROWW),
-                         lambda t, l, pb, vl: (pb[t * Lp + l], 0, 0)),
+                         lambda t, l, pb, vl, td:
+                         (pb[td[t] * Lp + l], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TPX, 8), lambda t, l, pb, vl: (t, 0)),
+        out_specs=pl.BlockSpec((TPX, 8), lambda t, l, pb, vl, td:
+                               (td[t], 0)),
     )
     meta = meta.reshape(TL, 1, 8)
     kern = functools.partial(_kernel, Lp=Lp, S=S, dt=dt, inv2s=inv2s, V=V,
@@ -241,11 +257,202 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
         out_shape=jax.ShapeDtypeStruct((T * TPX, 8), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * Lp * S * TPX * (VOX * ROWW + 32 * 64 + 64 * 64
-                                          + 64 * 3 + ROWW * FEAT),
-            bytes_accessed=T * Lp * VOX * ROWW * pool3.dtype.itemsize,
-            transcendentals=T * Lp * S * TPX * 4),
-    )(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3)
+            flops=2 * Tb * Lp * S * TPX * (VOX * ROWW + 32 * 64 + 64 * 64
+                                           + 64 * 3 + ROWW * FEAT),
+            bytes_accessed=Tb * Lp * VOX * ROWW * pool3.dtype.itemsize,
+            transcendentals=Tb * Lp * S * TPX * 4),
+    )(pool_blk, vld, tid, meta, rays, sh, pool3, w1, w2, w3)
+
+
+def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
+              slabT_ref, w1t_ref, w2t_ref, w3t_ref, outT_ref, *, Lp: int,
+              S: int, dt: float, inv2s: float, V: int, tau_max: float):
+    """Transposed-layout variant: RAYS ON LANES.
+
+    The n-major kernel's per-sample scalar chains ((N, 1) and (N, 3)
+    arrays) occupy 1-3 lanes of 128 per vreg — ~72 mostly-empty vregs
+    per op.  Here every per-ray quantity is a (1, 64) lane row, the
+    window chain is (1, N) built s-major with 64-aligned lane
+    concats/slices (no cross-tiling reshapes), and the one-hot gather,
+    corner-weight reduce, and MLP all run transposed: the pool slab is
+    pre-transposed at bake wrap time to (128, 512) so out8 = slabT @
+    onehotT.  Same semantics as _kernel (golden-locked against
+    brick_field_tiles_reference).
+    """
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        outT_ref[:] = jnp.zeros_like(outT_ref)
+
+    rays = raysT_ref[:]                     # (8, 64): rows o3 du3 t1 t2
+    o = rays[0:3]
+    du = rays[3:6]
+    t1 = rays[6:7]                          # (1, 64)
+    t2 = rays[7:8]
+    valid = vld_ref[tid_ref[t] * Lp + l] > 0
+    m = metaT_ref[0]                        # (1, 8) brick row
+
+    inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
+                            jnp.where(du >= 0, 1e-10, -1e-10))
+    # slab test per axis with (1, 1) bound splats against (1, 64) rows
+    ta, tb = t1, t2
+    for k in range(3):
+        a = (m[0:1, k:k + 1] - o[k:k + 1]) * inv_d[k:k + 1]
+        b = (m[0:1, k + 3:k + 4] - o[k:k + 1]) * inv_d[k:k + 1]
+        ta = jnp.maximum(ta, jnp.minimum(a, b))
+        tb = jnp.minimum(tb, jnp.maximum(a, b))
+    n0 = jnp.maximum(jnp.ceil((ta - t1) / dt - 0.5), 0.0)   # (1, 64)
+    n1 = jnp.floor((tb - t1) / dt - 0.5)
+    hit = valid & (tb > ta) & (n1 >= n0) & (t2 > 0)         # (1, 64)
+
+    tau_tot = outT_ref[0:1, :]                              # (1, 64)
+    live = tau_tot < tau_max
+    work = jnp.any(hit & live)
+
+    @pl.when(work)
+    def _body():
+        N = S * TPX
+        slabT = slabT_ref[0].astype(jnp.bfloat16)           # (128, 512)
+
+        def lane_tile(x):                   # (1or k, 64) -> (., N) s-major
+            return jnp.concatenate([x] * S, axis=1)
+
+        s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               // TPX).astype(jnp.float32)                  # (1, N)
+        n_s = lane_tile(n0) + s_n
+        ok_n = lane_tile(hit) & (n_s <= lane_tile(n1))      # (1, N)
+        ts = lane_tile(t1) + (n_s + 0.5) * dt
+        o_n = lane_tile(o)                                  # (3, N)
+        du_n = lane_tile(du)
+        lid = jnp.zeros((1, N), jnp.float32)
+        frs = []
+        for k in range(3):
+            pos = jnp.clip((o_n[k:k + 1] + ts * du_n[k:k + 1]) * inv2s
+                           + 0.5, 0.0, 1.0 - 1e-6) * V
+            v0 = jnp.floor(pos)
+            frs.append(pos - v0)
+            lid = lid * 8.0 + jnp.clip(v0 - jnp.floor(v0 * 0.125) * 8.0,
+                                       0.0, 7.0)
+        lid_i = lid.astype(jnp.int32)                       # (1, N)
+
+        rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
+        ohT = jnp.where(ok_n & (rowv == lid_i),
+                        jnp.bfloat16(1), jnp.bfloat16(0))   # (512, N)
+        out8T = jnp.dot(slabT, ohT,
+                        preferred_element_type=jnp.float32)  # (128, N)
+
+        crow = jax.lax.broadcasted_iota(jnp.int32, (ROWW, N), 0) // FEAT
+        w128T = jnp.ones((ROWW, N), jnp.float32)
+        for k in range(3):
+            w128T = w128T * jnp.where((crow >> k) & 1 == 1,
+                                      frs[k], 1.0 - frs[k])
+        rr = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 0)
+        rc = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 1)
+        redT = (rc % FEAT == rr).astype(jnp.bfloat16)       # (16, 128)
+        hT = jnp.dot(redT, (out8T * w128T).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)    # (16, N)
+
+        sd = jnp.where(ok_n,
+                       jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
+        sd = jnp.minimum(sd, 80.0)                          # (1, N)
+
+        sh_n = lane_tile(shT_ref[:])                        # (16, N)
+        x = jnp.concatenate([sh_n, hT], axis=0).astype(jnp.bfloat16)
+        a = jnp.maximum(jnp.dot(w1t_ref[:].astype(jnp.bfloat16), x,
+                                preferred_element_type=jnp.float32),
+                        0.0).astype(jnp.bfloat16)           # (64, N)
+        a = jnp.maximum(jnp.dot(w2t_ref[:].astype(jnp.bfloat16), a,
+                                preferred_element_type=jnp.float32),
+                        0.0).astype(jnp.bfloat16)
+        rgbT = jax.nn.sigmoid(
+            jnp.dot(w3t_ref[:].astype(jnp.bfloat16), a,
+                    preferred_element_type=jnp.float32))    # (3, N)
+
+        # ordered composite via 64-aligned lane slices: s-slice si of a
+        # (1, N) row is lanes [si*64, (si+1)*64)
+        cums = [jnp.zeros((1, TPX), jnp.float32)]
+        for si in range(S - 1):
+            cums.append(cums[-1] + sd[:, si * TPX:(si + 1) * TPX])
+        cum_excl = jnp.concatenate(cums, axis=1)            # (1, N)
+        w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))       # (1, N)
+        wr = w * rgbT                                       # (3, N)
+        wt = w * ts
+        tau_c = jnp.zeros((1, TPX), jnp.float32)
+        rgbw = jnp.zeros((3, TPX), jnp.float32)
+        depw = jnp.zeros((1, TPX), jnp.float32)
+        for si in range(S):
+            sl = slice(si * TPX, (si + 1) * TPX)
+            tau_c = tau_c + sd[:, sl]
+            rgbw = rgbw + wr[:, sl]
+            depw = depw + wt[:, sl]
+
+        T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)     # (1, 64)
+        upd = jnp.concatenate([
+            jnp.where(live, tau_c, 0.0),
+            T_bef * rgbw,
+            T_bef * depw,
+            (hit & live).astype(jnp.float32),
+            jnp.zeros((2, TPX), jnp.float32)], axis=0)      # (8, 64)
+        outT_ref[:] = outT_ref[:] + upd
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "dt", "inv2s", "V", "tau_max", "Lp_band", "interpret"))
+def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
+                        *, S: int, dt: float, inv2s: float, V: int,
+                        tau_max: float, tid=None, Lp_band: int = 0,
+                        interpret: bool = False):
+    """Transposed-layout entry: same contract as brick_field_tiles but
+    pool3T is the PRE-TRANSPOSED pool (n_blocks, 128, 512); rays/sh/meta
+    /weights are transposed on the fly (tiny XLA ops outside the
+    kernel), and the (T*64, 8) output is restored to the n-major
+    contract so callers are layout-agnostic.  tid/Lp_band as in
+    brick_field_tiles (band scheduling)."""
+    TL = pool_blk.shape[0]
+    T = rays.shape[0] // TPX
+    Lp = TL // T
+    if tid is None:
+        tid = jnp.arange(T, dtype=jnp.int32)
+    Tb = tid.shape[0]
+    # (T*64, 8) -> (T*8, 64) tile-blocked transpose; same for sh
+    raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
+    metaT = meta.reshape(TL, 1, 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Tb, Lp_band or Lp),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8),
+                         lambda t, l, pb, vl, td: (td[t] * Lp + l, 0, 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, vl, td: (td[t], 0)),
+            pl.BlockSpec((FEAT, TPX), lambda t, l, pb, vl, td: (td[t], 0)),
+            pl.BlockSpec((1, ROWW, VOX),
+                         lambda t, l, pb, vl, td:
+                         (pb[td[t] * Lp + l], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TPX), lambda t, l, pb, vl, td:
+                               (td[t], 0)),
+    )
+    kern = functools.partial(_kernel_t, Lp=Lp, S=S, dt=dt, inv2s=inv2s,
+                             V=V, tau_max=tau_max)
+    outT = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tb * Lp * S * TPX * (VOX * ROWW + 32 * 64 + 64 * 64
+                                           + 64 * 3 + ROWW * FEAT),
+            bytes_accessed=Tb * Lp * VOX * ROWW * pool3T.dtype.itemsize,
+            transcendentals=Tb * Lp * S * TPX * 4),
+    )(pool_blk, vld, tid, metaT, raysT, shT, pool3T,
+      w1.T, w2.T, w3.T)
+    return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 
 
 def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,

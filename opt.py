@@ -146,6 +146,16 @@ def get_opts(argv=None):
     parser.add_argument('--brick_mxu_L', type=int, default=64,
                         help='brick_mxu renderer: bricks composited per '
                              'tile (the per-tile list capacity)')
+    parser.add_argument('--brick_mxu_kernel', default='t',
+                        choices=['t', 'n'],
+                        help='brick_mxu field kernel layout: "t" = '
+                             'rays-on-lanes transposed (default), "n" = '
+                             'samples-on-sublanes')
+    parser.add_argument('--brick_mxu_bands', type=int, default=1,
+                        help='brick_mxu: 1 = occupancy-banded tile '
+                             'scheduling (tiles argsorted by brick-list '
+                             'length; empty list slots cost no grid '
+                             'steps), 0 = flat (T, L) grid')
     parser.add_argument('--brick_L', type=int, default=256,
                         help='brick renderer: bricks kept per tile list')
     parser.add_argument('--brick_Lk', type=int, default=24,

@@ -164,6 +164,9 @@ def run(hparams):
                 baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
                 T_threshold=1e-2, geometry=brick_geo,
                 L=getattr(hparams, "brick_mxu_L", 64),
+                kernel=getattr(hparams, "brick_mxu_kernel", "t"),
+                bands=("auto" if getattr(hparams, "brick_mxu_bands", True)
+                       else ()),
                 macro_tiles=getattr(hparams, "brick_macro", 8),
                 macro_L=getattr(hparams, "brick_macro_L", 1024),
                 max_samples=rms)
@@ -172,7 +175,8 @@ def run(hparams):
                 # (content culled — raise --brick_mxu_L)
                 print(f'brick_mxu telemetry (frame 0): '
                       f'trunc_tiles={int(out["trunc_tiles"])} '
-                      f'pairs={int(out["pairs_rendered"])}')
+                      f'pairs={int(out["pairs_rendered"])} '
+                      f'band_drop={int(out["pairs_band_dropped"])}')
         elif renderer == "brick":
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples

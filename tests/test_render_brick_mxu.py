@@ -14,7 +14,8 @@ from google_nerf_tpu.models.ngp import NGPConfig, init_ngp
 from google_nerf_tpu.models.render_brick import render_brick
 from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
 from google_nerf_tpu.ops.pallas.brick_field import (
-    brick_field_tiles, brick_field_tiles_reference, window_span)
+    brick_field_tiles, brick_field_tiles_reference, brick_field_tiles_t,
+    window_span)
 
 
 def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
@@ -74,6 +75,63 @@ def test_kernel_matches_reference_interpret():
     # rays that hit nothing accumulate nothing
     misses = want[:, 5] == 0
     assert np.all(got[misses, 0] == 0)
+
+
+def test_t_kernel_matches_reference_interpret():
+    """Transposed (rays-on-lanes) kernel: same n-major contract, same
+    golden semantics; pool passed pre-transposed to (nb, 128, 512)."""
+    args, kw = _toy_inputs()
+    pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3 = args
+    pool3T = jnp.swapaxes(jnp.asarray(pool3), 1, 2)
+    got = np.asarray(brick_field_tiles_t(
+        jnp.asarray(pool_blk), jnp.asarray(vld), jnp.asarray(meta),
+        jnp.asarray(rays), jnp.asarray(sh), pool3T,
+        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
+        interpret=True, **kw))
+    want = brick_field_tiles_reference(*args, **kw)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+    misses = want[:, 5] == 0
+    assert np.all(got[misses, 0] == 0)
+
+
+def test_t_kernel_frame_matches_n_kernel(scene):
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64)
+    a = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="n", **kw)
+    b = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="t", **kw)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=2e-3)
+    assert int(a["pairs_rendered"]) == int(b["pairs_rendered"])
+
+
+@pytest.mark.parametrize("kernel", ["n", "t"])
+def test_banded_frame_matches_unbanded(scene, kernel):
+    """Occupancy-band scheduling: same pixels as the flat grid when no
+    band truncates (capacities >= every tile's true list length)."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64, kernel=kernel)
+    flat = render_brick_mxu(baked, cfg, o, d, 16, 16, **kw)
+    # 4 tiles at 16^2: generous custom bands (no truncation possible)
+    banded = render_brick_mxu(baked, cfg, o, d, 16, 16,
+                              bands=((1, 64), (1, 64), (2, 64)), **kw)
+    np.testing.assert_allclose(np.asarray(flat["rgb"]),
+                               np.asarray(banded["rgb"]), atol=1e-6)
+    assert int(banded["pairs_band_dropped"]) == 0
+    assert (int(banded["pairs_rendered"])
+            == int(flat["pairs_rendered"]))
+    # auto bands on this tiny frame: 64-brick scene, lists fit L/8=8?
+    # not guaranteed — only check it runs and reports drops honestly
+    auto = render_brick_mxu(baked, cfg, o, d, 16, 16, bands="auto", **kw)
+    assert np.all(np.isfinite(np.asarray(auto["rgb"])))
 
 
 def test_kernel_early_termination_skips_occluded_bricks():

@@ -91,14 +91,25 @@ def main():
     gt = jnp.asarray(ds_t.rays[0])
 
     variants = [
-        ("float8_e4m3fn", dict(L=48, max_samples=512, chunk_tiles=512)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512)),
-        ("float8_e4m3fn", dict(L=96, max_samples=512, chunk_tiles=512)),
-        ("float8_e4m3fn", dict(L=64, max_samples=256, chunk_tiles=512)),
-        ("bfloat16", dict(L=64, max_samples=512, chunk_tiles=512)),
-        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=1024)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
-                               macro_tiles=0)),
+                               kernel="t")),
+        ("float8_e4m3fn", dict(L=64, max_samples=256, chunk_tiles=512,
+                               kernel="t")),
+        ("float8_e4m3fn", dict(L=96, max_samples=512, chunk_tiles=512,
+                               kernel="t")),
+        ("float8_e4m3fn", dict(L=96, max_samples=256, chunk_tiles=512,
+                               kernel="t")),
+        ("bfloat16", dict(L=64, max_samples=512, chunk_tiles=512,
+                          kernel="t")),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=1024,
+                               kernel="t")),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
+                               kernel="t", bands="auto")),
+        ("float8_e4m3fn", dict(L=64, max_samples=256, chunk_tiles=512,
+                               kernel="t", bands="auto")),
+        ("float8_e4m3fn", dict(L=128, max_samples=512, chunk_tiles=512,
+                               kernel="t", bands="auto")),
     ]
     for dtype, v in variants:
         bcfg_v, baked_v = bakes[dtype]
@@ -122,7 +133,8 @@ def main():
             print(f"{dtype} {v}: {dt*1e3:.0f} ms = {1/dt:.2f} FPS "
                   f"(first {t_compile:.0f}s) | psnr vs gt {p_gt:.2f} | "
                   f"trunc_tiles={int(out['trunc_tiles'])} "
-                  f"pairs={int(out['pairs_rendered'])}")
+                  f"pairs={int(out['pairs_rendered'])} "
+                  f"band_drop={int(out.get('pairs_band_dropped', 0))}")
         except Exception as e:  # noqa: BLE001 — sweep survives one variant
             print(f"{dtype} {v}: FAILED {type(e).__name__}: {e}")
     print("DONE")

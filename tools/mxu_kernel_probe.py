@@ -1,0 +1,69 @@
+"""Fast Mosaic compile+numerics probe for the brick-field kernels.
+
+CPU interpret mode can't catch Mosaic lowering rejections (f32 iota,
+cumsum, cross-tiling reshapes — all found the slow way on chip); this
+probe compiles BOTH kernel layouts on the real TPU at toy shapes in ~1
+minute and checks them against the numpy golden, so kernel iteration
+doesn't pay the fps harness's bake/setup. Usage: python
+tools/mxu_kernel_probe.py [n|t|both]
+"""
+import functools
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+print = functools.partial(print, flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    sys.path.insert(0, "/root/repo")
+    from google_nerf_tpu.ops.pallas.brick_field import (
+        brick_field_tiles, brick_field_tiles_reference, brick_field_tiles_t)
+    from tests.test_render_brick_mxu import _toy_inputs
+
+    args, kw = _toy_inputs()
+    a = [jnp.asarray(x) for x in args]
+    want = brick_field_tiles_reference(*args, **kw)
+
+    def check(name, fn, *fa, **fkw):
+        t0 = time.time()
+        try:
+            got = np.asarray(fn(*fa, **fkw))
+        except Exception as e:  # noqa: BLE001 — probe reports, not raises
+            msg = str(e)
+            for line in msg.splitlines():
+                if ("Mosaic" in line or "tpu." in line or "assert" in line
+                        or "vector<" in line or "Error" in line):
+                    print(f"{name}: FAIL ({time.time()-t0:.0f}s) {line.strip()[:160]}")
+                    return False
+            print(f"{name}: FAIL ({time.time()-t0:.0f}s) "
+                  f"{type(e).__name__}: {msg[:160]}")
+            return False
+        ok = (np.all(np.isfinite(got))
+              and np.allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+              and np.allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+              and np.array_equal(got[:, 5], want[:, 5]))
+        print(f"{name}: {'OK' if ok else 'NUMERIC MISMATCH'} "
+              f"({time.time()-t0:.0f}s) "
+              f"pairs={got[:, 5].sum():.0f}/{want[:, 5].sum():.0f}")
+        return ok
+
+    tid = jnp.asarray([1, 0], jnp.int32)    # permuted full-capacity bands
+    if which in ("n", "both"):
+        check("n-kernel", brick_field_tiles, *a, **kw)
+        check("n-kernel banded", brick_field_tiles, *a, tid=tid,
+              Lp_band=3, **kw)
+    if which in ("t", "both"):
+        aT = list(a)
+        aT[5] = jnp.swapaxes(a[5], 1, 2)
+        check("t-kernel", brick_field_tiles_t, *aT, **kw)
+        check("t-kernel banded", brick_field_tiles_t, *aT, tid=tid,
+              Lp_band=3, **kw)
+    print("PROBE DONE")
+
+
+if __name__ == "__main__":
+    main()
