@@ -182,7 +182,8 @@ def main():
 
             def mxu_frame():
                 return render_brick_mxu(baked, cfg.model, rays_o, rays_d,
-                                        w, h, bcfg=bcfg, L=64,
+                                        w, h, bcfg=bcfg, L=64, kernel="t",
+                                        bands="auto",
                                         max_samples=ms_render,
                                         T_threshold=1e-2, geometry=geo)
             mo = mxu_frame()

@@ -265,8 +265,9 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
 
 
 def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
-              slabT_ref, w1t_ref, w2t_ref, w3t_ref, outT_ref, *, Lp: int,
-              S: int, dt: float, inv2s: float, V: int, tau_max: float):
+              slabT_ref, rowv_ref, bitw_ref, w1t_ref, w2t_ref, w3t_ref,
+              outT_ref, *, Lp: int, S: int, dt: float, inv2s: float,
+              V: int, tau_max: float):
     """Transposed-layout variant: RAYS ON LANES.
 
     The n-major kernel's per-sample scalar chains ((N, 1) and (N, 3)
@@ -322,7 +323,10 @@ def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
         s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
                // TPX).astype(jnp.float32)                  # (1, N)
         n_s = lane_tile(n0) + s_n
-        ok_n = lane_tile(hit) & (n_s <= lane_tile(n1))      # (1, N)
+        # bool vectors cannot lane-concat ("invalid vector register
+        # cast", tools/mosaic_bisect.py k14) — tile hit as f32
+        hitf = jnp.where(hit, 1.0, 0.0)
+        ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1))
         ts = lane_tile(t1) + (n_s + 0.5) * dt
         o_n = lane_tile(o)                                  # (3, N)
         du_n = lane_tile(du)
@@ -337,20 +341,28 @@ def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
                                        0.0, 7.0)
         lid_i = lid.astype(jnp.int32)                       # (1, N)
 
-        rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
-        ohT = jnp.where(ok_n & (rowv == lid_i),
-                        jnp.bfloat16(1), jnp.bfloat16(0))   # (512, N)
+        # rowv is a PRECOMPUTED (VOX, N) int32 row-index table (the same
+        # for every grid step — in-kernel iota re-built it each step).
+        # i16 compares are unsupported, and selecting bf16 straight off
+        # an i32-derived mask needs an invalid (8,128)->(16,128) mask
+        # relayout — select f32, convert after (both chip-bisected,
+        # tools/mosaic_bisect.py).
+        ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
+                        1.0, 0.0).astype(jnp.bfloat16)      # (512, N)
         out8T = jnp.dot(slabT, ohT,
                         preferred_element_type=jnp.float32)  # (128, N)
 
-        crow = jax.lax.broadcasted_iota(jnp.int32, (ROWW, N), 0) // FEAT
+        # trilinear corner weights from precomputed f32 bit masks:
+        # w_k = (1 - f_k) + bit_k * (2 f_k - 1) — pure mul/add, no
+        # per-step iota/shift/compare chains
         w128T = jnp.ones((ROWW, N), jnp.float32)
         for k in range(3):
-            w128T = w128T * jnp.where((crow >> k) & 1 == 1,
-                                      frs[k], 1.0 - frs[k])
+            w128T = w128T * ((1.0 - frs[k])
+                             + bitw_ref[k] * (2.0 * frs[k] - 1.0))
         rr = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 0)
         rc = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 1)
-        redT = (rc % FEAT == rr).astype(jnp.bfloat16)       # (16, 128)
+        redT = (rc % FEAT == rr).astype(jnp.float32) \
+            .astype(jnp.bfloat16)                           # (16, 128)
         hT = jnp.dot(redT, (out8T * w128T).astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)    # (16, N)
 
@@ -420,6 +432,13 @@ def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
     raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
     metaT = meta.reshape(TL, 1, 8)
+    N = S * TPX
+    # loop-invariant lookup tables (see _kernel_t): voxel-row index and
+    # corner-bit masks — built here once, resident in VMEM for every step
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
+    bitw = jnp.stack([jnp.broadcast_to(
+        ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
+         ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(Tb, Lp_band or Lp),
@@ -431,6 +450,8 @@ def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
             pl.BlockSpec((1, ROWW, VOX),
                          lambda t, l, pb, vl, td:
                          (pb[td[t] * Lp + l], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -450,7 +471,7 @@ def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
                                            + 64 * 3 + ROWW * FEAT),
             bytes_accessed=Tb * Lp * VOX * ROWW * pool3T.dtype.itemsize,
             transcendentals=Tb * Lp * S * TPX * 4),
-    )(pool_blk, vld, tid, metaT, raysT, shT, pool3T,
+    )(pool_blk, vld, tid, metaT, raysT, shT, pool3T, rowv, bitw,
       w1.T, w2.T, w3.T)
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 

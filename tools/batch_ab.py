@@ -13,6 +13,7 @@ Prints ms/step, rays/s, vs-baseline, and train PSNR after an equal number
 of RAYS (so variants see equal supervision).
 """
 import functools
+import os
 import sys
 import time
 
@@ -20,6 +21,12 @@ import jax
 import jax.numpy as jnp
 
 print = functools.partial(print, flush=True)
+
+# AB_PRECOMPILE=1: compile the step + grid update, run 8 steps, print,
+# exit — used to warm the (server-side, cross-process) compile cache for
+# several variants IN PARALLEL when fresh compiles are slow; the timed
+# serial pass then hits the cache.
+PRECOMPILE = bool(os.environ.get("AB_PRECOMPILE"))
 
 
 def run_variant(batch_size: int, budget: int, *, levels: int = 8,
@@ -82,6 +89,17 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
         # scalar value cannot
         _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
         return state, metrics
+
+    if PRECOMPILE:
+        t0 = time.time()
+        state, m = loop(state, 0, 8)
+        # the steady-state (non-warmup) grid update is its own program
+        state = grid_update_step(state, jax.random.fold_in(key, 9999),
+                                 cfg=cfg, warmup=False)
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+        print(f"PRECOMPILED {sys.argv[1] if len(sys.argv) > 1 else ''} "
+              f"in {time.time()-t0:.0f}s")
+        return
 
     t0 = time.time()
     state, m = loop(state, 0, warm)

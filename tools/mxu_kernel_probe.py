@@ -34,13 +34,13 @@ def main():
             got = np.asarray(fn(*fa, **fkw))
         except Exception as e:  # noqa: BLE001 — probe reports, not raises
             msg = str(e)
-            for line in msg.splitlines():
-                if ("Mosaic" in line or "tpu." in line or "assert" in line
-                        or "vector<" in line or "Error" in line):
-                    print(f"{name}: FAIL ({time.time()-t0:.0f}s) {line.strip()[:160]}")
-                    return False
+            if "Mosaic failed to compile TPU kernel" in msg:
+                detail = msg.split("Mosaic failed to compile TPU kernel",
+                                   1)[1][:700]
+            else:
+                detail = msg[-500:]
             print(f"{name}: FAIL ({time.time()-t0:.0f}s) "
-                  f"{type(e).__name__}: {msg[:160]}")
+                  f"{type(e).__name__}: {detail}")
             return False
         ok = (np.all(np.isfinite(got))
               and np.allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
