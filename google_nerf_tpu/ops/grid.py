@@ -146,7 +146,7 @@ def _erode(grid):
 def update_density_grid(density_grid, density_fn, key, *, scale: float,
                         density_threshold: float, warmup: bool,
                         decay: float = 0.95, erode: bool = False,
-                        eval_chunks: int = 8, axis_name=None):
+                        eval_chunks: int = 32, axis_name=None):
     """One density-grid maintenance step.
 
     density_grid: (C, G, G, G) float32 (negatives = permanently invisible);
@@ -154,11 +154,19 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
     Returns (new_density_grid, occ_bool (C, G, G, G)).
 
     With `axis_name` (inside shard_map/pmap), the sampled-cell density
-    evaluation is SHARDED over the mesh — each replica evaluates a
-    1/n_replicas slice of the cells and the per-cell maxima are pmax-merged
+    evaluation is SHARDED over the mesh — every replica draws the SAME
+    sample set from the SAME key (cheap: indices + jitter), evaluates only
+    its 1/n_replicas slice, and the per-cell maxima are pmax-merged
     (SURVEY.md §5.8: the TPU-native analog of vren's replicated grid
-    update), so the update costs 1/n of the single-chip version while every
-    replica ends with the identical grid.
+    update).  Because max is exact-associative, the merged grid is
+    BIT-IDENTICAL to the serial update with the same key — asserted by
+    `__graft_entry__.dryrun_multichip` and tests/test_parallel_hardening.py.
+
+    Bit-identity requires the density evals to see the SAME batch shape in
+    both paths (XLA tiles a matmul's K-reduction differently per shape):
+    the sample set is split into `eval_chunks` fixed-shape virtual chunks
+    — a shape that depends only on (G, warmup), never on the mesh size —
+    and each replica maps density_fn over its contiguous group of chunks.
     """
     C, G = density_grid.shape[0], density_grid.shape[1]
     flat = density_grid.reshape(C, -1)
@@ -170,23 +178,29 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
         kc = jax.random.fold_in(key, c)
         if warmup:
             idx = jnp.arange(G ** 3, dtype=jnp.int32)
-            if axis_name:
-                idx = idx.reshape(n_rep, -1)[rep]
-            coords = jnp.stack([idx // (G * G), (idx // G) % G, idx % G], -1)
         else:
-            m = G ** 3 // 4 // n_rep
-            kc = jax.random.fold_in(kc, rep) if axis_name else kc
+            m = G ** 3 // 4
             k1, k2, k3 = jax.random.split(kc, 3)
             coords_u = jax.random.randint(k1, (m, 3), 0, G, dtype=jnp.int32)
             idx_u = (coords_u[:, 0] * G + coords_u[:, 1]) * G + coords_u[:, 2]
             idx_o = _sample_occupied(k2, flat[c] > 0, m)
             idx = jnp.concatenate([idx_u, idx_o])
-            coords = jnp.stack([idx // (G * G), (idx // G) % G, idx % G], -1)
+        coords = jnp.stack([idx // (G * G), (idx // G) % G, idx % G], -1)
         xyz = cells_to_world(coords, c, scale, G)
         half = _cascade_bound(c, scale) / G
         jitter = (jax.random.uniform(jax.random.fold_in(kc, 7),
                                      xyz.shape) * 2 - 1) * half
-        pts = (xyz + jitter).reshape(eval_chunks, -1, 3)
+        pts = xyz + jitter
+        n_total = idx.shape[0]
+        assert n_total % eval_chunks == 0 and eval_chunks % n_rep == 0, (
+            f"eval_chunks={eval_chunks} must divide sample count {n_total} "
+            f"and be a multiple of the mesh size {n_rep}")
+        pts = pts.reshape(eval_chunks, -1, 3)
+        if axis_name:
+            vg = eval_chunks // n_rep        # virtual chunks per replica
+            idx = jax.lax.dynamic_slice_in_dim(
+                idx.reshape(eval_chunks, -1), rep * vg, vg).reshape(-1)
+            pts = jax.lax.dynamic_slice_in_dim(pts, rep * vg, vg)
         sigmas = jax.lax.map(density_fn, pts).reshape(-1)
         # scatter-free per-cell max (scatter-max measured ~3x slower)
         tmp = tmp.at[c].set(_segment_max_dense(idx, sigmas, G ** 3))

@@ -107,8 +107,10 @@ def replicate(tree, mesh: Mesh):
 
 def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
                         axis_name: str = "data"):
-    """Sharded density-grid maintenance: each replica evaluates 1/n of the
-    sampled cells, pmax merges the maxima (SURVEY.md §5.8)."""
+    """Sharded density-grid maintenance: every replica draws the SAME
+    sample set (same key), evaluates 1/n of it, pmax merges the maxima
+    (SURVEY.md §5.8).  Bit-identical to the serial `grid_update_step` with
+    the same key (max is exact-associative)."""
     from google_nerf_tpu.models.ngp import ngp_density
     from google_nerf_tpu.ops.grid import (pack_occupancy_blocks,
                                           pack_occupancy_u8,
@@ -139,7 +141,7 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
                 return ngp_density(state["params"], m, x)
 
             new_grid, occ = update_density_grid(
-                state["density_grid"], density_fn, key[0], scale=m.scale,
+                state["density_grid"], density_fn, key, scale=m.scale,
                 density_threshold=cfg.density_threshold, warmup=warmup,
                 erode=cfg.erode, axis_name=axis_name)
             out = dict(state)
@@ -148,17 +150,17 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
             out["occ_u8"] = pack(occ)
             return out
 
+        # key is REPLICATED (P()): every replica draws the same sample set
+        # and slices by axis_index inside update_density_grid
         return shard_map(per_replica, mesh=mesh,
-                         in_specs=(P(), P(axis_name)),
+                         in_specs=(P(), P()),
                          out_specs=P(), check_vma=False)
 
     sharded = {w: build(w) for w in (False, True)}
 
     @partial(jax.jit, static_argnames=("warmup",))
     def step(state, key, warmup: bool):
-        n = mesh.shape[axis_name]
-        keys = jax.random.split(key, n)
-        return sharded[bool(warmup)](state, keys)
+        return sharded[bool(warmup)](state, key)
 
     return step
 

@@ -1,8 +1,10 @@
 """Test CLI — parity with reference `ngp_pl/test.py:14-45`: load a (slim)
 checkpoint, render the test split, report mean PSNR and FPS.
 
-FPS uses `block_until_ready` timing around the jitted test renderer with
-T_threshold=1e-2 like the reference benchmark (`test.py:33`).
+FPS timing follows the repo's timing law (DESIGN_NOTES.md round 8):
+`jax.block_until_ready` can return early through this environment's async
+relay, so every timed frame ends with a HOST SCALAR FETCH, which cannot.
+T_threshold=1e-2 matches the reference benchmark (`test.py:33`).
 """
 from __future__ import annotations
 
@@ -264,7 +266,10 @@ def run(hparams):
                               exp_step_factor=cfg.exp_step_factor,
                               T_threshold=1e-2,
                               max_samples=cfg.max_samples)
-        jax.block_until_ready(out["rgb"])
+        # host scalar fetch closes the timed region (block_until_ready can
+        # return early through the axon relay — DESIGN_NOTES.md round 8);
+        # it also serialises frames, so no cross-frame overlap inflates FPS
+        _ = float(out["rgb"].ravel()[0])
         times.append(time.time() - t0)
         if len(dataset.rays) > 0:
             psnrs.append(float(psnr(out["rgb"],

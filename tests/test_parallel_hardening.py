@@ -115,8 +115,10 @@ def test_dp_matches_single_chip_gradients(setup):
 
 
 def test_sharded_grid_update_matches_replicated_occupancy(setup):
-    """pmax-merged sharded grid update produces a valid occupancy superset
-    consistent across replicas (and identical density EMA semantics)."""
+    """The pmax-merged sharded grid update equals the serial update to
+    1 ulp (VERDICT r2 item 7): same sample set, fixed-shape sliced evals,
+    exact-associative max merge.  Bit-exactness of the sharding algebra
+    itself is proven by test_sharded_grid_update_bitexact_eager below."""
     cfg, ds, mesh, state = setup
     state0 = grid_update_step(jax.tree.map(jnp.copy, state),
                               jax.random.PRNGKey(1), cfg=cfg, warmup=True)
@@ -133,6 +135,20 @@ def test_sharded_grid_update_matches_replicated_occupancy(setup):
     # invisible cells (-1) stay invisible
     inv = np.asarray(state0["density_grid"]) < 0
     assert (grid[inv] < 0).all()
+    # Sharded-vs-serial equality: every replica draws the SAME sample set,
+    # evaluates a fixed-shape slice, pmax merges (max is exact-associative).
+    # The only permitted residual is 1-ulp noise from XLA fusing the
+    # density math differently across the two compiled programs (verified:
+    # the eager serial update vs an eager shard_map agree BIT-EXACTLY; any
+    # real sharding bug — wrong slice, missing merge, key skew — produces
+    # O(1) diffs, not 1e-7).
+    serial = grid_update_step(jax.tree.map(jnp.copy, state0),
+                              jax.random.PRNGKey(5), cfg=cfg, warmup=False)
+    np.testing.assert_allclose(grid, np.asarray(serial["density_grid"]),
+                               rtol=0, atol=3e-7)
+    occ_flip = (np.asarray(out["occ"])
+                != np.asarray(serial["occ"])).mean()
+    assert occ_flip < 0.01, f"occupancy flip fraction {occ_flip}"
 
 
 def test_shard_scene_for_host():
@@ -169,3 +185,33 @@ def test_dp_block2_march_trains():
             jax.random.PRNGKey(2), i))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["s_per_ray"]) > 0
+
+
+def test_sharded_grid_update_bitexact_eager():
+    """Eager serial update_density_grid vs eager shard_map: BIT-EXACT.
+    This isolates the sharding algebra (same sample set, fixed-shape
+    sliced evals, pmax merge) from jit fusion noise — with an analytic
+    density there is no program-dependent rounding left."""
+    from google_nerf_tpu.ops.grid import update_density_grid
+    shard_map = jax.shard_map
+    G = 16
+    key = jax.random.PRNGKey(5)
+    grid0 = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, G, G, G)))
+
+    def dens(x):
+        return jnp.exp(-10 * jnp.sum(x ** 2, -1))
+
+    ser_grid, ser_occ = update_density_grid(
+        grid0, dens, key, scale=0.5, density_threshold=0.5, warmup=False)
+    mesh = make_mesh(N_DEV)
+
+    def per(grid, k):
+        return update_density_grid(grid, dens, k, scale=0.5,
+                                   density_threshold=0.5, warmup=False,
+                                   axis_name="data")
+
+    f = shard_map(per, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                  check_vma=False)
+    dp_grid, dp_occ = f(grid0, key)
+    np.testing.assert_array_equal(np.asarray(ser_grid), np.asarray(dp_grid))
+    np.testing.assert_array_equal(np.asarray(ser_occ), np.asarray(dp_occ))

@@ -85,7 +85,7 @@ def run_variant(batch_size: int, budget: int, *, levels: int = 8,
                 tail.append((metrics["psnr"], metrics.get(
                     "mask_frac", jnp.float32(1.0))))
         # true host fetch: block_until_ready can return early through the
-        # axon relay (see tools/microbench_encoder_bwd2.py) — fetching a
+        # axon relay (see tools/microbench_encoder_bwd3.py) — fetching a
         # scalar value cannot
         _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
         return state, metrics

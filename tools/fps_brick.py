@@ -1,6 +1,6 @@
 """Brick-renderer FPS + fidelity harness on the real chip.
 
-Same train+bake recipe as tools/fps_baked.py (identical jitted programs so
+Shares the fps-harness train+bake recipe (identical jitted programs so
 the persistent compile cache hits), then sweeps the tile-rasterized brick
 renderer (models/render_brick.py) at 800^2 against gt and reports
 ms/frame, PSNR, and truncation telemetry.  Prints DONE at the end so a
