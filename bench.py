@@ -243,13 +243,16 @@ def main():
                 shared["baked"], cfg.model, rays_o, rays_d, w, h,
                 bcfg=shared["bcfg"], L=64, kernel="t", bands="auto",
                 max_samples=ms_render, T_threshold=1e-2, geometry=geo)
-            res["telemetry"] = {k: out[k] for k in ("trunc_tiles",)
+            res["telemetry"] = {k: out[k]
+                                for k in ("trunc_tiles", "pairs_undrained")
                                 if k in out}
             return out["rgb"]
         fps, out = time_frames(frame)
         kv = {"render_fps_800_mxu": round(fps, 2),
               "mxu_trunc_tiles": int(res["telemetry"].get(
-                  "trunc_tiles", -1))}
+                  "trunc_tiles", -1)),
+              "mxu_pairs_undrained": int(res["telemetry"].get(
+                  "pairs_undrained", -1))}
         if "live_rgb" in shared:
             kv["mxu_vs_oneshot_mae"] = round(
                 float(jnp.abs(out - shared["live_rgb"]).mean()), 4)

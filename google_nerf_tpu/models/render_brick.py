@@ -149,10 +149,10 @@ def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
     c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
     r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
     key, relevant = _cone_keys(c, r_b, o, axis, tan_half, t_far)
-    n_rel = relevant.sum(-1)
+    n_rel = relevant.sum(-1).astype(jnp.int32)
     neg_t, bidx = jax.lax.top_k(-key, L)             # tier0 asc-t, tier1 asc-t
     bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
-    return bidx.astype(jnp.int32), n_rel > L
+    return bidx.astype(jnp.int32), n_rel
 
 
 @partial(jax.jit, static_argnames=("mt", "L"))
@@ -179,11 +179,11 @@ def _refine_lists(brick_lo, brick_hi, midx, o, axis, tan_half, t_far, *,
     key, relevant = _cone_keys(c, r_b, o, axis, tan_half, t_far)
     key = jnp.where(cand_valid, key, jnp.inf)
     relevant &= cand_valid
-    n_rel = relevant.sum(-1)
+    n_rel = relevant.sum(-1).astype(jnp.int32)
     neg_t, sel = jax.lax.top_k(-key, L)
     bidx = jnp.take_along_axis(cand, sel, 1)
     bidx = jnp.where(jnp.isfinite(neg_t), bidx, -1)
-    return bidx.astype(jnp.int32), n_rel > L
+    return bidx.astype(jnp.int32), n_rel
 
 
 def _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi, pool_base,
@@ -298,16 +298,18 @@ def _render_tiles(pool, rgb_mlp, brick_lo, brick_hi, pool_base, rays_o,
         o_m, axis_m, tan_m = _tile_cones(rays_o, rays_du, Tm,
                                          tpx * macro_tiles)
         t_far_m = t_far.reshape(Tm, macro_tiles).max(-1)
-        midx, m_over = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
+        midx, m_rel = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
                                    t_far_m, L=macro_L)
         # a tile can hold at most its macro group's macro_L candidates
-        bidx, t_over = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
+        bidx, t_rel = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
                                      tan_t, t_far, mt=macro_tiles,
                                      L=min(L, macro_L))
-        tile_over = t_over | jnp.repeat(m_over, macro_tiles)
+        tile_over = ((t_rel > bidx.shape[1])
+                     | jnp.repeat(m_rel > midx.shape[1], macro_tiles))
     else:
-        bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
-                                      tan_t, t_far, L=L)
+        bidx, t_rel = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
+                                  tan_t, t_far, L=L)
+        tile_over = t_rel > bidx.shape[1]
 
     # 3: exact per-ray windows against the tile list
     n0, n1, pb = _pair_windows(rays_o, rays_du, t1, t2, brick_lo, brick_hi,

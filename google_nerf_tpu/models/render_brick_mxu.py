@@ -46,11 +46,13 @@ NEAR_DISTANCE = 0.05
 
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
-                                   "kernel", "bands", "interpret"))
+                                   "kernel", "bands", "drain_tiles",
+                                   "drain_L", "interpret"))
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
                kernel: str = "n", bands: tuple = (),
+               drain_tiles: int = 0, drain_L: int = 256,
                interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
@@ -72,15 +74,16 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         o_m, axis_m, tan_m = _tile_cones(rays_o, rays_du, Tm,
                                          64 * macro_tiles)
         t_far_m = t_far.reshape(Tm, macro_tiles).max(-1)
-        midx, m_over = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
-                                   t_far_m, L=macro_L)
-        bidx, t_over = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
-                                     tan_t, t_far, mt=macro_tiles,
-                                     L=min(L, macro_L))
-        tile_over = t_over | jnp.repeat(m_over, macro_tiles)
+        midx, m_rel = _tile_lists(brick_lo, brick_hi, o_m, axis_m, tan_m,
+                                  t_far_m, L=macro_L)
+        bidx, t_rel = _refine_lists(brick_lo, brick_hi, midx, o_t, axis_t,
+                                    tan_t, t_far, mt=macro_tiles,
+                                    L=min(L, macro_L))
+        macro_over = jnp.repeat(m_rel > midx.shape[1], macro_tiles)
     else:
-        bidx, tile_over = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
-                                      tan_t, t_far, L=L)
+        bidx, t_rel = _tile_lists(brick_lo, brick_hi, o_t, axis_t,
+                                  tan_t, t_far, L=L)
+        macro_over = jnp.zeros((T,), bool)
     Lp = bidx.shape[1]
 
     # re-key the selected lists to PLAIN front-to-back center depth: the
@@ -92,22 +95,25 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     key = jnp.where(bidx >= 0, t_c, jnp.inf)
     _, bidx = jax.lax.sort((key, bidx), dimension=1, num_keys=1)
 
-    safe = jnp.maximum(bidx, 0)
-    # pad slots are a suffix after the depth re-key (key=inf): fill them
-    # with the tile's LAST valid block id so the Mosaic pipeline sees an
-    # unchanged block index and SKIPS the slab DMA — measured tile lists
-    # are ~5% occupied at 800^2, so pad-slot DMAs dominate traffic if
-    # they alternate with real blocks
-    nvalid = jnp.sum(bidx >= 0, axis=1)                     # (T,)
-    last_valid = safe[jnp.arange(safe.shape[0]),
-                      jnp.maximum(nvalid - 1, 0)]           # (T,)
-    pool_blk = jnp.where(bidx >= 0, safe,
-                         last_valid[:, None]).reshape(-1).astype(jnp.int32)
-    vld = (bidx >= 0).reshape(-1).astype(jnp.int32)         # geometry order
-    meta = jnp.concatenate(
-        [brick_lo[safe], brick_hi[safe],
-         jnp.zeros(safe.shape + (2,), jnp.float32)],
-        axis=-1).reshape(-1, 8)
+    def pack_lists(bx):
+        """Depth-sorted (Tb, Lx) lists -> (pool_blk, meta, nvalid).
+        Pad slots are a suffix after the depth re-key: fill them with the
+        tile's LAST valid block id so the Mosaic pipeline sees an
+        unchanged block index and SKIPS the slab DMA — measured tile
+        lists are ~5% occupied at 800^2, so pad-slot DMAs dominate
+        traffic if they alternate with real blocks."""
+        sf = jnp.maximum(bx, 0)
+        nv = jnp.sum(bx >= 0, axis=1).astype(jnp.int32)
+        lastv = sf[jnp.arange(sf.shape[0]), jnp.maximum(nv - 1, 0)]
+        pb = jnp.where(bx >= 0, sf,
+                       lastv[:, None]).reshape(-1).astype(jnp.int32)
+        mt_ = jnp.concatenate(
+            [brick_lo[sf], brick_hi[sf],
+             jnp.zeros(sf.shape + (2,), jnp.float32)],
+            axis=-1).reshape(-1, 8)
+        return pb, mt_, nv
+
+    pool_blk, meta, nvalid = pack_lists(bidx)
 
     rays8 = jnp.concatenate(
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
@@ -118,42 +124,87 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         S=window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale),
         dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
         tau_max=float(-np.log(T_threshold)), interpret=interpret)
-    fargs = (pool_blk, vld, meta, rays8, sh, pool3,
-             rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
-    band_drop = jnp.int32(0)
+    fargs = (rays8, sh, pool3, rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
     if not bands:
-        out = field(*fargs, **fkw)
+        out = field(pool_blk, meta, *fargs, nslots=nvalid, **fkw)
+        cap = jnp.full((T,), Lp, jnp.int32)
     else:
         # band scheduling: tiles argsorted by brick-list occupancy, each
         # band rendered at its own (static) slot capacity — empty list
         # slots stop costing grid steps.  Lists are depth-sorted with
-        # pads last, so a capacity cut drops only the FARTHEST bricks of
-        # over-long lists (counted in band_drop).
+        # pads last, so a capacity cut keeps the NEAREST bricks;
+        # over-capacity tiles are re-rendered exactly by the drain pass.
         assert sum(n for n, _ in bands) == T, (bands, T)
-        nvalid = jnp.sum(bidx >= 0, axis=1).astype(jnp.int32)   # (T,)
         order = jnp.argsort(-nvalid).astype(jnp.int32)
         band_of = jnp.zeros((T,), jnp.int32)
+        cap = jnp.zeros((T,), jnp.int32)
         outs = []
         pos = 0
         for b, (nb, lpb) in enumerate(bands):
             tid_b = jax.lax.slice_in_dim(order, pos, pos + nb)
             pos += nb
             band_of = band_of.at[tid_b].set(b)
-            outs.append(field(*fargs, tid=tid_b, Lp_band=min(lpb, Lp),
-                              **fkw))
-            band_drop = band_drop + jnp.sum(
-                jnp.maximum(nvalid[tid_b] - lpb, 0))
+            cap = cap.at[tid_b].set(min(lpb, Lp))
+            outs.append(field(pool_blk, meta, *fargs, tid=tid_b,
+                              nslots=jnp.minimum(nvalid[tid_b], lpb),
+                              Lcall=min(lpb, Lp), **fkw))
         sel = jnp.repeat(band_of, 64)[:, None]                  # (T*64, 1)
         out = outs[0]
         for b in range(1, len(bands)):
             out = jnp.where(sel == b, outs[b], out)
 
+    # ---- exact overflow drain (VERDICT r3: no silent content drops) ----
+    # Tiles whose TRUE relevant count exceeds their rendered capacity (or
+    # whose macro candidate list overflowed) are re-rendered from scratch
+    # through a COMPACT extended table: a direct full-brick-set selection
+    # at drain_L slots for up to drain_tiles cones.  The kernel's l-grid
+    # is the cursor, so one extra call drains everything; only content
+    # beyond drain_L or beyond drain_tiles remains culled — counted.
+    need = (t_rel > cap) | macro_over
+    undrained = jnp.int32(0)
+    trunc = jnp.int32(0)
+    if drain_tiles > 0:
+        D = min(drain_tiles, T)
+        score = jnp.where(need, jnp.maximum(t_rel, 1), 0)
+        sc, dtid = jax.lax.top_k(score, D)
+        dmask = sc > 0                                          # (D,)
+        bidx_e, rel_e = _tile_lists(
+            brick_lo, brick_hi, o_t[dtid], axis_t[dtid], tan_t[dtid],
+            t_far[dtid], L=drain_L)
+        # same depth re-key as the main lists
+        safe_e = jnp.maximum(bidx_e, 0)
+        c_e = 0.5 * (brick_lo + brick_hi)[safe_e]
+        t_ce = jnp.sum((c_e - o_t[dtid][:, None, :])
+                       * axis_t[dtid][:, None, :], -1)
+        key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
+        _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1, num_keys=1)
+        pb_e, meta_e, nv_e = pack_lists(bidx_e)
+        out_d = field(pb_e, meta_e, *fargs, tid=dtid,
+                      lbase=jnp.arange(D, dtype=jnp.int32) * drain_L,
+                      nslots=jnp.where(dmask, nv_e, 0), Lcall=drain_L,
+                      **fkw)
+        dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)        # (T,)
+        out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
+        # exactness accounting: tiles needing drain beyond D, and drained
+        # tiles whose true list exceeded drain_L
+        missed = need & ~dm_t
+        undrained = (jnp.sum(jnp.where(missed, t_rel - cap, 0))
+                     + jnp.sum(jnp.where(dmask,
+                                         jnp.maximum(rel_e - drain_L, 0),
+                                         0))).astype(jnp.int32)
+        trunc = (missed.sum()
+                 + jnp.sum(dmask & (rel_e > drain_L))).astype(jnp.int32)
+    else:
+        undrained = jnp.sum(jnp.where(need, t_rel - cap, 0)) \
+            .astype(jnp.int32)
+        trunc = need.sum().astype(jnp.int32)
+
     tau = out[:, 0]
     return dict(rgb=out[:, 1:4], depth=out[:, 4],
                 opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
                 pairs_rendered=out[:, 5].sum().astype(jnp.int32),
-                pairs_band_dropped=band_drop,
-                trunc_tiles=tile_over.sum().astype(jnp.int32))
+                pairs_undrained=undrained,
+                trunc_tiles=trunc)
 
 
 def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
@@ -161,7 +212,8 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      max_samples: int = 512, T_threshold: float = 1e-2,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
                      macro_L: int = 1024, geometry=None, kernel: str = "n",
-                     bands=(), exp_step_factor: float = 0.0,
+                     bands=(), drain_tiles: int = 256, drain_L: int = 256,
+                     exp_step_factor: float = 0.0,
                      interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -169,6 +221,14 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     "auto" = occupancy-banded scheduling (1/8 of tiles at L, 1/8 at L/2,
     1/4 at L/4, 1/2 at L/8 — tiles argsorted by true list occupancy);
     or an explicit tuple of (n_tiles, Lp) pairs summing to chunk_tiles.
+
+    drain_tiles/drain_L: exact overflow drain — per chunk, up to
+    drain_tiles tiles whose true brick count exceeds their band/list
+    capacity are re-rendered from scratch through compact drain_L-slot
+    extended lists (one extra kernel call; the kernel's l-grid is the
+    cursor).  pairs_undrained == 0 in the output certifies the frame
+    rendered every culled-in pair; drain_tiles=0 disables (the r2
+    truncating behavior).
     """
     if interpret is None:  # Mosaic needs a TPU; elsewhere run interpreted
         interpret = jax.default_backend() != "tpu"
@@ -226,7 +286,9 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             pool3, baked["rgb_mlp"], lo, hi, ro_c, rd_c, cfg=cfg,
             bcfg=bcfg, L=L, max_samples=max_samples,
             T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
-            macro_L=mL, kernel=kernel, bands=bands, interpret=interpret))
+            macro_L=mL, kernel=kernel, bands=bands,
+            drain_tiles=min(drain_tiles, cpr),
+            drain_L=min(drain_L, int(lo.shape[0])), interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}
@@ -246,4 +308,4 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=cat["trunc_tiles"],
                 pairs_rendered=cat["pairs_rendered"],
-                pairs_band_dropped=cat["pairs_band_dropped"])
+                pairs_undrained=cat["pairs_undrained"])

@@ -58,10 +58,16 @@ ROWW = 128        # pool row lanes (8 corners x 16 features)
 FEAT = 16
 
 
-def _kernel(pb_ref, vld_ref, tid_ref, meta_ref, rays_ref, sh_ref, slab_ref,
-            w1_ref, w2_ref, w3_ref, out_ref, *, Lp: int, S: int,
+def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
+            slab_ref, w1_ref, w2_ref, w3_ref, out_ref, *, S: int,
             dt: float, inv2s: float, V: int, tau_max: float):
     """One (tile t, list slot l) grid step; out block revisited across l.
+
+    List addressing is fully scalar-steered: tile t's slot l lives at row
+    `lb[t] + l` of the pairs tables (pool_blk / meta) and is real iff
+    `l < ns[t]` — so ONE kernel serves the banded main pass (lb = tid*Lp)
+    AND the exact overflow-drain pass over a COMPACT extended table
+    (lb = j*Lsel), models/render_brick_mxu.py.
 
     The whole window is evaluated as ONE batch of N = S*64 samples laid
     out s-major (row j = s*64 + r): one (N, 512) one-hot x slab matmul
@@ -84,7 +90,7 @@ def _kernel(pb_ref, vld_ref, tid_ref, meta_ref, rays_ref, sh_ref, slab_ref,
     du = rays[:, 3:6]
     t1 = rays[:, 6:7]                       # (64, 1)
     t2 = rays[:, 7:8]
-    valid = vld_ref[tid_ref[t] * Lp + l] > 0
+    valid = l < ns_ref[t]
 
     # exact slab test of the tile's rays against THIS brick
     m = meta_ref[0]                                    # (1, 8) brick row
@@ -196,60 +202,84 @@ def _kernel(pb_ref, vld_ref, tid_ref, meta_ref, rays_ref, sh_ref, slab_ref,
         out_ref[:] = out_ref[:] + upd
 
 
+def _list_scalars(pool_blk, rays, tid, lbase, nslots, Lcall):
+    """Normalize the scalar-steering triplet (tid, lbase, nslots).
+
+    Default = dense main pass: every tile rendered, lb = tid * Lp,
+    nslots = Lp (caller-provided nslots overrides for depth-sorted lists
+    with pad suffixes or band capacity cuts)."""
+    T = rays.shape[0] // TPX
+    Lp = pool_blk.shape[0] // T
+    if tid is None:
+        tid = jnp.arange(T, dtype=jnp.int32)
+    if lbase is None:
+        lbase = tid.astype(jnp.int32) * Lp
+    if nslots is None:
+        nslots = jnp.full(tid.shape, Lp, jnp.int32)
+    if not Lcall:
+        Lcall = Lp
+    return (tid.astype(jnp.int32), lbase.astype(jnp.int32),
+            nslots.astype(jnp.int32), Lcall)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lp_band", "interpret"))
-def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "interpret"))
+def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
                       S: int, dt: float, inv2s: float, V: int,
-                      tau_max: float, tid=None, Lp_band: int = 0,
-                      interpret: bool = False):
+                      tau_max: float, tid=None, lbase=None, nslots=None,
+                      Lcall: int = 0, interpret: bool = False):
     """Composite T tiles' rays through their brick lists on the MXU.
 
-    pool_blk: (T*Lp,) int32 pool-block DMA index (invalid slots sanitized
-        to any in-range value by the caller).
-    vld:      (T*Lp,) int32 1 = real brick, 0 = pad slot.
-    meta:     (T*Lp, 8) f32 [brick lo xyz, hi xyz, pad, pad].
+    pool_blk: (n_rows,) int32 pool-block DMA index per list row (invalid
+        rows sanitized to any in-range value by the caller).
+    meta:     (n_rows, 8) f32 [brick lo xyz, hi xyz, pad, pad].
     rays:     (T*64, 8) f32 [o xyz, unit d xyz, t1, t2].
     sh:       (T*64, 16) f32 SH4 dir features (models/encoders).
     pool3:    (n_blocks, 512, 128) baked pool (any float dtype).
     w1/w2/w3: rgb MLP weights (32,64)/(64,64)/(64,3).
-    tid:      optional (Tb,) int32 tile ids to render (band scheduling) —
-        all referenced arrays stay full-size and UNSORTED; the scalar-
-        prefetched ids steer the DMA index maps, and each tile's output
-        lands at its own block (unlisted tiles' blocks are UNDEFINED).
-    Lp_band:  list-slot capacity for this call (<= Lp; 0 = full Lp).
-        Lists are depth-sorted with pads last, so a band truncation
-        drops the FARTHEST bricks.
+    tid:      optional (Tb,) int32 tile ids to render — all ray/output
+        arrays stay full-size and UNSORTED; the scalar-prefetched ids
+        steer the DMA index maps, and each tile's output lands at its own
+        block (unlisted tiles' blocks are UNDEFINED).
+    lbase:    optional (Tb,) int32 first list row of each rendered tile
+        (default tid * Lp).  A COMPACT side table (e.g. the overflow
+        drain's (D, Lsel) extended lists) just passes its own bases.
+    nslots:   optional (Tb,) int32 real slots per rendered tile; slots
+        l >= nslots[t] are pads (lists are depth-sorted, pads last — a
+        capacity cut drops the FARTHEST bricks).
+    Lcall:    list slots rendered this call (grid dim; 0 = Lp).
     Returns (T*64, 8) f32 [tau, rgb*3, depth-weight, n_pairs, 0, 0].
     """
-    TL = pool_blk.shape[0]
     T = rays.shape[0] // TPX
-    Lp = TL // T
-    if tid is None:
-        tid = jnp.arange(T, dtype=jnp.int32)
+    tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
+                                              nslots, Lcall)
     Tb = tid.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(Tb, Lp_band or Lp),
+        num_scalar_prefetch=4,
+        grid=(Tb, Lcall),
         in_specs=[
-            # meta rides as (TL, 1, 8): the TPU block rule needs the last
-            # two block dims divisible by (8, 128) OR equal to the array
-            # dims — (1, 8) on a (TL, 8) array violates the second-minor
+            # meta rides as (n_rows, 1, 8): the TPU block rule needs the
+            # last two block dims divisible by (8, 128) OR equal to the
+            # array dims — (1, 8) on a (n_rows, 8) array violates the
+            # second-minor
             pl.BlockSpec((1, 1, 8),
-                         lambda t, l, pb, vl, td: (td[t] * Lp + l, 0, 0)),
-            pl.BlockSpec((TPX, 8), lambda t, l, pb, vl, td: (td[t], 0)),
-            pl.BlockSpec((TPX, 16), lambda t, l, pb, vl, td: (td[t], 0)),
+                         lambda t, l, pb, lb, ns, td: (lb[t] + l, 0, 0)),
+            pl.BlockSpec((TPX, 8), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            pl.BlockSpec((TPX, 16), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
             pl.BlockSpec((1, VOX, ROWW),
-                         lambda t, l, pb, vl, td:
-                         (pb[td[t] * Lp + l], 0, 0)),
+                         lambda t, l, pb, lb, ns, td:
+                         (pb[lb[t] + l], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TPX, 8), lambda t, l, pb, vl, td:
+        out_specs=pl.BlockSpec((TPX, 8), lambda t, l, pb, lb, ns, td:
                                (td[t], 0)),
     )
-    meta = meta.reshape(TL, 1, 8)
-    kern = functools.partial(_kernel, Lp=Lp, S=S, dt=dt, inv2s=inv2s, V=V,
+    meta = meta.reshape(-1, 1, 8)
+    kern = functools.partial(_kernel, S=S, dt=dt, inv2s=inv2s, V=V,
                              tau_max=tau_max)
     return pl.pallas_call(
         kern,
@@ -257,16 +287,17 @@ def brick_field_tiles(pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3, *,
         out_shape=jax.ShapeDtypeStruct((T * TPX, 8), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lp * S * TPX * (VOX * ROWW + 32 * 64 + 64 * 64
-                                           + 64 * 3 + ROWW * FEAT),
-            bytes_accessed=Tb * Lp * VOX * ROWW * pool3.dtype.itemsize,
-            transcendentals=Tb * Lp * S * TPX * 4),
-    )(pool_blk, vld, tid, meta, rays, sh, pool3, w1, w2, w3)
+            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+                                              + 64 * 64 + 64 * 3
+                                              + ROWW * FEAT),
+            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3.dtype.itemsize,
+            transcendentals=Tb * Lcall * S * TPX * 4),
+    )(pool_blk, lbase, nslots, tid, meta, rays, sh, pool3, w1, w2, w3)
 
 
-def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
-              slabT_ref, rowv_ref, bitw_ref, w1t_ref, w2t_ref, w3t_ref,
-              outT_ref, *, Lp: int, S: int, dt: float, inv2s: float,
+def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
+              shT_ref, slabT_ref, rowv_ref, bitw_ref, w1t_ref, w2t_ref,
+              w3t_ref, outT_ref, *, S: int, dt: float, inv2s: float,
               V: int, tau_max: float):
     """Transposed-layout variant: RAYS ON LANES.
 
@@ -292,7 +323,7 @@ def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
     du = rays[3:6]
     t1 = rays[6:7]                          # (1, 64)
     t2 = rays[7:8]
-    valid = vld_ref[tid_ref[t] * Lp + l] > 0
+    valid = l < ns_ref[t]
     m = metaT_ref[0]                        # (1, 8) brick row
 
     inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
@@ -411,27 +442,25 @@ def _kernel_t(pb_ref, vld_ref, tid_ref, metaT_ref, raysT_ref, shT_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lp_band", "interpret"))
-def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "interpret"))
+def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                         *, S: int, dt: float, inv2s: float, V: int,
-                        tau_max: float, tid=None, Lp_band: int = 0,
-                        interpret: bool = False):
+                        tau_max: float, tid=None, lbase=None, nslots=None,
+                        Lcall: int = 0, interpret: bool = False):
     """Transposed-layout entry: same contract as brick_field_tiles but
     pool3T is the PRE-TRANSPOSED pool (n_blocks, 128, 512); rays/sh/meta
     /weights are transposed on the fly (tiny XLA ops outside the
     kernel), and the (T*64, 8) output is restored to the n-major
-    contract so callers are layout-agnostic.  tid/Lp_band as in
-    brick_field_tiles (band scheduling)."""
-    TL = pool_blk.shape[0]
+    contract so callers are layout-agnostic.  tid/lbase/nslots/Lcall as
+    in brick_field_tiles (band scheduling + compact drain tables)."""
     T = rays.shape[0] // TPX
-    Lp = TL // T
-    if tid is None:
-        tid = jnp.arange(T, dtype=jnp.int32)
+    tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
+                                              nslots, Lcall)
     Tb = tid.shape[0]
     # (T*64, 8) -> (T*8, 64) tile-blocked transpose; same for sh
     raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
-    metaT = meta.reshape(TL, 1, 8)
+    metaT = meta.reshape(-1, 1, 8)
     N = S * TPX
     # loop-invariant lookup tables (see _kernel_t): voxel-row index and
     # corner-bit masks — built here once, resident in VMEM for every step
@@ -440,26 +469,28 @@ def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
         ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
          ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(Tb, Lp_band or Lp),
+        num_scalar_prefetch=4,
+        grid=(Tb, Lcall),
         in_specs=[
             pl.BlockSpec((1, 1, 8),
-                         lambda t, l, pb, vl, td: (td[t] * Lp + l, 0, 0)),
-            pl.BlockSpec((8, TPX), lambda t, l, pb, vl, td: (td[t], 0)),
-            pl.BlockSpec((FEAT, TPX), lambda t, l, pb, vl, td: (td[t], 0)),
+                         lambda t, l, pb, lb, ns, td: (lb[t] + l, 0, 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            pl.BlockSpec((FEAT, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
             pl.BlockSpec((1, ROWW, VOX),
-                         lambda t, l, pb, vl, td:
-                         (pb[td[t] * Lp + l], 0, 0)),
+                         lambda t, l, pb, lb, ns, td:
+                         (pb[lb[t] + l], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TPX), lambda t, l, pb, vl, td:
+        out_specs=pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
                                (td[t], 0)),
     )
-    kern = functools.partial(_kernel_t, Lp=Lp, S=S, dt=dt, inv2s=inv2s,
+    kern = functools.partial(_kernel_t, S=S, dt=dt, inv2s=inv2s,
                              V=V, tau_max=tau_max)
     outT = pl.pallas_call(
         kern,
@@ -467,21 +498,23 @@ def brick_field_tiles_t(pool_blk, vld, meta, rays, sh, pool3T, w1, w2, w3,
         out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lp * S * TPX * (VOX * ROWW + 32 * 64 + 64 * 64
-                                           + 64 * 3 + ROWW * FEAT),
-            bytes_accessed=Tb * Lp * VOX * ROWW * pool3T.dtype.itemsize,
-            transcendentals=Tb * Lp * S * TPX * 4),
-    )(pool_blk, vld, tid, metaT, raysT, shT, pool3T, rowv, bitw,
+            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+                                              + 64 * 64 + 64 * 3
+                                              + ROWW * FEAT),
+            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3T.dtype.itemsize,
+            transcendentals=Tb * Lcall * S * TPX * 4),
+    )(pool_blk, lbase, nslots, tid, metaT, raysT, shT, pool3T, rowv, bitw,
       w1.T, w2.T, w3.T)
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 
 
-def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,
-                                w2, w3, *, S, dt, inv2s, V, tau_max):
+def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
+                                w2, w3, *, S, dt, inv2s, V, tau_max,
+                                tid=None, lbase=None, nslots=None):
     """Pure-numpy restatement of the kernel semantics (same l ordering,
-    same early-termination rule) for golden tests."""
+    same early-termination rule, same tid/lbase/nslots list addressing)
+    for golden tests."""
     pool_blk = np.asarray(pool_blk)
-    vld = np.asarray(vld)
     meta = np.asarray(meta, np.float32)
     rays = np.asarray(rays, np.float32)
     sh = np.asarray(sh, np.float32)
@@ -489,15 +522,21 @@ def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,
     w1, w2, w3 = (np.asarray(w, np.float32) for w in (w1, w2, w3))
     T = rays.shape[0] // TPX
     Lp = pool_blk.shape[0] // T
+    if tid is None:
+        tid = np.arange(T, dtype=np.int32)
+    if lbase is None:
+        lbase = tid.astype(np.int32) * Lp
+    if nslots is None:
+        nslots = np.full(tid.shape, Lp, np.int32)
     out = np.zeros((T * TPX, 8), np.float32)
-    for t in range(T):
+    for b in range(len(tid)):
+        t = int(tid[b])
         sl = slice(t * TPX, (t + 1) * TPX)
         o, du = rays[sl, 0:3], rays[sl, 3:6]
         t1, t2 = rays[sl, 6], rays[sl, 7]
-        for l in range(Lp):
-            if vld[t * Lp + l] <= 0:
-                continue
-            m = meta[t * Lp + l]
+        out[sl] = 0.0
+        for l in range(int(nslots[b])):
+            m = meta[int(lbase[b]) + l]
             inv_d = 1.0 / np.where(np.abs(du) > 1e-10, du,
                                    np.where(du >= 0, 1e-10, -1e-10))
             t_lo = (m[0:3][None] - o) * inv_d
@@ -511,7 +550,7 @@ def brick_field_tiles_reference(pool_blk, vld, meta, rays, sh, pool3, w1,
             live = tau_tot < tau_max
             if not np.any(hit & live):
                 continue
-            slab = pool3[pool_blk[t * Lp + l]]             # (512, 128)
+            slab = pool3[pool_blk[int(lbase[b]) + l]]      # (512, 128)
             tau_c = np.zeros(TPX)
             rgbw = np.zeros((TPX, 3))
             depw = np.zeros(TPX)

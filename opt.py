@@ -156,6 +156,13 @@ def get_opts(argv=None):
                              'scheduling (tiles argsorted by brick-list '
                              'length; empty list slots cost no grid '
                              'steps), 0 = flat (T, L) grid')
+    parser.add_argument('--brick_mxu_drain', type=int, default=256,
+                        help='brick_mxu: max tiles per chunk re-rendered '
+                             'exactly through extended lists when their '
+                             'true brick count exceeds the band/list '
+                             'capacity (0 disables the overflow drain; '
+                             'pairs_undrained telemetry counts any '
+                             'remaining culled content)')
     parser.add_argument('--brick_L', type=int, default=256,
                         help='brick renderer: bricks kept per tile list')
     parser.add_argument('--brick_Lk', type=int, default=24,

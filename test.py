@@ -169,16 +169,18 @@ def run(hparams):
                 kernel=getattr(hparams, "brick_mxu_kernel", "t"),
                 bands=("auto" if getattr(hparams, "brick_mxu_bands", True)
                        else ()),
+                drain_tiles=getattr(hparams, "brick_mxu_drain", 256),
                 macro_tiles=getattr(hparams, "brick_macro", 8),
                 macro_L=getattr(hparams, "brick_macro_L", 1024),
                 max_samples=rms)
             if i == 0:
-                # trunc_tiles counts tiles whose brick list overflowed
-                # (content culled — raise --brick_mxu_L)
+                # trunc_tiles / pairs_undrained count content still culled
+                # AFTER the overflow drain — nonzero means raise
+                # --brick_mxu_drain (more drain tiles per chunk)
                 print(f'brick_mxu telemetry (frame 0): '
                       f'trunc_tiles={int(out["trunc_tiles"])} '
                       f'pairs={int(out["pairs_rendered"])} '
-                      f'band_drop={int(out["pairs_band_dropped"])}')
+                      f'undrained={int(out["pairs_undrained"])}')
         elif renderer == "brick":
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples

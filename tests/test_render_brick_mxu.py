@@ -33,8 +33,9 @@ def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
     # per-(t,l) lists: both tiles see all bricks front-to-back
     order = np.arange(n_blocks)
     pool_blk = np.tile(order[:Lp], T).astype(np.int32)
-    vld = np.ones(T * Lp, np.int32)
-    vld[Lp - 1] = 0  # one pad slot exercises the valid gate
+    # tile 0 has one pad slot at the list tail (exercises the nslots gate)
+    nslots = np.full(T, Lp, np.int32)
+    nslots[0] = Lp - 1
     meta = np.zeros((T * Lp, 8), np.float32)
     for t in range(T):
         for l in range(Lp):
@@ -57,15 +58,18 @@ def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
     w1, w2, w3 = init_mlp(key, [32, 64, 64, 3])
     kw = dict(S=9, dt=float(np.sqrt(3) / 128), inv2s=1.0, V=V,
               tau_max=float(-np.log(1e-2)))
-    return (pool_blk, vld, meta, rays, sh, pool3,
+    kw["nslots"] = nslots
+    return (pool_blk, meta, rays, sh, pool3,
             np.asarray(w1), np.asarray(w2), np.asarray(w3)), kw
 
 
 def test_kernel_matches_reference_interpret():
     args, kw = _toy_inputs()
+    nslots = kw.pop("nslots")
     got = np.asarray(brick_field_tiles(
-        *[jnp.asarray(a) for a in args], interpret=True, **kw))
-    want = brick_field_tiles_reference(*args, **kw)
+        *[jnp.asarray(a) for a in args], nslots=jnp.asarray(nslots),
+        interpret=True, **kw))
+    want = brick_field_tiles_reference(*args, nslots=nslots, **kw)
     # kernel computes the field in bf16 (one-hot exact, slab/MLP cast);
     # reference is f32 — rendering-tolerance agreement
     assert np.all(np.isfinite(got))
@@ -81,14 +85,15 @@ def test_t_kernel_matches_reference_interpret():
     """Transposed (rays-on-lanes) kernel: same n-major contract, same
     golden semantics; pool passed pre-transposed to (nb, 128, 512)."""
     args, kw = _toy_inputs()
-    pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3 = args
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
     pool3T = jnp.swapaxes(jnp.asarray(pool3), 1, 2)
     got = np.asarray(brick_field_tiles_t(
-        jnp.asarray(pool_blk), jnp.asarray(vld), jnp.asarray(meta),
+        jnp.asarray(pool_blk), jnp.asarray(meta),
         jnp.asarray(rays), jnp.asarray(sh), pool3T,
         jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
-        interpret=True, **kw))
-    want = brick_field_tiles_reference(*args, **kw)
+        nslots=jnp.asarray(nslots), interpret=True, **kw))
+    want = brick_field_tiles_reference(*args, nslots=nslots, **kw)
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
@@ -125,7 +130,7 @@ def test_banded_frame_matches_unbanded(scene, kernel):
                               bands=((1, 64), (1, 64), (2, 64)), **kw)
     np.testing.assert_allclose(np.asarray(flat["rgb"]),
                                np.asarray(banded["rgb"]), atol=1e-6)
-    assert int(banded["pairs_band_dropped"]) == 0
+    assert int(banded["pairs_undrained"]) == 0
     assert (int(banded["pairs_rendered"])
             == int(flat["pairs_rendered"]))
     # auto bands on this tiny frame: 64-brick scene, lists fit L/8=8?
@@ -138,20 +143,21 @@ def test_kernel_early_termination_skips_occluded_bricks():
     """An opaque first brick must stop the composite: later bricks add
     no color and the pairs-rendered counter freezes."""
     args, kw = _toy_inputs(sigma_scale=0.0)
-    pool_blk, vld, meta, rays, sh, pool3, w1, w2, w3 = args
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
     opaque = pool3.copy()
     opaque[0, :, 0::16] = 9.0          # e^9 * dt >> tau_max in brick 0
     out_o = np.asarray(brick_field_tiles(
-        jnp.asarray(pool_blk), jnp.asarray(vld), jnp.asarray(meta),
+        jnp.asarray(pool_blk), jnp.asarray(meta),
         jnp.asarray(rays), jnp.asarray(sh), jnp.asarray(opaque),
         jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
-        interpret=True, **kw))
+        nslots=jnp.asarray(nslots), interpret=True, **kw))
     ref_o = brick_field_tiles_reference(
-        pool_blk, vld, meta, rays, sh, opaque, w1, w2, w3, **kw)
+        pool_blk, meta, rays, sh, opaque, w1, w2, w3, nslots=nslots, **kw)
     np.testing.assert_array_equal(out_o[:, 5], ref_o[:, 5])
     # saturated rays render strictly fewer pairs than the list offers
     hit_rays = out_o[:, 5] > 0
-    assert np.all(out_o[hit_rays, 5] < np.sum(vld[:3]) + 1)
+    assert np.all(out_o[hit_rays, 5] < nslots[0] + 2)
     # opacity saturates
     assert np.all(1.0 - np.exp(-out_o[hit_rays, 0]) > 0.98)
 
@@ -197,3 +203,37 @@ def test_mxu_frame_matches_xla_brick_renderer(scene):
     if bgm.any():
         np.testing.assert_allclose(np.asarray(got["rgb"])[bgm],
                                    np.asarray(ref["rgb"])[bgm], atol=1e-6)
+
+
+@pytest.mark.parametrize("kernel", ["n", "t"])
+def test_overflow_drain_restores_exactness(scene, kernel):
+    """A too-small list capacity L culls content (trunc_tiles > 0,
+    pairs_undrained > 0 with drains off); the overflow drain re-renders
+    those tiles through extended lists and must reproduce the ample-L
+    frame exactly, certifying pairs_undrained == 0 (VERDICT r3 item 3:
+    no silent content drops)."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, kernel=kernel)
+    ample = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64,
+                             drain_tiles=0, **kw)
+    assert int(ample["trunc_tiles"]) == 0          # 64 covers everything
+    cut = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4,
+                           drain_tiles=0, **kw)
+    assert int(cut["trunc_tiles"]) > 0
+    assert int(cut["pairs_undrained"]) > 0
+    drained = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4,
+                               drain_tiles=4, drain_L=64, **kw)
+    assert int(drained["trunc_tiles"]) == 0
+    assert int(drained["pairs_undrained"]) == 0
+    np.testing.assert_allclose(np.asarray(drained["rgb"]),
+                               np.asarray(ample["rgb"]), atol=1e-5)
+    # bands + drain: capacity cuts from banding are also restored
+    banded = render_brick_mxu(baked, cfg, o, d, 16, 16, L=8,
+                              bands=((1, 8), (3, 4)), drain_tiles=4,
+                              drain_L=64, **kw)
+    assert int(banded["pairs_undrained"]) == 0
+    np.testing.assert_allclose(np.asarray(banded["rgb"]),
+                               np.asarray(ample["rgb"]), atol=1e-5)

@@ -131,7 +131,7 @@ def main():
                   f"(first {t_compile:.0f}s) | psnr vs gt {p_gt:.2f} | "
                   f"trunc_tiles={int(out['trunc_tiles'])} "
                   f"pairs={int(out['pairs_rendered'])} "
-                  f"band_drop={int(out.get('pairs_band_dropped', 0))}")
+                  f"undrained={int(out.get('pairs_undrained', 0))}")
         except Exception as e:  # noqa: BLE001 — sweep survives one variant
             print(f"{dtype} {v}: FAILED {type(e).__name__}: {e}")
     print("DONE")

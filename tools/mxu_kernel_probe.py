@@ -25,8 +25,12 @@ def main():
     from tests.test_render_brick_mxu import _toy_inputs
 
     args, kw = _toy_inputs()
+    nslots = kw.pop("nslots")
     a = [jnp.asarray(x) for x in args]
-    want = brick_field_tiles_reference(*args, **kw)
+    kw["nslots"] = jnp.asarray(nslots)
+    want = brick_field_tiles_reference(*args, nslots=nslots,
+                                       **{k: v for k, v in kw.items()
+                                          if k != "nslots"})
 
     def check(name, fn, *fa, **fkw):
         t0 = time.time()
@@ -52,16 +56,18 @@ def main():
         return ok
 
     tid = jnp.asarray([1, 0], jnp.int32)    # permuted full-capacity bands
+    band_kw = dict(kw)
+    band_kw["nslots"] = jnp.minimum(kw["nslots"][tid], 3)
     if which in ("n", "both"):
         check("n-kernel", brick_field_tiles, *a, **kw)
         check("n-kernel banded", brick_field_tiles, *a, tid=tid,
-              Lp_band=3, **kw)
+              Lcall=3, **band_kw)
     if which in ("t", "both"):
         aT = list(a)
-        aT[5] = jnp.swapaxes(a[5], 1, 2)
+        aT[4] = jnp.swapaxes(a[4], 1, 2)
         check("t-kernel", brick_field_tiles_t, *aT, **kw)
         check("t-kernel banded", brick_field_tiles_t, *aT, tid=tid,
-              Lp_band=3, **kw)
+              Lcall=3, **band_kw)
     print("PROBE DONE")
 
 
