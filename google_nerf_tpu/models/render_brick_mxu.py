@@ -161,39 +161,47 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     # is the cursor, so one extra call drains everything; only content
     # beyond drain_L or beyond drain_tiles remains culled — counted.
     need = (t_rel > cap) | macro_over
-    undrained = jnp.int32(0)
-    trunc = jnp.int32(0)
     if drain_tiles > 0:
         D = min(drain_tiles, T)
-        score = jnp.where(need, jnp.maximum(t_rel, 1), 0)
-        sc, dtid = jax.lax.top_k(score, D)
-        dmask = sc > 0                                          # (D,)
-        bidx_e, rel_e = _tile_lists(
-            brick_lo, brick_hi, o_t[dtid], axis_t[dtid], tan_t[dtid],
-            t_far[dtid], L=drain_L)
-        # same depth re-key as the main lists
-        safe_e = jnp.maximum(bidx_e, 0)
-        c_e = 0.5 * (brick_lo + brick_hi)[safe_e]
-        t_ce = jnp.sum((c_e - o_t[dtid][:, None, :])
-                       * axis_t[dtid][:, None, :], -1)
-        key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
-        _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1, num_keys=1)
-        pb_e, meta_e, nv_e = pack_lists(bidx_e)
-        out_d = field(pb_e, meta_e, *fargs, tid=dtid,
-                      lbase=jnp.arange(D, dtype=jnp.int32) * drain_L,
-                      nslots=jnp.where(dmask, nv_e, 0), Lcall=drain_L,
-                      **fkw)
-        dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)        # (T,)
-        out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
-        # exactness accounting: tiles needing drain beyond D, and drained
-        # tiles whose true list exceeded drain_L
-        missed = need & ~dm_t
-        undrained = (jnp.sum(jnp.where(missed, t_rel - cap, 0))
-                     + jnp.sum(jnp.where(dmask,
-                                         jnp.maximum(rel_e - drain_L, 0),
-                                         0))).astype(jnp.int32)
-        trunc = (missed.sum()
-                 + jnp.sum(dmask & (rel_e > drain_L))).astype(jnp.int32)
+
+        def run_drain(out):
+            score = jnp.where(need, jnp.maximum(t_rel, 1), 0)
+            sc, dtid = jax.lax.top_k(score, D)
+            dmask = sc > 0                                      # (D,)
+            bidx_e, rel_e = _tile_lists(
+                brick_lo, brick_hi, o_t[dtid], axis_t[dtid], tan_t[dtid],
+                t_far[dtid], L=drain_L)
+            # same depth re-key as the main lists
+            safe_e = jnp.maximum(bidx_e, 0)
+            c_e = 0.5 * (brick_lo + brick_hi)[safe_e]
+            t_ce = jnp.sum((c_e - o_t[dtid][:, None, :])
+                           * axis_t[dtid][:, None, :], -1)
+            key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
+            _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1,
+                                     num_keys=1)
+            pb_e, meta_e, nv_e = pack_lists(bidx_e)
+            out_d = field(pb_e, meta_e, *fargs, tid=dtid,
+                          lbase=jnp.arange(D, dtype=jnp.int32) * drain_L,
+                          nslots=jnp.where(dmask, nv_e, 0), Lcall=drain_L,
+                          **fkw)
+            dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)    # (T,)
+            out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
+            # exactness accounting: tiles needing drain beyond D, and
+            # drained tiles whose true list exceeded drain_L
+            missed = need & ~dm_t
+            und = (jnp.sum(jnp.where(missed, t_rel - cap, 0))
+                   + jnp.sum(jnp.where(dmask,
+                                       jnp.maximum(rel_e - drain_L, 0),
+                                       0))).astype(jnp.int32)
+            tr = (missed.sum()
+                  + jnp.sum(dmask & (rel_e > drain_L))).astype(jnp.int32)
+            return out, und, tr
+
+        # frames whose lists all fit their capacity skip the drain's
+        # selection AND kernel call at runtime (lax.cond)
+        out, undrained, trunc = jax.lax.cond(
+            jnp.any(need), run_drain,
+            lambda o: (o, jnp.int32(0), jnp.int32(0)), out)
     else:
         undrained = jnp.sum(jnp.where(need, t_rel - cap, 0)) \
             .astype(jnp.int32)

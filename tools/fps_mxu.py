@@ -92,21 +92,23 @@ def main():
 
     variants = [
         # ordered by information value (a watchdog cut keeps the head):
-        # t-vs-n at the same config, then bands, then the speed/quality
-        # frontier (ms, L)
+        # r3 question 1: does the EXACT drain (no trunc/band drops) hold
+        # speed?  r3 question 2: t-vs-n at same config; then the
+        # speed/quality frontier (ms, L, bands)
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
-                               kernel="t")),
-        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512)),
+                               kernel="t", bands="auto", drain_tiles=256)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
-                               kernel="t", bands="auto")),
+                               kernel="t", bands="auto", drain_tiles=0)),
         ("float8_e4m3fn", dict(L=64, max_samples=256, chunk_tiles=512,
-                               kernel="t", bands="auto")),
-        ("float8_e4m3fn", dict(L=128, max_samples=512, chunk_tiles=512,
-                               kernel="t", bands="auto")),
-        ("float8_e4m3fn", dict(L=96, max_samples=256, chunk_tiles=512,
-                               kernel="t", bands="auto")),
+                               kernel="t", bands="auto", drain_tiles=256)),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
+                               kernel="n", bands="auto", drain_tiles=256)),
+        ("float8_e4m3fn", dict(L=32, max_samples=512, chunk_tiles=512,
+                               kernel="t", bands="auto", drain_tiles=256)),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
+                               kernel="t", drain_tiles=256)),
         ("float8_e4m3fn", dict(L=96, max_samples=512, chunk_tiles=512,
-                               kernel="t")),
+                               kernel="t", bands="auto", drain_tiles=256)),
     ]
     for dtype, v in variants:
         bcfg_v, baked_v = bakes[dtype]

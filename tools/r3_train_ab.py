@@ -1,0 +1,108 @@
+"""Round-3 training-throughput A/B matrix (VERDICT r2 item 2: move
+training from 0.16-0.19x toward >= 0.4x baseline).
+
+Levers measured (one JSON line per variant, flush-printed so a partial
+run still records everything it finished):
+  * batch size      — rays/s is the metric; fixed overheads amortize and
+                      sort/gather lanes fill at larger N
+  * ms512 lattice   — half the samples/ray (round-4 probe: 1.6x step
+                      throughput for ~1 dB at small scale; quality gate
+                      here is PSNR@1024 on the bench protocol scene)
+  * lev6 encoder    — -25% encode gather rows for -1.9 dB at small scale
+                      (round-7 probe); chip step-time gain unknown
+
+Timing law: chained steps + host scalar fetch (DESIGN_NOTES round 8).
+Each variant trains 512 warmup steps (occupancy converges + compile),
+then times 256 steps, then continues to 1024 total for the PSNR gate.
+"""
+import functools
+import json
+import sys
+import time
+
+import jax
+
+print = functools.partial(print, flush=True)
+
+
+def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
+                n_keep_groups=0):
+    import jax.numpy as jnp
+
+    from google_nerf_tpu.data.synthetic import SyntheticDataset
+    from google_nerf_tpu.models.ngp import NGPConfig
+    from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              grid_update_step,
+                                              init_train_state)
+    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+                      packed_levels=lev, compute_dtype=jnp.bfloat16)
+    cfg = TrainConfig(model=model, batch_size=batch, k_samples=k,
+                      max_samples=ms, num_epochs=30,
+                      samples_budget=budget if budget is not None
+                      else 16 * batch,
+                      random_bg=True, exclude_incomplete="backfill",
+                      march="block", n_keep_groups=n_keep_groups)
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
+                          style="textured")
+    scene = ds.scene()
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
+
+    def loop(state, n, start):
+        metrics = None
+        for i in range(start, start + n):
+            if i % cfg.grid_update_interval == 0:
+                state = grid_update_step(
+                    state, jax.random.fold_in(key, 2 * i + 1), cfg=cfg,
+                    warmup=i < cfg.warmup_steps)
+            state, metrics = fused_train_step(
+                state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg)
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+        return state, metrics
+
+    t0 = time.time()
+    state, _ = loop(state, 512, 0)
+    t_warm = time.time() - t0
+    n_timed = 256
+    t0 = time.time()
+    state, metrics = loop(state, n_timed, 512)
+    dt = time.time() - t0
+    state, metrics = loop(state, 1024 - 512 - n_timed, 512 + n_timed)
+    print(json.dumps({
+        "variant": name, "batch": batch, "k": k, "ms": ms, "lev": lev,
+        "ms_per_step": round(dt / n_timed * 1e3, 2),
+        "rays_per_sec": round(n_timed * batch / dt, 1),
+        "vs_baseline": round(n_timed * batch / dt / 819200, 3),
+        "psnr_1024": round(float(metrics["psnr"]), 2),
+        "s_per_ray": round(float(metrics["s_per_ray"]), 2),
+        "mask_frac": round(float(metrics.get("mask_frac", 1.0)), 3),
+        "warmup_s": round(t_warm, 1),
+    }))
+
+
+VARIANTS = {
+    "base":        dict(),
+    "b16k":        dict(batch=16384),
+    "b32k":        dict(batch=32768),
+    "ms512":       dict(ms=512, k=128),
+    "lev6":        dict(lev=6),
+    "b32k_ms512":  dict(batch=32768, ms=512, k=128),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        t0 = time.time()
+        try:
+            run_variant(name, **VARIANTS[name])
+        except Exception as e:  # noqa: BLE001 — matrix survives a variant
+            print(json.dumps({"variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:200],
+                              "wall_s": round(time.time() - t0, 1)}))
+    print("AB DONE")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()
