@@ -119,9 +119,26 @@ def main():
         _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
         return state, metrics
 
-    # warmup: compile + converge the occupancy grid to realistic sparsity
-    state, _ = loop(state, 512, 0)
+    # warmup: compile + converge the occupancy grid past grid warmup (256)
+    state, _ = loop(state, 384, 0)
     t_warm = time.time() - T_WALL0
+
+    em = _Emitter()
+    # provisional headline FIRST (128 timed steps, occupancy still settling
+    # -> conservative): a degraded compile-service window (R3.0: 17-min
+    # fresh compiles) can eat the deadline, and a provisional real number
+    # beats the r2 outcome (rc=124, nothing recorded)
+    t0 = time.time()
+    state, metrics = loop(state, 128, 384)
+    dt0 = time.time() - t0
+    prov = 128 * cfg.batch_size / dt0
+    em.set_headline(round(prov, 1),
+                    round(prov / BASELINE_RAYS_PER_SEC, 3), {
+        "provisional": True,
+        "train_psnr_at_512_steps": round(float(metrics["psnr"]), 2),
+        "warmup_seconds": round(t_warm, 1),
+        "device": str(jax.devices()[0]),
+    })
 
     # timed steady-state segment (grid cadence included, as in real training)
     n_timed = 512
@@ -130,7 +147,7 @@ def main():
     dt = time.time() - t0
 
     rays_per_sec = n_timed * cfg.batch_size / dt
-    em = _Emitter()
+    em.result["extra"].pop("provisional", None)
     em.set_headline(round(rays_per_sec, 1),
                     round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3), {
         "steady_state_steps_per_sec": round(n_timed / dt, 2),
@@ -138,6 +155,7 @@ def main():
         "s_per_ray": round(float(metrics["s_per_ray"]), 2),
         "mask_frac": round(float(metrics.get("mask_frac", 1.0)), 3),
         "warmup_seconds": round(t_warm, 1),
+        "provisional_rays_per_sec": round(prov, 1),
         "device": str(jax.devices()[0]),
     })
 

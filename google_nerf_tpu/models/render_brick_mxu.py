@@ -37,6 +37,7 @@ from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  brick_geometry, tile_order)
 from google_nerf_tpu.ops.pallas.brick_field import (brick_field_tiles,
                                                     brick_field_tiles_t,
+                                                    brick_field_tiles_tp,
                                                     window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
@@ -47,12 +48,12 @@ NEAR_DISTANCE = 0.05
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
                                    "kernel", "bands", "drain_tiles",
-                                   "drain_L", "interpret"))
+                                   "drain_L", "pbatch", "interpret"))
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
                kernel: str = "n", bands: tuple = (),
-               drain_tiles: int = 0, drain_L: int = 256,
+               drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
                interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
@@ -119,7 +120,12 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
 
-    field = brick_field_tiles_t if kernel == "t" else brick_field_tiles
+    if kernel == "tp":
+        field = partial(brick_field_tiles_tp, P=pbatch)
+    elif kernel == "t":
+        field = brick_field_tiles_t
+    else:
+        field = brick_field_tiles
     fkw = dict(
         S=window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale),
         dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
@@ -144,10 +150,13 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             tid_b = jax.lax.slice_in_dim(order, pos, pos + nb)
             pos += nb
             band_of = band_of.at[tid_b].set(b)
-            cap = cap.at[tid_b].set(min(lpb, Lp))
+            lcb = min(lpb, Lp)
+            if kernel == "tp":  # P consecutive list rows per grid step
+                lcb = min(-(-lcb // pbatch) * pbatch, Lp)
+            cap = cap.at[tid_b].set(lcb)
             outs.append(field(pool_blk, meta, *fargs, tid=tid_b,
-                              nslots=jnp.minimum(nvalid[tid_b], lpb),
-                              Lcall=min(lpb, Lp), **fkw))
+                              nslots=jnp.minimum(nvalid[tid_b], lcb),
+                              Lcall=lcb, **fkw))
         sel = jnp.repeat(band_of, 64)[:, None]                  # (T*64, 1)
         out = outs[0]
         for b in range(1, len(bands)):
@@ -221,7 +230,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
                      macro_L: int = 1024, geometry=None, kernel: str = "n",
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
-                     exp_step_factor: float = 0.0,
+                     pbatch: int = 4, exp_step_factor: float = 0.0,
                      interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -243,10 +252,17 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     tile = 8
     assert bcfg.block == 8 and bcfg.feat_dim == 16, \
         "kernel geometry is fixed at block=8, feat_dim=16"
+    if kernel == "tp":
+        # list stride, band capacities, and the drain's per-tile list
+        # length must all be pbatch-aligned (the P-batched kernel reads P
+        # consecutive list rows per grid step)
+        assert pbatch in (1, 2, 4, 8), pbatch
+        L = max(pbatch, (L // pbatch) * pbatch)
+        drain_L = max(pbatch, (drain_L // pbatch) * pbatch)
     lo, hi, pool_base = geometry if geometry is not None else \
         brick_geometry(baked["block_map"], bcfg, cfg)
-    if kernel == "t":
-        # the t-kernel wants slabs pre-transposed to (128, 512); cache the
+    if kernel in ("t", "tp"):
+        # the t-kernels want slabs pre-transposed to (128, 512); cache the
         # one-time device transpose on the baked dict
         if "poolT" not in baked:
             baked["poolT"] = jnp.swapaxes(
@@ -296,7 +312,10 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
             macro_L=mL, kernel=kernel, bands=bands,
             drain_tiles=min(drain_tiles, cpr),
-            drain_L=min(drain_L, int(lo.shape[0])), interpret=interpret))
+            drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
+                     else max(pbatch, (min(drain_L, int(lo.shape[0]))
+                                       // pbatch) * pbatch)),
+            pbatch=pbatch, interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}

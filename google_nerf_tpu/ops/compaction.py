@@ -45,15 +45,13 @@ def plan_packing(valid: jnp.ndarray, budget: int,
     flat = valid.reshape(-1)
     n = flat.shape[0]
     budget = min(budget, n)
+    if not sample_major:
+        return _plan_packing_rowmajor(valid, budget)
     iota = jnp.arange(n, dtype=jnp.int32)
-    if sample_major:
-        rank = (jnp.arange(K, dtype=jnp.int32)[None, :] * R
-                + jnp.arange(R, dtype=jnp.int32)[:, None]).reshape(-1)
-        pos = (jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
-               .reshape(K, R).T.reshape(-1)) - 1
-    else:
-        rank = iota
-        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    rank = (jnp.arange(K, dtype=jnp.int32)[None, :] * R
+            + jnp.arange(R, dtype=jnp.int32)[:, None]).reshape(-1)
+    pos = (jnp.cumsum(valid.T.reshape(-1).astype(jnp.int32))
+           .reshape(K, R).T.reshape(-1)) - 1
     key = jnp.where(flat, rank, n)
     sorted_key, sorted_src = jax.lax.sort((key, iota), num_keys=1)
     src_idx = jax.lax.dynamic_slice_in_dim(sorted_src, 0, budget)
@@ -62,6 +60,48 @@ def plan_packing(valid: jnp.ndarray, budget: int,
     keep = flat & (pos < budget)
     pos = jnp.where(keep, pos, budget - 1)
     return PackPlan(src_idx, pos, keep, slot_valid, flat.sum())
+
+
+def _plan_packing_rowmajor(valid: jnp.ndarray, budget: int) -> PackPlan:
+    """Ray-major plan WITHOUT the global (R*K)-row sort.
+
+    The global 2-operand sort over R*K slots (2.1M at the flagship train
+    shapes) pays ~log2(R*K) (~21) comparator rounds; ray-major order is
+    separable, so the same plan falls out of a ROW-wise 1-operand sort
+    (log2(K) ~ 8 rounds over the same element count) plus O(R + B)
+    bookkeeping: per-ray valid counts give each ray's budget offset, each
+    budget slot's ray id is recovered with an R-row scatter-max + cummax
+    over slot marks, and the in-row column comes from the row-sorted
+    valid-position list.  Semantics are identical to the sort path
+    (tests/test_compaction_gather.py::test_rowmajor_plan_equals_reference).
+    """
+    R, K = valid.shape
+    n = R * K
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)           # (R,)
+    total = jnp.sum(counts)
+    off = jnp.cumsum(counts) - counts                          # exclusive
+    rowrank = jnp.cumsum(valid, axis=1, dtype=jnp.int32) - 1   # (R, K)
+    flat = valid.reshape(-1)
+    posv = (off[:, None] + rowrank).reshape(-1)
+    keep = flat & (posv < budget)
+    pos = jnp.where(keep, posv, budget - 1)
+    # jth[r, j] = column of ray r's j-th valid slot (row-wise sort; pad K)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    jth = jax.lax.sort(jnp.where(valid, kidx, K), dimension=1)
+    # budget slot -> ray id: mark each content ray at its first slot, then
+    # cummax.  Zero-count rays never win: the content ray owning an offset
+    # is the LAST ray of its equal-offset group (later rays' offsets are
+    # strictly past it).
+    ids = jnp.arange(R, dtype=jnp.int32)
+    marks = jnp.full((budget,), -1, jnp.int32).at[
+        jnp.where(counts > 0, off, budget)].max(ids, mode="drop")
+    rb = jnp.maximum(jax.lax.associative_scan(jnp.maximum, marks), 0)
+    bidx = jnp.arange(budget, dtype=jnp.int32)
+    jb = bidx - jnp.take(off, rb)
+    col = jnp.take(jth.reshape(-1), rb * K + jnp.clip(jb, 0, K - 1))
+    slot_valid = bidx < jnp.minimum(total, budget)
+    src_idx = jnp.where(slot_valid, rb * K + jnp.minimum(col, K - 1), 0)
+    return PackPlan(src_idx, pos, keep, slot_valid, total)
 
 
 @jax.custom_vjp

@@ -508,6 +508,217 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 
 
+def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
+               shT_ref, *slab_w_out, S: int, dt: float, inv2s: float,
+               V: int, tau_max: float, P: int):
+    """P-slot batched transposed kernel: one grid step renders P
+    consecutive list slots (P slab DMAs, P sub-brick bodies chained
+    through a REGISTER tau carry).  Semantics are identical to _kernel_t
+    stepping the same slots sequentially: each sub-brick recomputes
+    per-ray liveness from the carried tau, so early termination keeps
+    brick granularity; the group is skipped only when NO sub-brick has a
+    live hit (exactly the case where every sequential step would skip).
+    Amortizes the per-step grid sequencing + block-fetch overhead by P —
+    the measured wall once the body went batched (R2.2)."""
+    slab_refs = slab_w_out[:P]
+    rowv_ref, bitw_ref, w1t_ref, w2t_ref, w3t_ref, outT_ref = slab_w_out[P:]
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        outT_ref[:] = jnp.zeros_like(outT_ref)
+
+    rays = raysT_ref[:]                     # (8, 64)
+    o = rays[0:3]
+    du = rays[3:6]
+    t1 = rays[6:7]
+    t2 = rays[7:8]
+    inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
+                            jnp.where(du >= 0, 1e-10, -1e-10))
+    N = S * TPX
+
+    def lane_tile(x):
+        return jnp.concatenate([x] * S, axis=1)
+
+    # slab tests for all P sub-bricks (cheap VPU; gates the group skip)
+    hits, n0s, n1s = [], [], []
+    for k in range(P):
+        valid = l * P + k < ns_ref[t]
+        m = metaP_ref[k]                    # (1, 8)
+        ta, tb = t1, t2
+        for kk in range(3):
+            a = (m[0:1, kk:kk + 1] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
+            b = (m[0:1, kk + 3:kk + 4] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
+            ta = jnp.maximum(ta, jnp.minimum(a, b))
+            tb = jnp.minimum(tb, jnp.maximum(a, b))
+        n0 = jnp.maximum(jnp.ceil((ta - t1) / dt - 0.5), 0.0)
+        n1 = jnp.floor((tb - t1) / dt - 0.5)
+        hits.append(valid & (tb > ta) & (n1 >= n0) & (t2 > 0))
+        n0s.append(n0)
+        n1s.append(n1)
+    hit_any = hits[0]
+    for k in range(1, P):
+        hit_any = hit_any | hits[k]
+
+    tau_in = outT_ref[0:1, :]                               # (1, 64)
+    work = jnp.any(hit_any & (tau_in < tau_max))
+
+    @pl.when(work)
+    def _body():
+        o_n = lane_tile(o)
+        du_n = lane_tile(du)
+        t1_n = lane_tile(t1)
+        s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               // TPX).astype(jnp.float32)
+        sh_n = lane_tile(shT_ref[:])                        # (16, N)
+
+        tau_tot = tau_in
+        upd_tau = jnp.zeros((1, TPX), jnp.float32)
+        upd_rgb = jnp.zeros((3, TPX), jnp.float32)
+        upd_dep = jnp.zeros((1, TPX), jnp.float32)
+        upd_cnt = jnp.zeros((1, TPX), jnp.float32)
+        for k in range(P):
+            live = tau_tot < tau_max
+            hit = hits[k]
+            slabT = slab_refs[k][0].astype(jnp.bfloat16)    # (128, 512)
+            n_s = lane_tile(n0s[k]) + s_n
+            hitf = jnp.where(hit, 1.0, 0.0)
+            ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1s[k]))
+            ts = t1_n + (n_s + 0.5) * dt
+            lid = jnp.zeros((1, N), jnp.float32)
+            frs = []
+            for kk in range(3):
+                pos = jnp.clip((o_n[kk:kk + 1] + ts * du_n[kk:kk + 1])
+                               * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
+                v0 = jnp.floor(pos)
+                frs.append(pos - v0)
+                lid = lid * 8.0 + jnp.clip(
+                    v0 - jnp.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
+            lid_i = lid.astype(jnp.int32)
+            ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
+                            1.0, 0.0).astype(jnp.bfloat16)
+            out8T = jnp.dot(slabT, ohT,
+                            preferred_element_type=jnp.float32)
+            w128T = jnp.ones((ROWW, N), jnp.float32)
+            for kk in range(3):
+                w128T = w128T * ((1.0 - frs[kk])
+                                 + bitw_ref[kk] * (2.0 * frs[kk] - 1.0))
+            rr = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 0)
+            rc = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 1)
+            redT = (rc % FEAT == rr).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+            hT = jnp.dot(redT, (out8T * w128T).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            sd = jnp.where(ok_n,
+                           jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
+            sd = jnp.minimum(sd, 80.0)
+            x = jnp.concatenate([sh_n, hT], axis=0).astype(jnp.bfloat16)
+            a = jnp.maximum(jnp.dot(w1t_ref[:].astype(jnp.bfloat16), x,
+                                    preferred_element_type=jnp.float32),
+                            0.0).astype(jnp.bfloat16)
+            a = jnp.maximum(jnp.dot(w2t_ref[:].astype(jnp.bfloat16), a,
+                                    preferred_element_type=jnp.float32),
+                            0.0).astype(jnp.bfloat16)
+            rgbT = jax.nn.sigmoid(
+                jnp.dot(w3t_ref[:].astype(jnp.bfloat16), a,
+                        preferred_element_type=jnp.float32))
+            cums = [jnp.zeros((1, TPX), jnp.float32)]
+            for si in range(S - 1):
+                cums.append(cums[-1] + sd[:, si * TPX:(si + 1) * TPX])
+            cum_excl = jnp.concatenate(cums, axis=1)
+            w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
+            wr = w * rgbT
+            wt = w * ts
+            tau_c = jnp.zeros((1, TPX), jnp.float32)
+            rgbw = jnp.zeros((3, TPX), jnp.float32)
+            depw = jnp.zeros((1, TPX), jnp.float32)
+            for si in range(S):
+                sl = slice(si * TPX, (si + 1) * TPX)
+                tau_c = tau_c + sd[:, sl]
+                rgbw = rgbw + wr[:, sl]
+                depw = depw + wt[:, sl]
+            T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
+            upd_tau = upd_tau + jnp.where(live, tau_c, 0.0)
+            upd_rgb = upd_rgb + T_bef * rgbw
+            upd_dep = upd_dep + T_bef * depw
+            upd_cnt = upd_cnt + (hit & live).astype(jnp.float32)
+            tau_tot = tau_tot + jnp.where(live, tau_c, 0.0)
+        upd = jnp.concatenate([upd_tau, upd_rgb, upd_dep, upd_cnt,
+                               jnp.zeros((2, TPX), jnp.float32)], axis=0)
+        outT_ref[:] = outT_ref[:] + upd
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "P", "interpret"))
+def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
+                         *, S: int, dt: float, inv2s: float, V: int,
+                         tau_max: float, tid=None, lbase=None, nslots=None,
+                         Lcall: int = 0, P: int = 4,
+                         interpret: bool = False):
+    """P-slot batched transposed entry: contract of brick_field_tiles_t,
+    plus the requirement that Lcall and every lbase are multiples of P
+    (the meta BlockSpec reads P consecutive list rows per step)."""
+    T = rays.shape[0] // TPX
+    tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
+                                              nslots, Lcall)
+    assert Lcall % P == 0, (Lcall, P)
+    Tb = tid.shape[0]
+    raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
+    metaP = meta.reshape(-1, 1, 8)
+    N = S * TPX
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
+    bitw = jnp.stack([jnp.broadcast_to(
+        ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
+         ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
+    # lbase must be P-aligned for the (P, 1, 8) meta block read
+    lbase = (lbase // P) * P
+    slab_specs = [
+        pl.BlockSpec((1, ROWW, VOX),
+                     functools.partial(
+                         lambda t, l, pb, lb, ns, td, k=0:
+                         (pb[lb[t] + l * P + k], 0, 0), k=k))
+        for k in range(P)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Tb, Lcall // P),
+        in_specs=[
+            pl.BlockSpec((P, 1, 8),
+                         lambda t, l, pb, lb, ns, td:
+                         (lb[t] // P + l, 0, 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            pl.BlockSpec((FEAT, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            *slab_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                               (td[t], 0)),
+    )
+    kern = functools.partial(_kernel_tp, S=S, dt=dt, inv2s=inv2s,
+                             V=V, tau_max=tau_max, P=P)
+    outT = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+                                              + 64 * 64 + 64 * 3
+                                              + ROWW * FEAT),
+            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3T.dtype.itemsize,
+            transcendentals=Tb * Lcall * S * TPX * 4),
+    )(pool_blk, lbase, nslots, tid, metaP, raysT, shT,
+      *([pool3T] * P), rowv, bitw, w1.T, w2.T, w3.T)
+    return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
+
+
 def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
                                 w2, w3, *, S, dt, inv2s, V, tau_max,
                                 tid=None, lbase=None, nslots=None):

@@ -38,6 +38,41 @@ def test_pack_respects_budget():
     np.testing.assert_allclose(un_rm[16:], 0.0)
 
 
+def test_rowmajor_plan_equals_reference():
+    """The sort-free ray-major plan must equal a flat-order numpy
+    reference field-for-field, across budgets (under/exact/over) and
+    degenerate masks (empty rows, full rows, all-empty)."""
+    rng = np.random.RandomState(11)
+    cases = []
+    for p in (0.0, 0.3, 1.0):
+        v = rng.rand(13, 17) < p
+        cases.append(v)
+    v = rng.rand(13, 17) < 0.4
+    v[3] = False
+    v[7] = True
+    cases.append(v)
+    for v in cases:
+        R, K = v.shape
+        flat_idx = np.flatnonzero(v.reshape(-1))
+        for budget in (1, 8, len(flat_idx) or 1, R * K):
+            plan = plan_packing(jnp.asarray(v), budget, sample_major=False)
+            B = min(budget, R * K)
+            src_ref = np.zeros(B, np.int64)
+            sv_ref = np.zeros(B, bool)
+            m = min(B, len(flat_idx))
+            src_ref[:m] = flat_idx[:m]
+            sv_ref[:m] = True
+            pos_ref = np.full(R * K, B - 1, np.int64)
+            keep_ref = np.zeros(R * K, bool)
+            pos_ref[flat_idx[:m]] = np.arange(m)
+            keep_ref[flat_idx[:m]] = True
+            np.testing.assert_array_equal(np.asarray(plan.src_idx), src_ref)
+            np.testing.assert_array_equal(np.asarray(plan.slot_valid), sv_ref)
+            np.testing.assert_array_equal(np.asarray(plan.pos), pos_ref)
+            np.testing.assert_array_equal(np.asarray(plan.keep), keep_ref)
+            assert int(plan.n_valid) == len(flat_idx)
+
+
 def test_pack_unpack_gradients_match_dense():
     """grad through pack->f->unpack == grad through masked dense eval."""
     rng = np.random.RandomState(1)

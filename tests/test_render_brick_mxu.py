@@ -15,7 +15,7 @@ from google_nerf_tpu.models.render_brick import render_brick
 from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
 from google_nerf_tpu.ops.pallas.brick_field import (
     brick_field_tiles, brick_field_tiles_reference, brick_field_tiles_t,
-    window_span)
+    brick_field_tiles_tp, window_span)
 
 
 def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
@@ -100,6 +100,64 @@ def test_t_kernel_matches_reference_interpret():
     np.testing.assert_array_equal(got[:, 5], want[:, 5])
     misses = want[:, 5] == 0
     assert np.all(got[misses, 0] == 0)
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_tp_kernel_matches_reference_interpret(P):
+    """P-slot batched transposed kernel: P bricks per grid step chained
+    through a register tau carry — must equal the sequential reference
+    exactly (same early-termination semantics at brick granularity)."""
+    args, kw = _toy_inputs(Lp=4)
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
+    pool3T = jnp.swapaxes(jnp.asarray(pool3), 1, 2)
+    got = np.asarray(brick_field_tiles_tp(
+        jnp.asarray(pool_blk), jnp.asarray(meta),
+        jnp.asarray(rays), jnp.asarray(sh), pool3T,
+        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
+        nslots=jnp.asarray(nslots), P=P, interpret=True, **kw))
+    want = brick_field_tiles_reference(*args, nslots=nslots, **kw)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+    misses = want[:, 5] == 0
+    assert np.all(got[misses, 0] == 0)
+
+
+def test_tp_kernel_early_termination_matches_reference():
+    """Opaque first brick inside a P-group: later sub-bricks of the SAME
+    grid step must composite behind the in-register tau carry exactly as
+    sequential steps would."""
+    args, kw = _toy_inputs(Lp=4, sigma_scale=0.0)
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
+    opaque = pool3.copy()
+    opaque[0, :, 0::16] = 9.0
+    pool3T = jnp.swapaxes(jnp.asarray(opaque), 1, 2)
+    got = np.asarray(brick_field_tiles_tp(
+        jnp.asarray(pool_blk), jnp.asarray(meta),
+        jnp.asarray(rays), jnp.asarray(sh), pool3T,
+        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3),
+        nslots=jnp.asarray(nslots), P=4, interpret=True, **kw))
+    want = brick_field_tiles_reference(
+        pool_blk, meta, rays, sh, opaque, w1, w2, w3, nslots=nslots, **kw)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+    np.testing.assert_allclose(got[:, 1:4], want[:, 1:4], atol=3e-2)
+
+
+def test_tp_kernel_frame_matches_t_kernel(scene):
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64)
+    a = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="t", **kw)
+    b = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="tp", pbatch=4,
+                         **kw)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=2e-3)
+    assert int(a["pairs_rendered"]) == int(b["pairs_rendered"])
 
 
 def test_t_kernel_frame_matches_n_kernel(scene):
@@ -205,7 +263,7 @@ def test_mxu_frame_matches_xla_brick_renderer(scene):
                                    np.asarray(ref["rgb"])[bgm], atol=1e-6)
 
 
-@pytest.mark.parametrize("kernel", ["n", "t"])
+@pytest.mark.parametrize("kernel", ["n", "t", "tp"])
 def test_overflow_drain_restores_exactness(scene, kernel):
     """A too-small list capacity L culls content (trunc_tiles > 0,
     pairs_undrained > 0 with drains off); the overflow drain re-renders

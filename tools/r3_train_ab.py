@@ -26,7 +26,7 @@ print = functools.partial(print, flush=True)
 
 
 def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
-                n_keep_groups=0):
+                n_keep_groups=0, march="block"):
     import jax.numpy as jnp
 
     from google_nerf_tpu.data.synthetic import SyntheticDataset
@@ -41,7 +41,7 @@ def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
                       samples_budget=budget if budget is not None
                       else 16 * batch,
                       random_bg=True, exclude_incomplete="backfill",
-                      march="block", n_keep_groups=n_keep_groups)
+                      march=march, n_keep_groups=n_keep_groups)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="textured")
     scene = ds.scene()
@@ -87,6 +87,14 @@ VARIANTS = {
     "ms512":       dict(ms=512, k=128),
     "lev6":        dict(lev=6),
     "b32k_ms512":  dict(batch=32768, ms=512, k=128),
+    "b16k_ms512":  dict(batch=16384, ms=512, k=128),
+    "b32k_ms512_lev6": dict(batch=32768, ms=512, k=128, lev=6),
+    "b32k_ms512_bud12": dict(batch=32768, ms=512, k=128, budget=12 * 32768),
+    # batch 2: marcher-table + per-ray-capacity levers
+    "blk2":        dict(march="block2"),
+    "blk2_b32k_ms512": dict(march="block2", batch=32768, ms=512, k=128),
+    "k128":        dict(k=128),
+    "b32k_k128":   dict(batch=32768, k=128),
 }
 
 
