@@ -39,6 +39,14 @@ SUITES = {
                    ["Jade", "Fountain", "Character", "Statues"],
                    ["--num_epochs", "20", "--batch_size", "16384",
                     "--lr", "2e-2"]),
+    # procedural suite: no external data (zero-egress env) — the three
+    # analytic field styles stand in as scenes so the WHOLE suite driver
+    # (train -> eval -> JSON summary) executes end-to-end; scene name
+    # maps to --synthetic_style below
+    "procedural": ("synthetic",
+                   ["solid", "shell", "textured"],
+                   ["--num_epochs", "3", "--batch_size", "8192",
+                    "--downsample", "4.0"]),
 }
 
 # reference per-scene/average PSNR for parity checks (ngp_pl/README.md)
@@ -59,8 +67,9 @@ def main():
                    help="suite root containing one directory per scene")
     p.add_argument("--scenes", nargs="*", default=None)
     p.add_argument("--out", default=None)
-    p.add_argument("--extra", nargs="*", default=[],
-                   help="extra train.py flags")
+    p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                   help="everything after --extra is passed verbatim to "
+                        "train.py (REMAINDER: dashed flags allowed)")
     args = p.parse_args()
 
     from opt import get_opts
@@ -71,12 +80,18 @@ def main():
     results = {}
     for scene in scenes:
         scene_dir = os.path.join(args.root_dir, scene)
-        if not os.path.isdir(scene_dir):
+        if dataset_name == "synthetic":
+            # procedural scene: "scene" is the analytic-field style
+            scene_dir = args.root_dir
+            recipe_sc = recipe + ["--synthetic_style", scene]
+        elif not os.path.isdir(scene_dir):
             print(f"[skip] {scene}: {scene_dir} not found")
             continue
+        else:
+            recipe_sc = recipe
         argv = ["--root_dir", scene_dir, "--dataset_name", dataset_name,
                 "--exp_name", f"{args.suite}_{scene}", "--no_save_test",
-                "--bf16", "--xyz_encoder", "packed"] + recipe + args.extra
+                "--bf16", "--xyz_encoder", "packed"] + recipe_sc + args.extra
         print(f"=== {scene}: train.py {' '.join(argv)}")
         t0 = time.time()
         hparams = get_opts(argv)

@@ -147,10 +147,14 @@ def get_opts(argv=None):
                         help='brick_mxu renderer: bricks composited per '
                              'tile (the per-tile list capacity)')
     parser.add_argument('--brick_mxu_kernel', default='t',
-                        choices=['t', 'n'],
+                        choices=['t', 'n', 'tp'],
                         help='brick_mxu field kernel layout: "t" = '
                              'rays-on-lanes transposed (default), "n" = '
-                             'samples-on-sublanes')
+                             'samples-on-sublanes, "tp" = transposed with '
+                             'P list slots batched per grid step')
+    parser.add_argument('--brick_mxu_pbatch', type=int, default=4,
+                        help='brick_mxu kernel=tp: list slots rendered '
+                             'per grid step (P slab DMAs per step)')
     parser.add_argument('--brick_mxu_bands', type=int, default=1,
                         help='brick_mxu: 1 = occupancy-banded tile '
                              'scheduling (tiles argsorted by brick-list '

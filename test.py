@@ -167,6 +167,7 @@ def run(hparams):
                 T_threshold=1e-2, geometry=brick_geo,
                 L=getattr(hparams, "brick_mxu_L", 64),
                 kernel=getattr(hparams, "brick_mxu_kernel", "t"),
+                pbatch=getattr(hparams, "brick_mxu_pbatch", 4),
                 bands=("auto" if getattr(hparams, "brick_mxu_bands", True)
                        else ()),
                 drain_tiles=getattr(hparams, "brick_mxu_drain", 256),

@@ -92,9 +92,16 @@ def main():
 
     variants = [
         # ordered by information value (a watchdog cut keeps the head):
-        # r3 question 1: does the EXACT drain (no trunc/band drops) hold
-        # speed?  r3 question 2: t-vs-n at same config; then the
-        # speed/quality frontier (ms, L, bands)
+        # r3 question 0: P-slot batching (P slabs per grid step) vs the
+        # per-slot t-kernel.  r3 question 1: does the EXACT drain (no
+        # trunc/band drops) hold speed?  r3 question 2: t-vs-n at same
+        # config; then the speed/quality frontier (ms, L, bands)
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
+                               kernel="tp", pbatch=4, bands="auto",
+                               drain_tiles=256)),
+        ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
+                               kernel="tp", pbatch=8, bands="auto",
+                               drain_tiles=256)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,
                                kernel="t", bands="auto", drain_tiles=256)),
         ("float8_e4m3fn", dict(L=64, max_samples=512, chunk_tiles=512,

@@ -1,0 +1,134 @@
+"""MXU brick-renderer sweep with a CACHE-FRIENDLY train leg.
+
+tools/fps_mxu.py trains a shell scene with its own config — fresh train
+programs, which cost 20-30 min EACH in a degraded compile window.  This
+variant trains the TEXTURED scene with the exact bench.py/base-A/B config
+(same HLO -> persistent-cache hit), saves the state to /tmp, then sweeps
+the MXU renderer variants given on argv, e.g.:
+
+  python tools/fps_mxu2.py tp4 tp8 t
+
+Each variant is ONE fresh jit program (_mxu_tiles); everything else is
+cached.  Prints one line per variant + DONE.
+"""
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print = functools.partial(print, flush=True)
+
+VARIANTS = {
+    "tp4": dict(kernel="tp", pbatch=4),
+    "tp8": dict(kernel="tp", pbatch=8),
+    "t": dict(kernel="t"),
+    "n": dict(kernel="n"),
+    "tp4_ms256": dict(kernel="tp", pbatch=4, max_samples=256),
+    "tp4_nodrain": dict(kernel="tp", pbatch=4, drain_tiles=0),
+    "tp4_L96": dict(kernel="tp", pbatch=4, L=96),
+    "tp4_flat": dict(kernel="tp", pbatch=4, bands=()),
+}
+
+
+def main():
+    from google_nerf_tpu.core.rays import get_rays
+    from google_nerf_tpu.data.synthetic import SyntheticDataset
+    from google_nerf_tpu.eval.metrics import psnr as psnr_fn
+    from google_nerf_tpu.models.baked import BakedConfig, bake
+    from google_nerf_tpu.models.ngp import NGPConfig
+    from google_nerf_tpu.models.render_brick import brick_geometry
+    from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
+    from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              grid_update_step,
+                                              init_train_state)
+
+    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+                      compute_dtype=jnp.bfloat16)
+    # EXACT bench.py / r3_train_ab "base" config -> warm compile cache
+    cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
+                      num_epochs=30, samples_budget=131072,
+                      random_bg=True, exclude_incomplete="backfill",
+                      march="block")
+    ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
+                          style="textured")
+    cache = "/tmp/bench_state_textured.npz"
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        flat, tree = jax.tree_util.tree_flatten(state["params"])
+        state["params"] = jax.tree_util.tree_unflatten(
+            tree, [jnp.asarray(z[f"p{i}"]).astype(l.dtype)
+                   for i, l in enumerate(flat)])
+        state["occ"] = jnp.asarray(z["occ"])
+        print(f"loaded cached state occ="
+              f"{float(jnp.mean(state['occ'].astype(jnp.float32))):.3f}")
+    else:
+        scene = ds.scene()
+        t0 = time.time()
+        n_train = int(os.environ.get("FPS2_STEPS", 3072))
+        metrics = None
+        for i in range(n_train):
+            if i % 16 == 0:
+                state = grid_update_step(
+                    state, jax.random.fold_in(key, 2 * i + 1), cfg=cfg,
+                    warmup=i < cfg.warmup_steps)
+            state, metrics = fused_train_step(
+                state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg)
+        _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+        print(f"trained {n_train} steps in {time.time()-t0:.0f}s "
+              f"psnr={float(metrics['psnr']):.1f} "
+              f"occ={float(jnp.mean(state['occ'].astype(jnp.float32))):.3f}")
+        flat, _ = jax.tree_util.tree_flatten(state["params"])
+        np.savez(cache, occ=np.asarray(state["occ"]),
+                 **{f"p{i}": np.asarray(l, dtype=np.float32)
+                    for i, l in enumerate(flat)})
+
+    bcfg = BakedConfig(voxel_res=512, block=8, dtype="float8_e4m3fn")
+    t0 = time.time()
+    baked = bake(state["params"], cfg.model, state["occ"], bcfg)
+    print(f"bake: {time.time()-t0:.0f}s, {baked['n_blocks']} blocks")
+    geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
+    print(f"bricks: {geo[0].shape[0]}")
+
+    ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
+                            style="textured")
+    o, d = get_rays(jnp.asarray(ds_t.directions), jnp.asarray(ds_t.poses[0]))
+    gt = jnp.asarray(ds_t.rays[0])
+
+    for name in sys.argv[1:] or ["tp4", "t"]:
+        v = dict(L=64, max_samples=512, chunk_tiles=512, bands="auto",
+                 drain_tiles=256)
+        v.update(VARIANTS[name])
+
+        def frame():
+            return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
+                                    bcfg=bcfg, T_threshold=1e-2,
+                                    geometry=geo, **v)
+        try:
+            t0 = time.time()
+            out = frame()
+            _ = float(out["rgb"].ravel()[0])
+            t_compile = time.time() - t0
+            t0 = time.time()
+            outs = [frame()["rgb"] for _ in range(3)]
+            _ = float(outs[-1].ravel()[0])
+            dt = (time.time() - t0) / 3
+            p_gt = float(psnr_fn(out["rgb"], gt))
+            print(f"{name} {v}: {dt*1e3:.0f} ms = {1/dt:.2f} FPS "
+                  f"(first {t_compile:.0f}s) | psnr vs gt {p_gt:.2f} | "
+                  f"trunc_tiles={int(out['trunc_tiles'])} "
+                  f"pairs={int(out['pairs_rendered'])} "
+                  f"undrained={int(out.get('pairs_undrained', 0))}")
+        except Exception as e:  # noqa: BLE001 — sweep survives a variant
+            print(f"{name}: FAILED {type(e).__name__}: {e}"[:400])
+    print("DONE")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()

@@ -26,7 +26,7 @@ print = functools.partial(print, flush=True)
 
 
 def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
-                n_keep_groups=0, march="block"):
+                n_keep_groups=0, march="block", encoder="packed"):
     import jax.numpy as jnp
 
     from google_nerf_tpu.data.synthetic import SyntheticDataset
@@ -34,7 +34,7 @@ def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
                                               grid_update_step,
                                               init_train_state)
-    model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+    model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
                       packed_levels=lev, compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(model=model, batch_size=batch, k_samples=k,
                       max_samples=ms, num_epochs=30,
@@ -95,6 +95,11 @@ VARIANTS = {
     "blk2_b32k_ms512": dict(march="block2", batch=32768, ms=512, k=128),
     "k128":        dict(k=128),
     "b32k_k128":   dict(batch=32768, k=128),
+    # VERDICT r2 item 5: reference-config shared-vertex hash encoder
+    # (L=16/F=2/T=2^19, ngp_pl/models/networks.py:38-47) vs packed, at
+    # the same step budget
+    "hash":        dict(encoder="hash"),
+    "hash_ms512":  dict(encoder="hash", ms=512, k=128),
 }
 
 
