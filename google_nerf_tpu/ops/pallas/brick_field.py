@@ -156,11 +156,17 @@ def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
         sd = jnp.where(s_ok,
                        jnp.exp(jnp.minimum(h[:, 0:1], 30.0)) * dt, 0.0)
         sd = jnp.minimum(sd, 80.0)                          # (N, 1)
-        # rgb MLP on the whole window batch (bias-free, models/mlp.py)
-        a = jnp.concatenate([up(sh_ref[:]), h], axis=1).astype(jnp.bfloat16)
-        a = jnp.maximum(jnp.dot(a, w1_ref[:].astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32),
-                        0.0).astype(jnp.bfloat16)
+        # rgb MLP on the whole window batch (bias-free, models/mlp.py).
+        # The [sh ++ h] input concat is expressed as a SPLIT matmul
+        # (w1 row slices) — Mosaic rejects tpu.concatenate of operands
+        # whose vreg layouts carry different offsets (chip probe r3).
+        w1b = w1_ref[:].astype(jnp.bfloat16)                # (32, 64)
+        a = jnp.maximum(
+            jnp.dot(up(sh_ref[:]).astype(jnp.bfloat16), w1b[0:FEAT],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(jnp.bfloat16), w1b[FEAT:],
+                      preferred_element_type=jnp.float32),
+            0.0).astype(jnp.bfloat16)
         a = jnp.maximum(jnp.dot(a, w2_ref[:].astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32),
                         0.0).astype(jnp.bfloat16)
@@ -168,38 +174,32 @@ def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
             jnp.dot(a, w3_ref[:].astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32))    # (N, 3)
 
-        # ordered composite: the s-major layout makes the within-ray
-        # exclusive tau cumsum a (S, 64) axis-0 cumsum and the per-ray
-        # reduction an axis-0 sum — leading-dim reshapes are free on the
-        # (N, .) sublane layout, and both ops are ~S VPU adds (an earlier
-        # (N, N) lmat matvec spent as many MXU passes as the one-hot
-        # gather itself at 1/128 lane utility)
-        # Mosaic has no cumsum lowering and rejects (S*64, 1) <-> (S, 64)
-        # cross-tiling reshapes; S is tiny, so the exclusive prefix and
-        # the per-ray reduction both unroll over 64-row SUBLANE slices of
-        # the s-major (N, 1) layout (slice si = samples s=si of all rays)
-        cums = [jnp.zeros((TPX, 1), jnp.float32)]
-        for si in range(S - 1):
-            cums.append(cums[-1] + sd[si * TPX:(si + 1) * TPX])
-        cum_excl = jnp.concatenate(cums, axis=0)            # (N, 1)
-        w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
-        payload = jnp.concatenate([sd, w * rgb_s, w * ts], axis=1)
-        acc = payload[0:TPX]
-        for si in range(1, S):
-            acc = acc + payload[si * TPX:(si + 1) * TPX]    # (64, 5)
-        tau_c = acc[:, 0:1]
-        rgbw = acc[:, 1:4]
-        depw = acc[:, 4:5]
+        # ordered composite, running-accumulator form: slice si of the
+        # s-major (N, .) layout is 64 SUBLANE rows = sample s=si of all
+        # rays.  A register prefix (exp(-run)) walks the S slices; no
+        # materialized (N, 1) exclusive-cumsum vector exists, so there
+        # is NO tpu.concatenate of accumulated registers (Mosaic rejects
+        # mixed-offset concats: "result/input offset mismatch", chip
+        # probe r3) and no cumsum lowering is needed.
+        run = jnp.zeros((TPX, 1), jnp.float32)
+        rgbw = jnp.zeros((TPX, 3), jnp.float32)
+        depw = jnp.zeros((TPX, 1), jnp.float32)
+        for si in range(S):
+            sl = slice(si * TPX, (si + 1) * TPX)
+            sd_si = sd[sl]                                  # (64, 1)
+            w_si = jnp.exp(-run) * (1.0 - jnp.exp(-sd_si))
+            rgbw = rgbw + w_si * rgb_s[sl]
+            depw = depw + w_si * ts[sl]
+            run = run + sd_si
+        tau_c = run
 
-        # pair contribution behind the ray's carried transmittance
+        # pair contribution behind the ray's carried transmittance;
+        # column-slice accumulate (no (64, 8) upd concat)
         T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
-        upd = jnp.concatenate([
-            jnp.where(live, tau_c, 0.0),                # tau
-            T_bef * rgbw,                               # rgb
-            T_bef * depw,                               # depth
-            (hit & live).astype(jnp.float32),           # pairs rendered
-            jnp.zeros((TPX, 2), jnp.float32)], axis=1)
-        out_ref[:] = out_ref[:] + upd
+        out_ref[:, 0:1] += jnp.where(live, tau_c, 0.0)
+        out_ref[:, 1:4] += T_bef * rgbw
+        out_ref[:, 4:5] += T_bef * depw
+        out_ref[:, 5:6] += (hit & live).astype(jnp.float32)
 
 
 def _list_scalars(pool_blk, rays, tid, lbase, nslots, Lcall):
@@ -401,11 +401,17 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
                        jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
         sd = jnp.minimum(sd, 80.0)                          # (1, N)
 
+        # MLP input [sh ++ h] as a SPLIT matmul over w1t column slices —
+        # Mosaic rejects tpu.concatenate of mixed-offset operands (chip
+        # probe r3)
         sh_n = lane_tile(shT_ref[:])                        # (16, N)
-        x = jnp.concatenate([sh_n, hT], axis=0).astype(jnp.bfloat16)
-        a = jnp.maximum(jnp.dot(w1t_ref[:].astype(jnp.bfloat16), x,
-                                preferred_element_type=jnp.float32),
-                        0.0).astype(jnp.bfloat16)           # (64, N)
+        w1b = w1t_ref[:].astype(jnp.bfloat16)               # (64, 32)
+        a = jnp.maximum(
+            jnp.dot(w1b[:, 0:FEAT], sh_n.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(w1b[:, FEAT:], hT.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32),
+            0.0).astype(jnp.bfloat16)                       # (64, N)
         a = jnp.maximum(jnp.dot(w2t_ref[:].astype(jnp.bfloat16), a,
                                 preferred_element_type=jnp.float32),
                         0.0).astype(jnp.bfloat16)
@@ -413,32 +419,30 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
             jnp.dot(w3t_ref[:].astype(jnp.bfloat16), a,
                     preferred_element_type=jnp.float32))    # (3, N)
 
-        # ordered composite via 64-aligned lane slices: s-slice si of a
-        # (1, N) row is lanes [si*64, (si+1)*64)
-        cums = [jnp.zeros((1, TPX), jnp.float32)]
-        for si in range(S - 1):
-            cums.append(cums[-1] + sd[:, si * TPX:(si + 1) * TPX])
-        cum_excl = jnp.concatenate(cums, axis=1)            # (1, N)
-        w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))       # (1, N)
-        wr = w * rgbT                                       # (3, N)
-        wt = w * ts
-        tau_c = jnp.zeros((1, TPX), jnp.float32)
+        # ordered composite, running-accumulator form over 64-aligned
+        # lane slices (s-slice si of a (1, N) row = lanes [si*64,
+        # (si+1)*64)); the exclusive prefix lives in a (1, 64) register
+        # walked across slices — no materialized cum_excl, no
+        # tpu.concatenate of accumulated registers (Mosaic rejects
+        # mixed-offset concats, chip probe r3)
+        run = jnp.zeros((1, TPX), jnp.float32)
         rgbw = jnp.zeros((3, TPX), jnp.float32)
         depw = jnp.zeros((1, TPX), jnp.float32)
         for si in range(S):
             sl = slice(si * TPX, (si + 1) * TPX)
-            tau_c = tau_c + sd[:, sl]
-            rgbw = rgbw + wr[:, sl]
-            depw = depw + wt[:, sl]
+            sd_si = sd[:, sl]                               # (1, 64)
+            w_si = jnp.exp(-run) * (1.0 - jnp.exp(-sd_si))
+            rgbw = rgbw + w_si * rgbT[:, sl]
+            depw = depw + w_si * ts[:, sl]
+            run = run + sd_si
+        tau_c = run
 
+        # row-slice accumulate into the revisited block (no upd concat)
         T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)     # (1, 64)
-        upd = jnp.concatenate([
-            jnp.where(live, tau_c, 0.0),
-            T_bef * rgbw,
-            T_bef * depw,
-            (hit & live).astype(jnp.float32),
-            jnp.zeros((2, TPX), jnp.float32)], axis=0)      # (8, 64)
-        outT_ref[:] = outT_ref[:] + upd
+        outT_ref[0:1, :] += jnp.where(live, tau_c, 0.0)
+        outT_ref[1:4, :] += T_bef * rgbw
+        outT_ref[4:5, :] += T_bef * depw
+        outT_ref[5:6, :] += (hit & live).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -613,40 +617,45 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
             sd = jnp.where(ok_n,
                            jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
             sd = jnp.minimum(sd, 80.0)
-            x = jnp.concatenate([sh_n, hT], axis=0).astype(jnp.bfloat16)
-            a = jnp.maximum(jnp.dot(w1t_ref[:].astype(jnp.bfloat16), x,
-                                    preferred_element_type=jnp.float32),
-                            0.0).astype(jnp.bfloat16)
+            # split matmul for the [sh ++ h] MLP input; running-
+            # accumulator composite — both because Mosaic rejects
+            # tpu.concatenate of mixed-offset operands (chip probe r3,
+            # see _kernel_t)
+            w1b = w1t_ref[:].astype(jnp.bfloat16)
+            a = jnp.maximum(
+                jnp.dot(w1b[:, 0:FEAT], sh_n.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(w1b[:, FEAT:], hT.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32),
+                0.0).astype(jnp.bfloat16)
             a = jnp.maximum(jnp.dot(w2t_ref[:].astype(jnp.bfloat16), a,
                                     preferred_element_type=jnp.float32),
                             0.0).astype(jnp.bfloat16)
             rgbT = jax.nn.sigmoid(
                 jnp.dot(w3t_ref[:].astype(jnp.bfloat16), a,
                         preferred_element_type=jnp.float32))
-            cums = [jnp.zeros((1, TPX), jnp.float32)]
-            for si in range(S - 1):
-                cums.append(cums[-1] + sd[:, si * TPX:(si + 1) * TPX])
-            cum_excl = jnp.concatenate(cums, axis=1)
-            w = jnp.exp(-cum_excl) * (1.0 - jnp.exp(-sd))
-            wr = w * rgbT
-            wt = w * ts
-            tau_c = jnp.zeros((1, TPX), jnp.float32)
+            run = jnp.zeros((1, TPX), jnp.float32)
             rgbw = jnp.zeros((3, TPX), jnp.float32)
             depw = jnp.zeros((1, TPX), jnp.float32)
             for si in range(S):
                 sl = slice(si * TPX, (si + 1) * TPX)
-                tau_c = tau_c + sd[:, sl]
-                rgbw = rgbw + wr[:, sl]
-                depw = depw + wt[:, sl]
+                sd_si = sd[:, sl]
+                w_si = jnp.exp(-run) * (1.0 - jnp.exp(-sd_si))
+                rgbw = rgbw + w_si * rgbT[:, sl]
+                depw = depw + w_si * ts[:, sl]
+                run = run + sd_si
+            tau_c = run
             T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
             upd_tau = upd_tau + jnp.where(live, tau_c, 0.0)
             upd_rgb = upd_rgb + T_bef * rgbw
             upd_dep = upd_dep + T_bef * depw
             upd_cnt = upd_cnt + (hit & live).astype(jnp.float32)
             tau_tot = tau_tot + jnp.where(live, tau_c, 0.0)
-        upd = jnp.concatenate([upd_tau, upd_rgb, upd_dep, upd_cnt,
-                               jnp.zeros((2, TPX), jnp.float32)], axis=0)
-        outT_ref[:] = outT_ref[:] + upd
+        # row-slice accumulate (no (8, 64) upd concat)
+        outT_ref[0:1, :] += upd_tau
+        outT_ref[1:4, :] += upd_rgb
+        outT_ref[4:5, :] += upd_dep
+        outT_ref[5:6, :] += upd_cnt
 
 
 @functools.partial(jax.jit, static_argnames=(

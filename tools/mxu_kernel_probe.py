@@ -32,7 +32,7 @@ def main():
                                        **{k: v for k, v in kw.items()
                                           if k != "nslots"})
 
-    def check(name, fn, *fa, **fkw):
+    def check(name, fn, *fa, want=want, **fkw):
         t0 = time.time()
         try:
             got = np.asarray(fn(*fa, **fkw))
@@ -68,6 +68,19 @@ def main():
         check("t-kernel", brick_field_tiles_t, *aT, **kw)
         check("t-kernel banded", brick_field_tiles_t, *aT, tid=tid,
               Lcall=3, **band_kw)
+    if which in ("tp", "both"):
+        from google_nerf_tpu.ops.pallas.brick_field import \
+            brick_field_tiles_tp
+        args4, kw4 = _toy_inputs(Lp=4)
+        nslots4 = kw4.pop("nslots")
+        a4 = [jnp.asarray(x) for x in args4]
+        a4[4] = jnp.swapaxes(a4[4], 1, 2)
+        kw4["nslots"] = jnp.asarray(nslots4)
+        want4 = brick_field_tiles_reference(
+            *args4, nslots=nslots4,
+            **{k: v for k, v in kw4.items() if k != "nslots"})
+        check("tp-kernel P=2", brick_field_tiles_tp, *a4, P=2,
+              want=want4, **kw4)
     print("PROBE DONE")
 
 
