@@ -49,6 +49,7 @@ NEAR_DISTANCE = 0.05
                                    "T_threshold", "macro_tiles", "macro_L",
                                    "kernel", "bands", "drain_tiles",
                                    "drain_L", "pbatch", "interpret"))
+# bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
@@ -121,11 +122,11 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     sh = sh_encode_deg4(rays_du)
 
     if kernel == "tp":
-        field = partial(brick_field_tiles_tp, P=pbatch)
+        field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
     elif kernel == "t":
-        field = brick_field_tiles_t
+        field = partial(brick_field_tiles_t, Bk=bcfg.block)
     else:
-        field = brick_field_tiles
+        field = partial(brick_field_tiles, Bk=bcfg.block)
     fkw = dict(
         S=window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale),
         dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
@@ -250,8 +251,8 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     if interpret is None:  # Mosaic needs a TPU; elsewhere run interpreted
         interpret = jax.default_backend() != "tpu"
     tile = 8
-    assert bcfg.block == 8 and bcfg.feat_dim == 16, \
-        "kernel geometry is fixed at block=8, feat_dim=16"
+    assert bcfg.feat_dim == 16, "kernel row layout is 8 corners x 16 feat"
+    vox = bcfg.block ** 3
     if kernel == "tp":
         # list stride, band capacities, and the drain's per-tile list
         # length must all be pbatch-aligned (the P-batched kernel reads P
@@ -266,10 +267,10 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         # one-time device transpose on the baked dict
         if "poolT" not in baked:
             baked["poolT"] = jnp.swapaxes(
-                baked["pool"].reshape(-1, 512, 128), 1, 2)
+                baked["pool"].reshape(-1, vox, 128), 1, 2)
         pool3 = baked["poolT"]
     else:
-        pool3 = baked["pool"].reshape(-1, 512, 128)
+        pool3 = baked["pool"].reshape(-1, vox, 128)
     Wp = ((W + tile - 1) // tile) * tile
     Hp = ((H + tile - 1) // tile) * tile
     if (Wp, Hp) != (W, H):

@@ -53,14 +53,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TPX = 64          # rays per tile (8x8) — fixed by the raster design
-VOX = 512         # pool rows per brick (block=8 -> 8^3)
+VOX = 512         # pool rows per brick at the DEFAULT block=8 (Bk^3)
 ROWW = 128        # pool row lanes (8 corners x 16 features)
 FEAT = 16
 
 
 def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
             slab_ref, w1_ref, w2_ref, w3_ref, out_ref, *, S: int,
-            dt: float, inv2s: float, V: int, tau_max: float):
+            dt: float, inv2s: float, V: int, tau_max: float,
+            Bk: int = 8):
     """One (tile t, list slot l) grid step; out block revisited across l.
 
     List addressing is fully scalar-steered: tile t's slot l lives at row
@@ -113,7 +114,8 @@ def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
     @pl.when(work)
     def _body():
         N = S * TPX
-        slab = slab_ref[0].astype(jnp.bfloat16)             # (512, 128)
+        vox = Bk * Bk * Bk
+        slab = slab_ref[0].astype(jnp.bfloat16)             # (vox, 128)
         # corner-weight group reduce: (128, 16) constant, R[d*16+f, f]=1
         r_row = jax.lax.broadcasted_iota(jnp.int32, (ROWW, FEAT), 0)
         r_col = jax.lax.broadcasted_iota(jnp.int32, (ROWW, FEAT), 1)
@@ -135,10 +137,12 @@ def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
         pos = jnp.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
         v0 = jnp.floor(pos)
         frac = pos - v0
-        loc = jnp.clip(v0 - jnp.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
-        lid = ((loc[:, 0:1] * 8.0 + loc[:, 1:2]) * 8.0
+        fBk = float(Bk)
+        loc = jnp.clip(v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk,
+                       0.0, fBk - 1.0)
+        lid = ((loc[:, 0:1] * fBk + loc[:, 1:2]) * fBk
                + loc[:, 2:3]).astype(jnp.int32)             # (N, 1)
-        colv = jax.lax.broadcasted_iota(jnp.int32, (N, VOX), 1)
+        colv = jax.lax.broadcasted_iota(jnp.int32, (N, vox), 1)
         onehot = jnp.where(s_ok & (colv == lid), 1.0, 0.0) \
             .astype(jnp.bfloat16)
         out8 = jnp.dot(onehot, slab,
@@ -223,11 +227,11 @@ def _list_scalars(pool_blk, rays, tid, lbase, nslots, Lcall):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "interpret"))
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "Bk", "interpret"))
 def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
                       S: int, dt: float, inv2s: float, V: int,
                       tau_max: float, tid=None, lbase=None, nslots=None,
-                      Lcall: int = 0, interpret: bool = False):
+                      Lcall: int = 0, Bk: int = 8, interpret: bool = False):
     """Composite T tiles' rays through their brick lists on the MXU.
 
     pool_blk: (n_rows,) int32 pool-block DMA index per list row (invalid
@@ -254,6 +258,7 @@ def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
     tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
                                               nslots, Lcall)
     Tb = tid.shape[0]
+    vox = Bk * Bk * Bk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Tb, Lcall),
@@ -268,7 +273,7 @@ def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
                          (td[t], 0)),
             pl.BlockSpec((TPX, 16), lambda t, l, pb, lb, ns, td:
                          (td[t], 0)),
-            pl.BlockSpec((1, VOX, ROWW),
+            pl.BlockSpec((1, vox, ROWW),
                          lambda t, l, pb, lb, ns, td:
                          (pb[lb[t] + l], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -280,17 +285,17 @@ def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
     )
     meta = meta.reshape(-1, 1, 8)
     kern = functools.partial(_kernel, S=S, dt=dt, inv2s=inv2s, V=V,
-                             tau_max=tau_max)
+                             tau_max=tau_max, Bk=Bk)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * TPX, 8), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+            flops=2 * Tb * Lcall * S * TPX * (vox * ROWW + 32 * 64
                                               + 64 * 64 + 64 * 3
                                               + ROWW * FEAT),
-            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3.dtype.itemsize,
+            bytes_accessed=Tb * Lcall * vox * ROWW * pool3.dtype.itemsize,
             transcendentals=Tb * Lcall * S * TPX * 4),
     )(pool_blk, lbase, nslots, tid, meta, rays, sh, pool3, w1, w2, w3)
 
@@ -298,7 +303,7 @@ def brick_field_tiles(pool_blk, meta, rays, sh, pool3, w1, w2, w3, *,
 def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
               shT_ref, slabT_ref, rowv_ref, bitw_ref, w1t_ref, w2t_ref,
               w3t_ref, outT_ref, *, S: int, dt: float, inv2s: float,
-              V: int, tau_max: float):
+              V: int, tau_max: float, Bk: int = 8):
     """Transposed-layout variant: RAYS ON LANES.
 
     The n-major kernel's per-sample scalar chains ((N, 1) and (N, 3)
@@ -346,7 +351,7 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
     @pl.when(work)
     def _body():
         N = S * TPX
-        slabT = slabT_ref[0].astype(jnp.bfloat16)           # (128, 512)
+        slabT = slabT_ref[0].astype(jnp.bfloat16)           # (128, vox)
 
         def lane_tile(x):                   # (1or k, 64) -> (., N) s-major
             return jnp.concatenate([x] * S, axis=1)
@@ -361,6 +366,7 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
         ts = lane_tile(t1) + (n_s + 0.5) * dt
         o_n = lane_tile(o)                                  # (3, N)
         du_n = lane_tile(du)
+        fBk = float(Bk)
         lid = jnp.zeros((1, N), jnp.float32)
         frs = []
         for k in range(3):
@@ -368,8 +374,8 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
                            + 0.5, 0.0, 1.0 - 1e-6) * V
             v0 = jnp.floor(pos)
             frs.append(pos - v0)
-            lid = lid * 8.0 + jnp.clip(v0 - jnp.floor(v0 * 0.125) * 8.0,
-                                       0.0, 7.0)
+            lid = lid * fBk + jnp.clip(
+                v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk, 0.0, fBk - 1.0)
         lid_i = lid.astype(jnp.int32)                       # (1, N)
 
         # rowv is a PRECOMPUTED (VOX, N) int32 row-index table (the same
@@ -446,11 +452,12 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "interpret"))
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "Bk", "interpret"))
 def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                         *, S: int, dt: float, inv2s: float, V: int,
                         tau_max: float, tid=None, lbase=None, nslots=None,
-                        Lcall: int = 0, interpret: bool = False):
+                        Lcall: int = 0, Bk: int = 8,
+                        interpret: bool = False):
     """Transposed-layout entry: same contract as brick_field_tiles but
     pool3T is the PRE-TRANSPOSED pool (n_blocks, 128, 512); rays/sh/meta
     /weights are transposed on the fly (tiny XLA ops outside the
@@ -466,9 +473,10 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
     metaT = meta.reshape(-1, 1, 8)
     N = S * TPX
+    vox = Bk * Bk * Bk
     # loop-invariant lookup tables (see _kernel_t): voxel-row index and
     # corner-bit masks — built here once, resident in VMEM for every step
-    rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (vox, N), 0)
     bitw = jnp.stack([jnp.broadcast_to(
         ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
          ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
@@ -482,7 +490,7 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                          (td[t], 0)),
             pl.BlockSpec((FEAT, TPX), lambda t, l, pb, lb, ns, td:
                          (td[t], 0)),
-            pl.BlockSpec((1, ROWW, VOX),
+            pl.BlockSpec((1, ROWW, vox),
                          lambda t, l, pb, lb, ns, td:
                          (pb[lb[t] + l], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -495,17 +503,17 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                                (td[t], 0)),
     )
     kern = functools.partial(_kernel_t, S=S, dt=dt, inv2s=inv2s,
-                             V=V, tau_max=tau_max)
+                             V=V, tau_max=tau_max, Bk=Bk)
     outT = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+            flops=2 * Tb * Lcall * S * TPX * (vox * ROWW + 32 * 64
                                               + 64 * 64 + 64 * 3
                                               + ROWW * FEAT),
-            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3T.dtype.itemsize,
+            bytes_accessed=Tb * Lcall * vox * ROWW * pool3T.dtype.itemsize,
             transcendentals=Tb * Lcall * S * TPX * 4),
     )(pool_blk, lbase, nslots, tid, metaT, raysT, shT, pool3T, rowv, bitw,
       w1.T, w2.T, w3.T)
@@ -514,7 +522,7 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
 
 def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
                shT_ref, *slab_w_out, S: int, dt: float, inv2s: float,
-               V: int, tau_max: float, P: int):
+               V: int, tau_max: float, P: int, Bk: int = 8):
     """P-slot batched transposed kernel: one grid step renders P
     consecutive list slots (P slab DMAs, P sub-brick bodies chained
     through a REGISTER tau carry).  Semantics are identical to _kernel_t
@@ -590,6 +598,7 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
             hitf = jnp.where(hit, 1.0, 0.0)
             ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1s[k]))
             ts = t1_n + (n_s + 0.5) * dt
+            fBk = float(Bk)
             lid = jnp.zeros((1, N), jnp.float32)
             frs = []
             for kk in range(3):
@@ -597,8 +606,9 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
                                * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
                 v0 = jnp.floor(pos)
                 frs.append(pos - v0)
-                lid = lid * 8.0 + jnp.clip(
-                    v0 - jnp.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
+                lid = lid * fBk + jnp.clip(
+                    v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk,
+                    0.0, fBk - 1.0)
             lid_i = lid.astype(jnp.int32)
             ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
                             1.0, 0.0).astype(jnp.bfloat16)
@@ -659,11 +669,11 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "P", "interpret"))
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "P", "Bk", "interpret"))
 def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                          *, S: int, dt: float, inv2s: float, V: int,
                          tau_max: float, tid=None, lbase=None, nslots=None,
-                         Lcall: int = 0, P: int = 4,
+                         Lcall: int = 0, P: int = 4, Bk: int = 8,
                          interpret: bool = False):
     """P-slot batched transposed entry: contract of brick_field_tiles_t,
     plus the requirement that Lcall and every lbase are multiples of P
@@ -677,14 +687,15 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
     metaP = meta.reshape(-1, 1, 8)
     N = S * TPX
-    rowv = jax.lax.broadcasted_iota(jnp.int32, (VOX, N), 0)
+    vox = Bk * Bk * Bk
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (vox, N), 0)
     bitw = jnp.stack([jnp.broadcast_to(
         ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
          ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
     # lbase must be P-aligned for the (P, 1, 8) meta block read
     lbase = (lbase // P) * P
     slab_specs = [
-        pl.BlockSpec((1, ROWW, VOX),
+        pl.BlockSpec((1, ROWW, vox),
                      functools.partial(
                          lambda t, l, pb, lb, ns, td, k=0:
                          (pb[lb[t] + l * P + k], 0, 0), k=k))
@@ -711,17 +722,17 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                                (td[t], 0)),
     )
     kern = functools.partial(_kernel_tp, S=S, dt=dt, inv2s=inv2s,
-                             V=V, tau_max=tau_max, P=P)
+                             V=V, tau_max=tau_max, P=P, Bk=Bk)
     outT = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lcall * S * TPX * (VOX * ROWW + 32 * 64
+            flops=2 * Tb * Lcall * S * TPX * (vox * ROWW + 32 * 64
                                               + 64 * 64 + 64 * 3
                                               + ROWW * FEAT),
-            bytes_accessed=Tb * Lcall * VOX * ROWW * pool3T.dtype.itemsize,
+            bytes_accessed=Tb * Lcall * vox * ROWW * pool3T.dtype.itemsize,
             transcendentals=Tb * Lcall * S * TPX * 4),
     )(pool_blk, lbase, nslots, tid, metaP, raysT, shT,
       *([pool3T] * P), rowv, bitw, w1.T, w2.T, w3.T)
@@ -730,7 +741,8 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
 
 def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
                                 w2, w3, *, S, dt, inv2s, V, tau_max,
-                                tid=None, lbase=None, nslots=None):
+                                tid=None, lbase=None, nslots=None,
+                                Bk: int = 8):
     """Pure-numpy restatement of the kernel semantics (same l ordering,
     same early-termination rule, same tid/lbase/nslots list addressing)
     for golden tests."""
@@ -770,7 +782,7 @@ def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
             live = tau_tot < tau_max
             if not np.any(hit & live):
                 continue
-            slab = pool3[pool_blk[int(lbase[b]) + l]]      # (512, 128)
+            slab = pool3[pool_blk[int(lbase[b]) + l]]      # (vox, 128)
             tau_c = np.zeros(TPX)
             rgbw = np.zeros((TPX, 3))
             depw = np.zeros(TPX)
@@ -782,8 +794,9 @@ def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
                 pos = np.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
                 v0 = np.floor(pos)
                 frac = pos - v0
-                loc = np.clip(v0 - np.floor(v0 * 0.125) * 8.0, 0.0, 7.0)
-                lid = ((loc[:, 0] * 8 + loc[:, 1]) * 8
+                loc = np.clip(v0 - np.floor(v0 / Bk) * Bk,
+                              0.0, Bk - 1.0)
+                lid = ((loc[:, 0] * Bk + loc[:, 1]) * Bk
                        + loc[:, 2]).astype(np.int64)
                 rows = slab[lid].reshape(TPX, 8, FEAT)
                 w8 = np.ones((TPX, 8))

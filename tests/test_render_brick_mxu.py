@@ -18,18 +18,19 @@ from google_nerf_tpu.ops.pallas.brick_field import (
     brick_field_tiles_tp, window_span)
 
 
-def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
+def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0, Bk=8):
     """Random bricks laid along +z in [-0.5, 0.5]^3 with rays marching
     through them from z=-1."""
     rng = np.random.RandomState(seed)
     V, s = 32, 0.5
-    # bricks: blocks of the V/8-per-axis block grid, placed on the z axis
+    vox = Bk ** 3
+    # bricks: blocks of the V/Bk-per-axis block grid, on the z axis
     blk = np.stack([np.full(n_blocks, 1), np.full(n_blocks, 1),
-                    np.arange(n_blocks)], -1)  # block coords in 4^3 grid
-    lo = (blk * 8 / V * 2.0 - 1.0) * s
-    hi = ((blk + 1) * 8 / V * 2.0 - 1.0) * s
-    pool3 = rng.randn(n_blocks, 512, 128).astype(np.float32) * 0.1
-    pool3[..., 0::16] = rng.randn(n_blocks, 512, 8) * sigma_scale
+                    np.arange(n_blocks)], -1)  # block coords
+    lo = (blk * Bk / V * 2.0 - 1.0) * s
+    hi = ((blk + 1) * Bk / V * 2.0 - 1.0) * s
+    pool3 = rng.randn(n_blocks, vox, 128).astype(np.float32) * 0.1
+    pool3[..., 0::16] = rng.randn(n_blocks, vox, 8) * sigma_scale
     # per-(t,l) lists: both tiles see all bricks front-to-back
     order = np.arange(n_blocks)
     pool_blk = np.tile(order[:Lp], T).astype(np.int32)
@@ -56,8 +57,11 @@ def _toy_inputs(seed=0, T=2, Lp=3, n_blocks=4, sigma_scale=1.0):
     sh = rng.randn(T * 64, 16).astype(np.float32) * 0.3
     key = jax.random.PRNGKey(1)
     w1, w2, w3 = init_mlp(key, [32, 64, 64, 3])
-    kw = dict(S=9, dt=float(np.sqrt(3) / 128), inv2s=1.0, V=V,
-              tau_max=float(-np.log(1e-2)))
+    # S truncates the window identically in kernel and reference, so any
+    # S works for goldens; scale it with the brick edge
+    kw = dict(S=(9 if Bk == 8 else 5),
+              dt=float(np.sqrt(3) / 128), inv2s=1.0, V=V,
+              tau_max=float(-np.log(1e-2)), Bk=Bk)
     kw["nslots"] = nslots
     return (pool_blk, meta, rays, sh, pool3,
             np.asarray(w1), np.asarray(w2), np.asarray(w3)), kw
@@ -295,3 +299,26 @@ def test_overflow_drain_restores_exactness(scene, kernel):
     assert int(banded["pairs_undrained"]) == 0
     np.testing.assert_allclose(np.asarray(banded["rgb"]),
                                np.asarray(ample["rgb"]), atol=1e-5)
+
+@pytest.mark.parametrize("kern,P", [("n", 0), ("t", 0), ("tp", 2)])
+def test_block4_kernel_matches_reference_interpret(kern, P):
+    """Bk=4 slab geometry (64-voxel bricks): all three kernel layouts
+    keep the golden semantics with the parametrized lid/one-hot math."""
+    args, kw = _toy_inputs(Lp=4, Bk=4)
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
+    a = [jnp.asarray(x) for x in args]
+    if kern != "n":
+        a[4] = jnp.swapaxes(a[4], 1, 2)
+    fn = {"n": brick_field_tiles, "t": brick_field_tiles_t,
+          "tp": brick_field_tiles_tp}[kern]
+    fkw = dict(kw)
+    if kern == "tp":
+        fkw["P"] = P
+    got = np.asarray(fn(*a, nslots=jnp.asarray(nslots), interpret=True,
+                        **fkw))
+    want = brick_field_tiles_reference(*args, nslots=nslots, **kw)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])

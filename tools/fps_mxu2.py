@@ -24,6 +24,13 @@ print = functools.partial(print, flush=True)
 
 VARIANTS = {
     "tp4": dict(kernel="tp", pbatch=4),
+    # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x
+    # more pairs -> expected net ~4x (see DESIGN_NOTES R3.2 flop budget)
+    "tp4_b4": dict(kernel="tp", pbatch=4, block=4, L=128, drain_L=512),
+    "tp8_b4": dict(kernel="tp", pbatch=8, block=4, L=128, drain_L=512),
+    "t_b4":   dict(kernel="t", block=4, L=128, drain_L=512),
+    "tp8_b4_ms256": dict(kernel="tp", pbatch=8, block=4, L=128,
+                         drain_L=512, max_samples=256),
     "tp8": dict(kernel="tp", pbatch=8),
     "t": dict(kernel="t"),
     "n": dict(kernel="n"),
@@ -88,12 +95,21 @@ def main():
                  **{f"p{i}": np.asarray(l, dtype=np.float32)
                     for i, l in enumerate(flat)})
 
-    bcfg = BakedConfig(voxel_res=512, block=8, dtype="float8_e4m3fn")
-    t0 = time.time()
-    baked = bake(state["params"], cfg.model, state["occ"], bcfg)
-    print(f"bake: {time.time()-t0:.0f}s, {baked['n_blocks']} blocks")
-    geo = brick_geometry(baked["block_map"], bcfg, cfg.model)
-    print(f"bricks: {geo[0].shape[0]}")
+    baked_by_blk, geo_by_blk, bcfg_by_blk = {}, {}, {}
+
+    def get_baked(blk):
+        if blk not in baked_by_blk:
+            bc = BakedConfig(voxel_res=512, block=blk,
+                             dtype="float8_e4m3fn")
+            t0 = time.time()
+            bk = bake(state["params"], cfg.model, state["occ"], bc)
+            print(f"bake(block={blk}): {time.time()-t0:.0f}s, "
+                  f"{bk['n_blocks']} blocks")
+            baked_by_blk[blk] = bk
+            bcfg_by_blk[blk] = bc
+            geo_by_blk[blk] = brick_geometry(bk["block_map"], bc,
+                                             cfg.model)
+        return baked_by_blk[blk], bcfg_by_blk[blk], geo_by_blk[blk]
 
     ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
                             style="textured")
@@ -104,6 +120,7 @@ def main():
         v = dict(L=64, max_samples=512, chunk_tiles=512, bands="auto",
                  drain_tiles=256)
         v.update(VARIANTS[name])
+        baked, bcfg, geo = get_baked(v.pop("block", 8))
 
         def frame():
             return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
