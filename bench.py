@@ -257,10 +257,13 @@ def main():
         res = {}
 
         def frame():
+            # kernel=tp pbatch=8: best of the r3 chip sweep (1.10 FPS vs
+            # t 0.94 / n 0.62 at equal exactness, tools/fps_mxu2.py)
             out = render_brick_mxu(
                 shared["baked"], cfg.model, rays_o, rays_d, w, h,
-                bcfg=shared["bcfg"], L=64, kernel="t", bands="auto",
-                max_samples=ms_render, T_threshold=1e-2, geometry=geo)
+                bcfg=shared["bcfg"], L=64, kernel="tp", pbatch=8,
+                bands="auto", max_samples=ms_render, T_threshold=1e-2,
+                geometry=geo)
             res["telemetry"] = {k: out[k]
                                 for k in ("trunc_tiles", "pairs_undrained")
                                 if k in out}

@@ -35,10 +35,9 @@ from google_nerf_tpu.models.ngp import NGPConfig
 from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  _tile_lists,
                                                  brick_geometry, tile_order)
-from google_nerf_tpu.ops.pallas.brick_field import (brick_field_tiles,
-                                                    brick_field_tiles_t,
-                                                    brick_field_tiles_tp,
-                                                    window_span)
+from google_nerf_tpu.ops.pallas.brick_field import (
+    brick_field_sigma_tp, brick_field_tiles, brick_field_tiles_t,
+    brick_field_tiles_tp, window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
 SQRT3 = 3.0 ** 0.5
@@ -48,14 +47,17 @@ NEAR_DISTANCE = 0.05
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
                                    "kernel", "bands", "drain_tiles",
-                                   "drain_L", "pbatch", "interpret"))
+                                   "drain_L", "pbatch", "prepass",
+                                   "prepass_L", "prepass_ms",
+                                   "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
                kernel: str = "n", bands: tuple = (),
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
-               interpret: bool = False):
+               sig3=None, prepass: float = 0.0, prepass_L: int = 32,
+               prepass_ms: int = 0, interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
     T = R // 64
@@ -121,6 +123,44 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
 
+    # ---- sigma prepass (two-phase): score every (tile, slot) pair with
+    # a 16x-narrower sigma-only kernel, then COMPACT each tile's list to
+    # the pairs whose weight or window tau clears eps for some ray.  A
+    # pruned pair is certified < eps everywhere; kept-overflow tiles
+    # (> prepass_L surviving pairs) re-render exactly via the drain. ----
+    over_pre = jnp.zeros((T,), bool)
+    pairs_pruned = jnp.int32(0)
+    if prepass > 0.0:
+        ms_pre = prepass_ms or max_samples
+        dt_pre = SQRT3 / ms_pre
+        P_pre = max(p for p in (8, 4, 2, 1) if Lp % p == 0)
+        _, scores = brick_field_sigma_tp(
+            pool_blk, meta, rays8, sig3,
+            S=window_span(ms_pre, bcfg.block, bcfg.voxel_res, cfg.scale),
+            dt=dt_pre, inv2s=0.5 / s, V=bcfg.voxel_res,
+            tau_max=float(-np.log(T_threshold)), nslots=nvalid,
+            P=P_pre, Bk=bcfg.block, interpret=interpret)
+        sc = jnp.max(scores, axis=(1, 2)).reshape(T, Lp)
+        keep = sc > prepass
+        kc = jnp.sum(keep, axis=1).astype(jnp.int32)
+        Lk = min(prepass_L, Lp)
+        if kernel == "tp":
+            Lk = max(pbatch, (Lk // pbatch) * pbatch)
+        # stable per-row compaction: sorted kept positions, first Lk
+        posk = jnp.where(keep, jnp.arange(Lp, dtype=jnp.int32), Lp)
+        posk = jax.lax.sort(posk, dimension=1)[:, :Lk]      # (T, Lk)
+        valid2 = posk < Lp
+        bidx2 = jnp.where(
+            valid2,
+            jnp.take_along_axis(bidx, jnp.minimum(posk, Lp - 1), axis=1),
+            -1)
+        pool_blk, meta, nvalid = pack_lists(bidx2)
+        over_pre = kc > Lk
+        pairs_pruned = jnp.sum(
+            jnp.minimum(jnp.sum(bidx >= 0, 1), Lp) - kc).astype(jnp.int32)
+        Lp = Lk
+        bands = ()          # compact lists are dense; banding adds calls
+
     if kernel == "tp":
         field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
     elif kernel == "t":
@@ -170,7 +210,15 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     # at drain_L slots for up to drain_tiles cones.  The kernel's l-grid
     # is the cursor, so one extra call drains everything; only content
     # beyond drain_L or beyond drain_tiles remains culled — counted.
-    need = (t_rel > cap) | macro_over
+    # With the prepass, capacity cuts of sub-eps pairs are INTENTIONAL:
+    # only kept-overflow tiles (and macro overflows) need draining, and
+    # miss sizes count surviving pairs, not the pruned ones.
+    if prepass > 0.0:
+        need = over_pre | macro_over
+        miss_sz = jnp.maximum(kc - Lp, 0)
+    else:
+        need = (t_rel > cap) | macro_over
+        miss_sz = jnp.maximum(t_rel - cap, 0)
     if drain_tiles > 0:
         D = min(drain_tiles, T)
 
@@ -199,7 +247,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             # exactness accounting: tiles needing drain beyond D, and
             # drained tiles whose true list exceeded drain_L
             missed = need & ~dm_t
-            und = (jnp.sum(jnp.where(missed, t_rel - cap, 0))
+            und = (jnp.sum(jnp.where(missed, miss_sz, 0))
                    + jnp.sum(jnp.where(dmask,
                                        jnp.maximum(rel_e - drain_L, 0),
                                        0))).astype(jnp.int32)
@@ -213,7 +261,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             jnp.any(need), run_drain,
             lambda o: (o, jnp.int32(0), jnp.int32(0)), out)
     else:
-        undrained = jnp.sum(jnp.where(need, t_rel - cap, 0)) \
+        undrained = jnp.sum(jnp.where(need, miss_sz, 0)) \
             .astype(jnp.int32)
         trunc = need.sum().astype(jnp.int32)
 
@@ -222,6 +270,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                 opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
                 pairs_rendered=out[:, 5].sum().astype(jnp.int32),
                 pairs_undrained=undrained,
+                pairs_pruned=pairs_pruned,
                 trunc_tiles=trunc)
 
 
@@ -231,8 +280,9 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
                      macro_L: int = 1024, geometry=None, kernel: str = "n",
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
-                     pbatch: int = 4, exp_step_factor: float = 0.0,
-                     interpret=None):
+                     pbatch: int = 4, prepass: float = 0.0,
+                     prepass_L: int = 32, prepass_ms: int = 0,
+                     exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
     bands: () = every tile gets L list slots (one kernel call/chunk);
@@ -271,6 +321,13 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         pool3 = baked["poolT"]
     else:
         pool3 = baked["pool"].reshape(-1, vox, 128)
+    sig3 = None
+    if prepass > 0.0:
+        assert kernel in ("t", "tp"), "prepass needs the transposed pool"
+        if "sigT" not in baked:
+            # log-sigma corner rows of every slab (nb, 8, vox)
+            baked["sigT"] = pool3[:, 0::16, :] + 0  # materialized copy
+        sig3 = baked["sigT"]
     Wp = ((W + tile - 1) // tile) * tile
     Hp = ((H + tile - 1) // tile) * tile
     if (Wp, Hp) != (W, H):
@@ -316,7 +373,9 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
                      else max(pbatch, (min(drain_L, int(lo.shape[0]))
                                        // pbatch) * pbatch)),
-            pbatch=pbatch, interpret=interpret))
+            pbatch=pbatch, sig3=sig3, prepass=prepass,
+            prepass_L=prepass_L, prepass_ms=prepass_ms,
+            interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
            for k in outs[0]}
@@ -336,4 +395,5 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     return dict(rgb=rgb, opacity=opacity, depth=depth,
                 trunc_tiles=cat["trunc_tiles"],
                 pairs_rendered=cat["pairs_rendered"],
-                pairs_undrained=cat["pairs_undrained"])
+                pairs_undrained=cat["pairs_undrained"],
+                pairs_pruned=cat["pairs_pruned"])

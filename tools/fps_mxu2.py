@@ -24,6 +24,13 @@ print = functools.partial(print, flush=True)
 
 VARIANTS = {
     "tp4": dict(kernel="tp", pbatch=4),
+    # two-phase: sigma prepass scores all pairs (16x narrower matmul),
+    # main pass runs on per-tile lists compacted to the >eps pairs
+    "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),
+    "tp8_pp48": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=48),
+    "tp8_pp_pre256": dict(kernel="tp", pbatch=8, prepass=1e-3,
+                          prepass_L=32, prepass_ms=256),
+    "tp8_pp_e2": dict(kernel="tp", pbatch=8, prepass=1e-2, prepass_L=32),
     # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x
     # more pairs -> expected net ~4x (see DESIGN_NOTES R3.2 flop budget)
     "tp4_b4": dict(kernel="tp", pbatch=4, block=4, L=128, drain_L=512),
