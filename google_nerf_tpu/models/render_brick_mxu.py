@@ -140,8 +140,22 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             dt=dt_pre, inv2s=0.5 / s, V=bcfg.voxel_res,
             tau_max=float(-np.log(T_threshold)), nslots=nvalid,
             P=P_pre, Bk=bcfg.block, interpret=interpret)
-        sc = jnp.max(scores, axis=(1, 2)).reshape(T, Lp)
-        keep = sc > prepass
+        w_mx = jnp.max(scores[:, 0], axis=1).reshape(T, Lp)
+        tau_mx = jnp.max(scores[:, 1], axis=1).reshape(T, Lp)
+        # keep every pair whose weight clears eps; among the rest, drop
+        # only the ascending-tau prefix whose PER-TILE tau sum stays
+        # under 3*eps — so the aggregate transmittance error of all
+        # drops is bounded (~3*eps in tau), not just each pair's.
+        # (Occluded drops self-bound: once T_bef < eps the remaining
+        # weights sum to < eps collectively.)
+        base_keep = w_mx > prepass
+        cand = jnp.where(base_keep, jnp.inf, tau_mx)
+        st = jax.lax.sort(cand, dimension=1)
+        cum = jnp.cumsum(jnp.where(jnp.isfinite(st), st, 0.0), axis=1)
+        th = jnp.max(jnp.where((cum <= 3.0 * prepass)
+                               & jnp.isfinite(st), st, -jnp.inf),
+                     axis=1, keepdims=True)
+        keep = base_keep | (tau_mx > th)
         kc = jnp.sum(keep, axis=1).astype(jnp.int32)
         Lk = min(prepass_L, Lp)
         if kernel == "tp":
