@@ -89,6 +89,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                                   tan_t, t_far, L=L)
         macro_over = jnp.zeros((T,), bool)
     Lp = bidx.shape[1]
+    L_orig = Lp     # pre-compaction list capacity (prepass drain trigger)
 
     # re-key the selected lists to PLAIN front-to-back center depth: the
     # selection key's relevance tiers would misorder the in-kernel
@@ -150,12 +151,22 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         # weights sum to < eps collectively.)
         base_keep = w_mx > prepass
         cand = jnp.where(base_keep, jnp.inf, tau_mx)
-        st = jax.lax.sort(cand, dimension=1)
+        # drop by RANK in the ascending-tau sort, not by threshold: with
+        # tied tau values a threshold drops every tie and the dropped
+        # per-tile tau sum can exceed the 3*eps budget by the tie count
+        # (ADVICE r3).  n_drop = longest ascending prefix with
+        # cum tau <= 3*eps; slots at sorted rank < n_drop are dropped.
+        iota_l = jnp.broadcast_to(
+            jnp.arange(Lp, dtype=jnp.int32), cand.shape)
+        st, pord = jax.lax.sort((cand, iota_l), dimension=1, num_keys=1)
         cum = jnp.cumsum(jnp.where(jnp.isfinite(st), st, 0.0), axis=1)
-        th = jnp.max(jnp.where((cum <= 3.0 * prepass)
-                               & jnp.isfinite(st), st, -jnp.inf),
-                     axis=1, keepdims=True)
-        keep = base_keep | (tau_mx > th)
+        n_drop = jnp.sum((cum <= 3.0 * prepass) & jnp.isfinite(st),
+                         axis=1, keepdims=True)                 # (T, 1)
+        drop_sorted = (iota_l < n_drop).astype(jnp.int32)
+        # invert the sort permutation: resort (pord, drop) by pord
+        _, dropped = jax.lax.sort((pord, drop_sorted), dimension=1,
+                                  num_keys=1)                   # slot order
+        keep = base_keep | (dropped == 0)
         kc = jnp.sum(keep, axis=1).astype(jnp.int32)
         Lk = min(prepass_L, Lp)
         if kernel == "tp":
@@ -228,8 +239,13 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     # only kept-overflow tiles (and macro overflows) need draining, and
     # miss sizes count surviving pairs, not the pruned ones.
     if prepass > 0.0:
-        need = over_pre | macro_over
-        miss_sz = jnp.maximum(kc - Lp, 0)
+        # ADVICE r3 (high): tiles whose TRUE relevant count exceeded the
+        # ORIGINAL list capacity were truncated at the cull's top_k before
+        # the prepass ever scored them — they must drain (the drain
+        # rebuilds lists from scratch at drain_L) or count as undrained.
+        need = over_pre | macro_over | (t_rel > L_orig)
+        miss_sz = (jnp.maximum(kc - Lp, 0)
+                   + jnp.maximum(t_rel - L_orig, 0))
     else:
         need = (t_rel > cap) | macro_over
         miss_sz = jnp.maximum(t_rel - cap, 0)
@@ -303,6 +319,14 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     "auto" = occupancy-banded scheduling (1/8 of tiles at L, 1/8 at L/2,
     1/4 at L/4, 1/2 at L/8 — tiles argsorted by true list occupancy);
     or an explicit tuple of (n_tiles, Lp) pairs summing to chunk_tiles.
+
+    prepass_ms: lattice resolution of the sigma prepass (0 = max_samples).
+    CAUTION: setting it below max_samples scores tau at a coarser step, so
+    a thin high-sigma feature the fine main pass resolves can be
+    under-integrated by the prepass and a > eps pair mistakenly pruned —
+    the eps certificate then only holds at the prepass resolution
+    (ADVICE r3).  Use prepass_ms < max_samples only for speed sweeps, not
+    for exactness claims.
 
     drain_tiles/drain_L: exact overflow drain — per chunk, up to
     drain_tiles tiles whose true brick count exceeds their band/list

@@ -692,8 +692,10 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     bitw = jnp.stack([jnp.broadcast_to(
         ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
          ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
-    # lbase must be P-aligned for the (P, 1, 8) meta block read
-    lbase = (lbase // P) * P
+    # CONTRACT: every lbase must be a multiple of P (the (P, 1, 8) meta
+    # block read starts at lb//P).  No silent rounding — a misaligned
+    # lbase would quietly render SHIFTED lists; let it surface as wrong
+    # scores in tests instead (ADVICE r3; Lcall has the loud assert).
     slab_specs = [
         pl.BlockSpec((1, ROWW, vox),
                      functools.partial(
@@ -885,7 +887,7 @@ def brick_field_sigma_tp(pool_blk, meta, rays, sig3, *, S: int, dt: float,
     bitw8 = jnp.stack([jnp.broadcast_to(
         ((jnp.arange(8, dtype=jnp.int32)[:, None] >> k) & 1
          ).astype(jnp.float32), (8, N)) for k in range(3)])
-    lbase = (lbase // P) * P
+    # CONTRACT: lbase must be P-aligned (see brick_field_tiles_tp)
     slab_specs = [
         pl.BlockSpec((1, 8, vox),
                      functools.partial(

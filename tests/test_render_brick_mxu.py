@@ -372,6 +372,32 @@ def test_sigma_prepass_scores_certify_contribution():
         **{k: v for k, v in kw.items()})
     assert np.max(np.abs(pruned[:, 1:4] - full[:, 1:4])) < 20 * eps
 
+def test_prepass_list_overflow_still_drains(scene):
+    """ADVICE r3 (high): with the prepass on, a tile whose TRUE brick
+    count exceeds the original list capacity L was truncated by the
+    cull's top_k BEFORE the prepass scored it — it must still drain (or
+    count as undrained), not silently certify exactness."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, kernel="tp", pbatch=2)
+    ample = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64,
+                             drain_tiles=0, **kw)
+    assert int(ample["trunc_tiles"]) == 0
+    # L=4 truncates true lists; prepass on; drains OFF -> must be counted
+    cut = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4, prepass=1e-3,
+                           prepass_L=4, drain_tiles=0, **kw)
+    assert int(cut["pairs_undrained"]) > 0
+    # drains ON -> exactness restored vs the ample frame
+    drained = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4,
+                               prepass=1e-3, prepass_L=4, drain_tiles=4,
+                               drain_L=64, **kw)
+    assert int(drained["pairs_undrained"]) == 0
+    mae = float(jnp.abs(drained["rgb"] - ample["rgb"]).mean())
+    assert mae < 5e-3, mae
+
+
 @pytest.mark.parametrize("kernel", ["t", "tp"])
 def test_prepass_frame_matches_full(scene, kernel):
     """Two-phase (sigma prepass + compacted main pass) frame must agree
