@@ -36,8 +36,8 @@ from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  _tile_lists,
                                                  brick_geometry, tile_order)
 from google_nerf_tpu.ops.pallas.brick_field import (
-    brick_field_sigma_tp, brick_field_tiles, brick_field_tiles_t,
-    brick_field_tiles_tp, window_span)
+    brick_field_sigma_tp, brick_field_tiles, brick_field_tiles_rgba,
+    brick_field_tiles_t, brick_field_tiles_tp, window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
 SQRT3 = 3.0 ** 0.5
@@ -49,7 +49,7 @@ NEAR_DISTANCE = 0.05
                                    "kernel", "bands", "drain_tiles",
                                    "drain_L", "pbatch", "prepass",
                                    "prepass_L", "prepass_ms",
-                                   "interpret"))
+                                   "segment_slots", "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
@@ -57,7 +57,8 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                kernel: str = "n", bands: tuple = (),
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
                sig3=None, prepass: float = 0.0, prepass_L: int = 32,
-               prepass_ms: int = 0, interpret: bool = False):
+               prepass_ms: int = 0, segment_slots: int = 0,
+               interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
     T = R // 64
@@ -190,6 +191,12 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
     elif kernel == "t":
         field = partial(brick_field_tiles_t, Bk=bcfg.block)
+    elif kernel == "rgba":
+        # pre-shaded slabs (models/baked_rgba.py): pool3 here is the
+        # per-frame (nb, 32, vox) rgba pool; sh/mlp args are unused
+        def field(pb, mt, r8, _sh, p3, _w1, _w2, _w3, **fk):
+            return brick_field_tiles_rgba(pb, mt, r8, p3,
+                                          Bk=bcfg.block, **fk)
     else:
         field = partial(brick_field_tiles, Bk=bcfg.block)
     fkw = dict(
@@ -197,7 +204,49 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         dt=dt, inv2s=0.5 / s, V=bcfg.voxel_res,
         tau_max=float(-np.log(T_threshold)), interpret=interpret)
     fargs = (rays8, sh, pool3, rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
-    if not bands:
+    dma_slots = jnp.sum(nvalid)          # default: every real slot DMAs
+    if segment_slots > 0 and kernel in ("tp", "rgba") and not bands:
+        # ---- segmented-l rendering with DEAD-TILE DMA elision ----
+        # The kernel-cost probe (R4) measured the frame wall as slab-DMA
+        # issue cost (~2.4 us/slot fp8-64KB) with the compute body fully
+        # hidden — so the win is not evaluating fewer pairs, it is
+        # ISSUING fewer DMAs.  Render the list in segments of segment_
+        # slots; between segments, tiles whose rays have ALL terminated
+        # (or whose list is exhausted) have their remaining slots'
+        # pool-block ids rewritten to a constant — consecutive equal
+        # block indices make the Mosaic pipeline skip the slab fetch —
+        # and nslots=0 skips the body.  Exactness is unchanged: a tile
+        # is only skipped when the kernel's own per-ray live gate would
+        # contribute nothing.  The composite resumes across calls via
+        # the kernel's init carry.
+        segL = max(pbatch, (segment_slots // pbatch) * pbatch)
+        while Lp % segL:
+            segL -= pbatch
+        segL = max(segL, pbatch)
+        tau_max_v = float(-np.log(T_threshold))
+        pbT = pool_blk.reshape(T, Lp)
+        mtT = meta.reshape(T, Lp, 8)
+        tid_all = jnp.arange(T, dtype=jnp.int32)
+        lb_seg = tid_all * segL
+        out = jnp.zeros((T * 64, 8), jnp.float32)
+        dma_slots = jnp.int32(0)
+        for si in range(Lp // segL):
+            s0 = si * segL
+            ns_rem = jnp.clip(nvalid - s0, 0, segL)
+            if si == 0:
+                live_t = ns_rem > 0
+            else:
+                tau_t = out[:, 0].reshape(T, 64)
+                live_t = jnp.any(tau_t < tau_max_v, axis=1) & (ns_rem > 0)
+            pb_seg = jnp.where(live_t[:, None], pbT[:, s0:s0 + segL],
+                               0).reshape(-1)
+            mt_seg = mtT[:, s0:s0 + segL].reshape(-1, 8)
+            out = field(pb_seg, mt_seg, *fargs, tid=tid_all, lbase=lb_seg,
+                        nslots=jnp.where(live_t, ns_rem, 0), Lcall=segL,
+                        init=out, **fkw)
+            dma_slots += jnp.sum(jnp.where(live_t, ns_rem, 0))
+        cap = jnp.full((T,), Lp, jnp.int32)
+    elif not bands:
         out = field(pool_blk, meta, *fargs, nslots=nvalid, **fkw)
         cap = jnp.full((T,), Lp, jnp.int32)
     else:
@@ -227,6 +276,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         out = outs[0]
         for b in range(1, len(bands)):
             out = jnp.where(sel == b, outs[b], out)
+        dma_slots = jnp.sum(jnp.minimum(nvalid, cap))
 
     # ---- exact overflow drain (VERDICT r3: no silent content drops) ----
     # Tiles whose TRUE relevant count exceeds their rendered capacity (or
@@ -283,13 +333,15 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                                        0))).astype(jnp.int32)
             tr = (missed.sum()
                   + jnp.sum(dmask & (rel_e > drain_L))).astype(jnp.int32)
-            return out, und, tr
+            dsl = jnp.sum(jnp.where(dmask, nv_e, 0)).astype(jnp.int32)
+            return out, und, tr, dsl
 
         # frames whose lists all fit their capacity skip the drain's
         # selection AND kernel call at runtime (lax.cond)
-        out, undrained, trunc = jax.lax.cond(
+        out, undrained, trunc, drain_slots = jax.lax.cond(
             jnp.any(need), run_drain,
-            lambda o: (o, jnp.int32(0), jnp.int32(0)), out)
+            lambda o: (o, jnp.int32(0), jnp.int32(0), jnp.int32(0)), out)
+        dma_slots = dma_slots + drain_slots
     else:
         undrained = jnp.sum(jnp.where(need, miss_sz, 0)) \
             .astype(jnp.int32)
@@ -301,6 +353,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                 pairs_rendered=out[:, 5].sum().astype(jnp.int32),
                 pairs_undrained=undrained,
                 pairs_pruned=pairs_pruned,
+                dma_slots=dma_slots.astype(jnp.int32),
                 trunc_tiles=trunc)
 
 
@@ -312,6 +365,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
                      pbatch: int = 4, prepass: float = 0.0,
                      prepass_L: int = 32, prepass_ms: int = 0,
+                     segment_slots: int = 0,
                      exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -327,6 +381,14 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     the eps certificate then only holds at the prepass resolution
     (ADVICE r3).  Use prepass_ms < max_samples only for speed sweeps, not
     for exactness claims.
+
+    segment_slots (kernel="tp", bands off): render each tile's list in
+    segments of this many slots; between segments, tiles whose rays all
+    terminated stop issuing slab DMAs (the measured per-slot wall,
+    tools/kernel_cost_probe.py) — their remaining slots' block ids
+    collapse to a constant the Mosaic pipeline elides.  Exact by the
+    same live-gate semantics as in-kernel early termination; dma_slots
+    telemetry reports the slots actually fetched.
 
     drain_tiles/drain_L: exact overflow drain — per chunk, up to
     drain_tiles tiles whose true brick count exceeds their band/list
@@ -350,7 +412,13 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         drain_L = max(pbatch, (drain_L // pbatch) * pbatch)
     lo, hi, pool_base = geometry if geometry is not None else \
         brick_geometry(baked["block_map"], bcfg, cfg)
-    if kernel in ("t", "tp"):
+    if kernel == "rgba":
+        # per-frame pre-shaded slabs (models/baked_rgba.bake_rgba) —
+        # the caller bakes them for this camera origin and the bake time
+        # is part of the frame
+        pool3 = baked["poolRGBA"]
+        assert pool3.shape[1:] == (32, vox), pool3.shape
+    elif kernel in ("t", "tp"):
         # the t-kernels want slabs pre-transposed to (128, 512); cache the
         # one-time device transpose on the baked dict
         if "poolT" not in baked:
@@ -361,10 +429,12 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         pool3 = baked["pool"].reshape(-1, vox, 128)
     sig3 = None
     if prepass > 0.0:
-        assert kernel in ("t", "tp"), "prepass needs the transposed pool"
+        assert kernel in ("t", "tp", "rgba"), \
+            "prepass needs a transposed pool"
         if "sigT" not in baked:
             # log-sigma corner rows of every slab (nb, 8, vox)
-            baked["sigT"] = pool3[:, 0::16, :] + 0  # materialized copy
+            baked["sigT"] = pool3[:, 0::4, :] + 0 if kernel == "rgba" \
+                else pool3[:, 0::16, :] + 0     # materialized copy
         sig3 = baked["sigT"]
     Wp = ((W + tile - 1) // tile) * tile
     Hp = ((H + tile - 1) // tile) * tile
@@ -383,6 +453,9 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     n_tiles = (Wp * Hp) // 64
     L = min(L, int(lo.shape[0]))
     cpr = max(min(int(chunk_tiles), n_tiles), 1)
+    if segment_slots > 0:
+        assert kernel == "tp", "segment_slots needs the tp kernel (init)"
+        bands = ()      # segmentation subsumes band scheduling's savings
     if bands == "auto":
         e, q = cpr // 8, cpr // 4
         bands = ((e, L), (e, max(L // 2, 8)), (q, max(L // 4, 8)),
@@ -413,6 +486,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                                        // pbatch) * pbatch)),
             pbatch=pbatch, sig3=sig3, prepass=prepass,
             prepass_L=prepass_L, prepass_ms=prepass_ms,
+            segment_slots=segment_slots,
             interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
@@ -434,4 +508,5 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                 trunc_tiles=cat["trunc_tiles"],
                 pairs_rendered=cat["pairs_rendered"],
                 pairs_undrained=cat["pairs_undrained"],
-                pairs_pruned=cat["pairs_pruned"])
+                pairs_pruned=cat["pairs_pruned"],
+                dma_slots=cat["dma_slots"])

@@ -521,8 +521,8 @@ def brick_field_tiles_t(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
 
 
 def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
-               shT_ref, *slab_w_out, S: int, dt: float, inv2s: float,
-               V: int, tau_max: float, P: int, Bk: int = 8):
+               shT_ref, initT_ref, *slab_w_out, S: int, dt: float,
+               inv2s: float, V: int, tau_max: float, P: int, Bk: int = 8):
     """P-slot batched transposed kernel: one grid step renders P
     consecutive list slots (P slab DMAs, P sub-brick bodies chained
     through a REGISTER tau carry).  Semantics are identical to _kernel_t
@@ -539,7 +539,10 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
 
     @pl.when(l == 0)
     def _init():
-        outT_ref[:] = jnp.zeros_like(outT_ref)
+        # carry-in: the segmented renderer resumes a tile's composite
+        # mid-list by passing the previous segment's accumulator; the
+        # plain path passes zeros (same semantics as before)
+        outT_ref[:] = initT_ref[:]
 
     rays = raysT_ref[:]                     # (8, 64)
     o = rays[0:3]
@@ -674,10 +677,16 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                          *, S: int, dt: float, inv2s: float, V: int,
                          tau_max: float, tid=None, lbase=None, nslots=None,
                          Lcall: int = 0, P: int = 4, Bk: int = 8,
-                         interpret: bool = False):
+                         init=None, interpret: bool = False):
     """P-slot batched transposed entry: contract of brick_field_tiles_t,
     plus the requirement that Lcall and every lbase are multiples of P
-    (the meta BlockSpec reads P consecutive list rows per step)."""
+    (the meta BlockSpec reads P consecutive list rows per step).
+
+    init: optional (T*TPX, 8) accumulator carry-in (n-major, same layout
+    as the return value).  A rendered tile RESUMES compositing from its
+    init block — the segmented renderer passes the previous segment's
+    output so early-terminated tiles can skip their remaining list slots
+    across calls.  None = zeros (fresh frame)."""
     T = rays.shape[0] // TPX
     tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
                                               nslots, Lcall)
@@ -685,6 +694,10 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     Tb = tid.shape[0]
     raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
+    if init is None:
+        initT = jnp.zeros((T * 8, TPX), jnp.float32)
+    else:
+        initT = init.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
     metaP = meta.reshape(-1, 1, 8)
     N = S * TPX
     vox = Bk * Bk * Bk
@@ -713,6 +726,8 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                          (td[t], 0)),
             pl.BlockSpec((FEAT, TPX), lambda t, l, pb, lb, ns, td:
                          (td[t], 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
             *slab_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -736,9 +751,264 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
                                               + ROWW * FEAT),
             bytes_accessed=Tb * Lcall * vox * ROWW * pool3T.dtype.itemsize,
             transcendentals=Tb * Lcall * S * TPX * 4),
-    )(pool_blk, lbase, nslots, tid, metaP, raysT, shT,
+    )(pool_blk, lbase, nslots, tid, metaP, raysT, shT, initT,
       *([pool3T] * P), rowv, bitw, w1.T, w2.T, w3.T)
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
+
+
+def _kernel_rgba(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
+                 initT_ref, slabT_ref, rowv_ref, bitw4_ref, outT_ref, *,
+                 S: int, dt: float, inv2s: float, V: int, tau_max: float,
+                 Bk: int = 8):
+    """RGBA-slab variant of _kernel_t: the slab holds PRE-SHADED per-
+    corner [log-sigma, r, g, b] (models/baked_rgba.bake_rgba — the rgb
+    MLP is evaluated per voxel corner at bake time with the frame's
+    per-voxel view direction), so the body is one (32, vox) matmul +
+    trilerp — no MLP, no sh input.  The kernel-cost probe (R4.1)
+    measured the per-slot wall as slab bytes + body VPU/MXU time; this
+    kernel cuts slab bytes 4x (32 vs 128 lanes) and drops the MLP
+    matmuls and sh lane-tiles from the body.  init carry as in
+    _kernel_tp (segmented rendering)."""
+    t = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        outT_ref[:] = initT_ref[:]
+
+    rays = raysT_ref[:]                     # (8, 64)
+    o = rays[0:3]
+    du = rays[3:6]
+    t1 = rays[6:7]
+    t2 = rays[7:8]
+    valid = l < ns_ref[t]
+    m = metaT_ref[0]                        # (1, 8)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
+                            jnp.where(du >= 0, 1e-10, -1e-10))
+    ta, tb = t1, t2
+    for k in range(3):
+        a = (m[0:1, k:k + 1] - o[k:k + 1]) * inv_d[k:k + 1]
+        b = (m[0:1, k + 3:k + 4] - o[k:k + 1]) * inv_d[k:k + 1]
+        ta = jnp.maximum(ta, jnp.minimum(a, b))
+        tb = jnp.minimum(tb, jnp.maximum(a, b))
+    n0 = jnp.maximum(jnp.ceil((ta - t1) / dt - 0.5), 0.0)
+    n1 = jnp.floor((tb - t1) / dt - 0.5)
+    hit = valid & (tb > ta) & (n1 >= n0) & (t2 > 0)
+
+    tau_tot = outT_ref[0:1, :]                              # (1, 64)
+    live = tau_tot < tau_max
+    work = jnp.any(hit & live)
+
+    @pl.when(work)
+    def _body():
+        N = S * TPX
+        slabT = slabT_ref[0].astype(jnp.bfloat16)           # (32, vox)
+
+        def lane_tile(x):
+            return jnp.concatenate([x] * S, axis=1)
+
+        s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               // TPX).astype(jnp.float32)
+        n_s = lane_tile(n0) + s_n
+        hitf = jnp.where(hit, 1.0, 0.0)
+        ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1))
+        ts = lane_tile(t1) + (n_s + 0.5) * dt
+        o_n = lane_tile(o)
+        du_n = lane_tile(du)
+        fBk = float(Bk)
+        lid = jnp.zeros((1, N), jnp.float32)
+        frs = []
+        for k in range(3):
+            pos = jnp.clip((o_n[k:k + 1] + ts * du_n[k:k + 1]) * inv2s
+                           + 0.5, 0.0, 1.0 - 1e-6) * V
+            v0 = jnp.floor(pos)
+            frs.append(pos - v0)
+            lid = lid * fBk + jnp.clip(
+                v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk, 0.0, fBk - 1.0)
+        lid_i = lid.astype(jnp.int32)
+
+        ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
+                        1.0, 0.0).astype(jnp.bfloat16)      # (vox, N)
+        out4T = jnp.dot(slabT, ohT,
+                        preferred_element_type=jnp.float32)  # (32, N)
+        # trilinear corner weights on 32 lanes (corner = lane // 4)
+        w32 = jnp.ones((32, N), jnp.float32)
+        for k in range(3):
+            w32 = w32 * ((1.0 - frs[k])
+                         + bitw4_ref[k] * (2.0 * frs[k] - 1.0))
+        rr = jax.lax.broadcasted_iota(jnp.int32, (4, 32), 0)
+        rc = jax.lax.broadcasted_iota(jnp.int32, (4, 32), 1)
+        redT = (rc % 4 == rr).astype(jnp.float32) \
+            .astype(jnp.bfloat16)                           # (4, 32)
+        hT = jnp.dot(redT, (out4T * w32).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)    # (4, N)
+
+        sd = jnp.where(ok_n,
+                       jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
+        sd = jnp.minimum(sd, 80.0)
+        # baked rgb values are already sigmoided; trilerp can overshoot
+        # [0, 1] only by bf16 rounding — clamp
+        rgbT = jnp.clip(hT[1:4], 0.0, 1.0)                  # (3, N)
+
+        run = jnp.zeros((1, TPX), jnp.float32)
+        rgbw = jnp.zeros((3, TPX), jnp.float32)
+        depw = jnp.zeros((1, TPX), jnp.float32)
+        for si in range(S):
+            sl = slice(si * TPX, (si + 1) * TPX)
+            sd_si = sd[:, sl]
+            w_si = jnp.exp(-run) * (1.0 - jnp.exp(-sd_si))
+            rgbw = rgbw + w_si * rgbT[:, sl]
+            depw = depw + w_si * ts[:, sl]
+            run = run + sd_si
+        tau_c = run
+
+        T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
+        outT_ref[0:1, :] += jnp.where(live, tau_c, 0.0)
+        outT_ref[1:4, :] += T_bef * rgbw
+        outT_ref[4:5, :] += T_bef * depw
+        outT_ref[5:6, :] += (hit & live).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "Bk", "interpret"))
+def brick_field_tiles_rgba(pool_blk, meta, rays, poolRGBA, *, S: int,
+                           dt: float, inv2s: float, V: int,
+                           tau_max: float, tid=None, lbase=None,
+                           nslots=None, Lcall: int = 0, Bk: int = 8,
+                           init=None, interpret: bool = False):
+    """RGBA-slab entry: contract of brick_field_tiles_t minus sh/MLP
+    weights; poolRGBA is (n_blocks, 32, vox) pre-shaded per-corner
+    [log-sigma, r, g, b] lanes (corner = lane // 4, channel = lane % 4,
+    corner bit order as models/baked.trilerp_w8).  init as in
+    brick_field_tiles_tp (segmented-rendering carry)."""
+    T = rays.shape[0] // TPX
+    tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
+                                              nslots, Lcall)
+    Tb = tid.shape[0]
+    vox = Bk * Bk * Bk
+    raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    metaT = meta.reshape(-1, 1, 8)
+    if init is None:
+        initT = jnp.zeros((T * 8, TPX), jnp.float32)
+    else:
+        initT = init.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    N = S * TPX
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (vox, N), 0)
+    bitw4 = jnp.stack([jnp.broadcast_to(
+        ((jnp.arange(32, dtype=jnp.int32)[:, None] // 4 >> k) & 1
+         ).astype(jnp.float32), (32, N)) for k in range(3)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Tb, Lcall),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8),
+                         lambda t, l, pb, lb, ns, td: (lb[t] + l, 0, 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                         (td[t], 0)),
+            pl.BlockSpec((1, 32, vox),
+                         lambda t, l, pb, lb, ns, td:
+                         (pb[lb[t] + l], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
+                               (td[t], 0)),
+    )
+    kern = functools.partial(_kernel_rgba, S=S, dt=dt, inv2s=inv2s,
+                             V=V, tau_max=tau_max, Bk=Bk)
+    outT = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tb * Lcall * S * TPX * (vox * 32 + 32 * 4),
+            bytes_accessed=Tb * Lcall * vox * 32
+            * poolRGBA.dtype.itemsize,
+            transcendentals=Tb * Lcall * S * TPX * 4),
+    )(pool_blk, lbase, nslots, tid, metaT, raysT, initT, poolRGBA,
+      rowv, bitw4)
+    return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
+
+
+def brick_field_rgba_reference(pool_blk, meta, rays, poolRGBA, *, S, dt,
+                               inv2s, V, tau_max, tid=None, lbase=None,
+                               nslots=None, Bk: int = 8):
+    """Numpy restatement of the RGBA kernel for golden tests (same list
+    addressing / termination / ordering as brick_field_tiles_reference)."""
+    pool_blk = np.asarray(pool_blk)
+    meta = np.asarray(meta, np.float32)
+    rays = np.asarray(rays, np.float32)
+    poolRGBA = np.asarray(poolRGBA, np.float32)      # (nb, 32, vox)
+    T = rays.shape[0] // TPX
+    Lp = pool_blk.shape[0] // T
+    if tid is None:
+        tid = np.arange(T, dtype=np.int32)
+    if lbase is None:
+        lbase = tid.astype(np.int32) * Lp
+    if nslots is None:
+        nslots = np.full(tid.shape, Lp, np.int32)
+    out = np.zeros((T * TPX, 8), np.float32)
+    for b in range(len(tid)):
+        t = int(tid[b])
+        sl = slice(t * TPX, (t + 1) * TPX)
+        o, du = rays[sl, 0:3], rays[sl, 3:6]
+        t1, t2 = rays[sl, 6], rays[sl, 7]
+        for l in range(int(nslots[b])):
+            m = meta[int(lbase[b]) + l]
+            inv_d = 1.0 / np.where(np.abs(du) > 1e-10, du,
+                                   np.where(du >= 0, 1e-10, -1e-10))
+            t_lo = (m[0:3][None] - o) * inv_d
+            t_hi = (m[3:6][None] - o) * inv_d
+            ta = np.maximum(np.minimum(t_lo, t_hi).max(1), t1)
+            tb = np.minimum(np.maximum(t_lo, t_hi).min(1), t2)
+            n0 = np.maximum(np.ceil((ta - t1) / dt - 0.5), 0.0)
+            n1 = np.floor((tb - t1) / dt - 0.5)
+            hit = (tb > ta) & (n1 >= n0) & (t2 > 0)
+            tau_tot = out[sl, 0]
+            live = tau_tot < tau_max
+            if not np.any(hit & live):
+                continue
+            slabT = poolRGBA[pool_blk[int(lbase[b]) + l]]    # (32, vox)
+            tau_c = np.zeros(TPX)
+            rgbw = np.zeros((TPX, 3))
+            depw = np.zeros(TPX)
+            for s in range(S):
+                n_s = n0 + s
+                s_ok = hit & (n_s <= n1)
+                ts = t1 + (n_s + 0.5) * dt
+                xyz = o + ts[:, None] * du
+                pos = np.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
+                v0 = np.floor(pos)
+                frac = pos - v0
+                loc = np.clip(v0 - np.floor(v0 / Bk) * Bk, 0.0, Bk - 1.0)
+                lid = ((loc[:, 0] * Bk + loc[:, 1]) * Bk
+                       + loc[:, 2]).astype(np.int64)
+                rows = slabT[:, lid].T.reshape(TPX, 8, 4)    # (TPX, 8, 4)
+                w8 = np.ones((TPX, 8))
+                for k in range(3):
+                    bit = (np.arange(8)[None] >> k) & 1
+                    w8 = w8 * np.where(bit == 1, frac[:, k:k + 1],
+                                       1.0 - frac[:, k:k + 1])
+                h4 = np.einsum("nc,ncf->nf", w8, rows)       # (TPX, 4)
+                sd = np.where(s_ok,
+                              np.exp(np.minimum(h4[:, 0], 30.0)) * dt,
+                              0.0)
+                sd = np.minimum(sd, 80.0)
+                rgb_s = np.clip(h4[:, 1:4], 0.0, 1.0)
+                w = np.exp(-tau_c) * (1.0 - np.exp(-sd))
+                rgbw += w[:, None] * rgb_s
+                depw += w * ts
+                tau_c += sd
+            T_bef = np.where(live, np.exp(-tau_tot), 0.0)
+            out[sl, 0] += np.where(live, tau_c, 0.0)
+            out[sl, 1:4] += T_bef[:, None] * rgbw
+            out[sl, 4] += T_bef * depw
+            out[sl, 5] += (hit & live).astype(np.float32)
+    return out
 
 
 def _kernel_sig(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,

@@ -215,3 +215,17 @@ def test_sharded_grid_update_bitexact_eager():
     dp_grid, dp_occ = f(grid0, key)
     np.testing.assert_array_equal(np.asarray(ser_grid), np.asarray(dp_grid))
     np.testing.assert_array_equal(np.asarray(ser_occ), np.asarray(dp_occ))
+
+
+@pytest.mark.slow
+def test_weak_scaling_report_shape():
+    """Locks the dryrun weak-scaling contract (VERDICT r3 item 6): the
+    report covers 1 and N devices with step/grid timings, and the fixed
+    per-device-ray step does not blow up super-linearly on the mesh."""
+    import __graft_entry__ as g
+    times = g.weak_scaling_report(2, per_dev_rays=32, n_timed=2)
+    assert set(times) == {1, 2}
+    for k in times:
+        assert times[k]["step_ms"] > 0
+        assert times[k]["grid_ms"] > 0
+    assert times[2]["step_ms"] < 8.0 * times[1]["step_ms"]

@@ -372,6 +372,28 @@ def test_sigma_prepass_scores_certify_contribution():
         **{k: v for k, v in kw.items()})
     assert np.max(np.abs(pruned[:, 1:4] - full[:, 1:4])) < 20 * eps
 
+def test_segmented_frame_matches_flat(scene):
+    """Segmented-l rendering (dead-tile DMA elision + init carry across
+    kernel calls) must reproduce the flat single-call frame EXACTLY: the
+    only tiles skipped are those whose every ray already saturated, which
+    the kernel's own live gate would render as zero contribution."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64, kernel="tp", pbatch=2)
+    flat = render_brick_mxu(baked, cfg, o, d, 16, 16, bands=(), **kw)
+    seg = render_brick_mxu(baked, cfg, o, d, 16, 16, segment_slots=8,
+                           **kw)
+    np.testing.assert_allclose(np.asarray(seg["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seg["opacity"]),
+                               np.asarray(flat["opacity"]), atol=1e-6)
+    # the elision telemetry can only save slots, never add
+    assert int(seg["dma_slots"]) <= int(flat["dma_slots"])
+    assert int(seg["pairs_undrained"]) == int(flat["pairs_undrained"])
+
+
 def test_prepass_list_overflow_still_drains(scene):
     """ADVICE r3 (high): with the prepass on, a tile whose TRUE brick
     count exceeds the original list capacity L was truncated by the

@@ -24,6 +24,30 @@ print = functools.partial(print, flush=True)
 
 VARIANTS = {
     "tp4": dict(kernel="tp", pbatch=4),
+    # round 4 (tools/kernel_cost_probe.py findings): bf16 slabs DMA ~1.8x
+    # faster than fp8 (1-byte dtype pays a repack), P=1 beats P=8 on both
+    # the miss floor (0.50 vs 2.49 us/slot) and the forced body (1.57 vs
+    # 4.57); segment_slots elides slab DMAs behind saturated tiles
+    "t_bf16":        dict(kernel="t", pool_dtype="bfloat16"),
+    "t_ms256_bf16":  dict(kernel="t", pool_dtype="bfloat16",
+                          max_samples=256),
+    "tp4_ms256_bf16": dict(kernel="tp", pbatch=4, pool_dtype="bfloat16",
+                           max_samples=256),
+    "tp4seg8_ms256_bf16": dict(kernel="tp", pbatch=4,
+                               pool_dtype="bfloat16", max_samples=256,
+                               segment_slots=8),
+    "tp4seg8_bf16": dict(kernel="tp", pbatch=4, pool_dtype="bfloat16",
+                         segment_slots=8),
+    "tp4seg16_ms256_bf16": dict(kernel="tp", pbatch=4,
+                                pool_dtype="bfloat16", max_samples=256,
+                                segment_slots=16),
+    "tp1seg8_ms256_bf16": dict(kernel="tp", pbatch=1,
+                               pool_dtype="bfloat16", max_samples=256,
+                               segment_slots=8),
+    "tp1seg8_pp_ms256_bf16": dict(kernel="tp", pbatch=1,
+                                  pool_dtype="bfloat16", max_samples=256,
+                                  segment_slots=8, prepass=1e-3,
+                                  prepass_L=32),
     # two-phase: sigma prepass scores all pairs (16x narrower matmul),
     # main pass runs on per-tile lists compacted to the >eps pairs
     "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),
@@ -104,19 +128,19 @@ def main():
 
     baked_by_blk, geo_by_blk, bcfg_by_blk = {}, {}, {}
 
-    def get_baked(blk):
-        if blk not in baked_by_blk:
-            bc = BakedConfig(voxel_res=512, block=blk,
-                             dtype="float8_e4m3fn")
+    def get_baked(blk, dtype="float8_e4m3fn"):
+        kk = (blk, dtype)
+        if kk not in baked_by_blk:
+            bc = BakedConfig(voxel_res=512, block=blk, dtype=dtype)
             t0 = time.time()
             bk = bake(state["params"], cfg.model, state["occ"], bc)
-            print(f"bake(block={blk}): {time.time()-t0:.0f}s, "
+            print(f"bake(block={blk},{dtype}): {time.time()-t0:.0f}s, "
                   f"{bk['n_blocks']} blocks")
-            baked_by_blk[blk] = bk
-            bcfg_by_blk[blk] = bc
-            geo_by_blk[blk] = brick_geometry(bk["block_map"], bc,
-                                             cfg.model)
-        return baked_by_blk[blk], bcfg_by_blk[blk], geo_by_blk[blk]
+            baked_by_blk[kk] = bk
+            bcfg_by_blk[kk] = bc
+            geo_by_blk[kk] = brick_geometry(bk["block_map"], bc,
+                                            cfg.model)
+        return baked_by_blk[kk], bcfg_by_blk[kk], geo_by_blk[kk]
 
     ds_t = SyntheticDataset(split="test", n_images=1, img_wh=(800, 800),
                             style="textured")
@@ -127,7 +151,11 @@ def main():
         v = dict(L=64, max_samples=512, chunk_tiles=512, bands="auto",
                  drain_tiles=256)
         v.update(VARIANTS[name])
-        baked, bcfg, geo = get_baked(v.pop("block", 8))
+        if v.pop("segment_slots", 0):
+            v["segment_slots"] = VARIANTS[name]["segment_slots"]
+            v["bands"] = ()
+        baked, bcfg, geo = get_baked(v.pop("block", 8),
+                                     v.pop("pool_dtype", "float8_e4m3fn"))
 
         def frame():
             return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
@@ -147,7 +175,9 @@ def main():
                   f"(first {t_compile:.0f}s) | psnr vs gt {p_gt:.2f} | "
                   f"trunc_tiles={int(out['trunc_tiles'])} "
                   f"pairs={int(out['pairs_rendered'])} "
-                  f"undrained={int(out.get('pairs_undrained', 0))}")
+                  f"undrained={int(out.get('pairs_undrained', 0))} "
+                  f"dma_slots={int(out.get('dma_slots', -1))} "
+                  f"pruned={int(out.get('pairs_pruned', -1))}")
         except Exception as e:  # noqa: BLE001 — sweep survives a variant
             print(f"{name}: FAILED {type(e).__name__}: {e}"[:400])
     print("DONE")

@@ -92,8 +92,14 @@ def main():
     for name in names:
         kind, mode = name.split("_", 1)[0], name.split("_", 1)[1]
         hit = not mode.startswith("miss")
-        args, kw = build_inputs(T=T, L=L, hit=hit)
-        kw["S"] = 5 if mode.endswith("s5") else S
+        dtype = jnp.bfloat16 if mode.endswith("bf16") else jnp.float8_e4m3fn
+        args, kw = build_inputs(T=T, L=L, hit=hit, dtype=dtype)
+        if mode.endswith("same"):
+            # every list row points at block 0: consecutive equal block
+            # indices let the Mosaic pipeline SKIP the slab DMA — this is
+            # the pure grid-sequencing floor
+            args = (jnp.zeros_like(args[0]),) + args[1:]
+        kw["S"] = 5 if "s5" in mode else S
         pool_blk, meta, rays, sh, poolT, w1, w2, w3 = args
         if mode == "half":      # half the slots miss (interleaved)
             m2 = np.asarray(meta).copy()

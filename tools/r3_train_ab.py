@@ -100,6 +100,15 @@ VARIANTS = {
     # the same step budget
     "hash":        dict(encoder="hash"),
     "hash_ms512":  dict(encoder="hash", ms=512, k=128),
+    # round 4: ms512 at FULL per-ray capacity (k=256) — the r3 "ms512"
+    # row conflated the lattice change with k=128's ~9 ms elsewhere.
+    # budget scaled to the realized rows (~15 s_per_ray x batch):
+    "ms512_k256":       dict(ms=512),
+    "ms512_k256_bud12": dict(ms=512, budget=12 * 8192),
+    "ms512_k256_bud10": dict(ms=512, budget=10 * 8192),
+    # superlinear-batch re-check on the row-major separable plan (325884d)
+    "b16k_r4":     dict(batch=16384),
+    "b32k_r4":     dict(batch=32768),
 }
 
 
