@@ -67,6 +67,11 @@ def main():
                    help="suite root containing one directory per scene")
     p.add_argument("--scenes", nargs="*", default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--parity_md", default=None,
+                   help="append a per-round markdown results table to "
+                        "this file (e.g. PARITY.md) — one table per "
+                        "invocation, tagged with --round_tag")
+    p.add_argument("--round_tag", default="")
     p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
                    help="everything after --extra is passed verbatim to "
                         "train.py (REMAINDER: dashed flags allowed)")
@@ -116,6 +121,25 @@ def main():
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
+
+    if args.parity_md and results:
+        # per-round regression table (VERDICT r3 item 7): one suite run
+        # per round, appended to PARITY.md so quality/serving trends live
+        # in a single artifact
+        cols = ("psnr", "ssim", "lpips", "train_time_s")
+        with open(args.parity_md, "a") as f:
+            f.write(f"\n## Suite `{args.suite}`"
+                    + (f" — {args.round_tag}" if args.round_tag else "")
+                    + "\n\n")
+            f.write("| scene | " + " | ".join(cols) + " |\n")
+            f.write("|---|" + "---|" * len(cols) + "\n")
+            for sc, r in results.items():
+                if not isinstance(r, dict):
+                    continue
+                f.write(f"| {sc} | " + " | ".join(
+                    (f"{r[c]:.3f}" if isinstance(r.get(c), float)
+                     else str(r.get(c, "—"))) for c in cols) + " |\n")
+        print(f"parity table appended to {args.parity_md}")
 
 
 if __name__ == "__main__":

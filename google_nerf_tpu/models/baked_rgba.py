@@ -70,23 +70,26 @@ def _rows_from_grid(G, Bk):
 @partial(jax.jit, static_argnames=("Bk", "F", "V", "s", "out_dtype"))
 def _bake_rgba_chunk(pool_rows, origins, rgb_mlp, cam_o, *, Bk, F, V, s,
                      out_dtype):
-    """pool_rows: (nb, Bk^3, 8F) f32; origins: (nb, 3) int32 voxel coords
-    of each block's min corner -> (nb, 32, Bk^3) pre-shaded slabs."""
+    """pool_rows: (nb, Bk^3, 8F) any float dtype (kept NATIVE — casting
+    the whole pool to f32 doubled+ HBM and OOM'd at 25k blocks);
+    origins: (nb, 3) int32 voxel coords of each block's min corner
+    -> (nb, 32, Bk^3) pre-shaded slabs."""
     nb = pool_rows.shape[0]
     G = _corner_grid(pool_rows, Bk, F)           # (nb, 9, 9, 9, F)
     n_cg = (Bk + 1) ** 3
-    h = G.reshape(nb, n_cg, F)
+    h = G.reshape(nb, n_cg, F).astype(jnp.bfloat16)
     cg = jnp.stack(jnp.meshgrid(*([jnp.arange(Bk + 1)] * 3),
                                 indexing="ij"), -1).reshape(-1, 3)
     pts = origins[:, None, :] + cg[None]         # (nb, n_cg, 3) grid pts
     xyz = (pts.astype(jnp.float32) / V * 2.0 - 1.0) * s
     d = xyz - cam_o[None, None, :]
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
-    sh = sh_encode_deg4(d.reshape(-1, 3))
+    sh = sh_encode_deg4(d.reshape(-1, 3)).astype(jnp.bfloat16)
     rgb_in = jnp.concatenate([sh, h.reshape(-1, F)], axis=-1)
     logits = mlp_apply(rgb_mlp, rgb_in, compute_dtype=jnp.bfloat16)
     rgb = jax.nn.sigmoid(logits).reshape(nb, n_cg, 3)
-    rgba_g = jnp.concatenate([h[..., 0:1], rgb], axis=-1)   # (nb,n_cg,4)
+    rgba_g = jnp.concatenate([h[..., 0:1].astype(rgb.dtype), rgb],
+                             axis=-1)                       # (nb,n_cg,4)
     rows = _rows_from_grid(
         rgba_g.reshape(nb, Bk + 1, Bk + 1, Bk + 1, 4), Bk)  # (nb,v,8,4)
     vox = Bk ** 3
@@ -110,24 +113,25 @@ def bake_rgba(baked, cfg: NGPConfig, bcfg: BakedConfig, cam_o,
     bz = blk_ids % Gb
     origins = jnp.asarray(
         np.stack([bx, by, bz], -1).astype(np.int32) * Bk)   # (nb, 3)
-    pool_rows = baked["pool"].reshape(nb, Bk ** 3, 8 * F) \
-        .astype(jnp.float32)
+    rpb = Bk ** 3
+    pool = baked["pool"]                 # (nb*rpb, 8F), NATIVE dtype
     cam_o = jnp.asarray(cam_o, jnp.float32).reshape(3)
     s = baked_extent(cfg)
     parts = []
-    pad = (-nb) % chunk_blocks if nb > chunk_blocks else 0
-    if pad:
-        pool_rows = jnp.concatenate(
-            [pool_rows, jnp.zeros((pad,) + pool_rows.shape[1:],
-                                  pool_rows.dtype)])
-        origins = jnp.concatenate(
-            [origins, jnp.zeros((pad, 3), jnp.int32)])
-    step = min(chunk_blocks, pool_rows.shape[0])
-    for i in range(0, pool_rows.shape[0], step):
+    step = min(chunk_blocks, nb)
+    for i in range(0, nb, step):
+        n = min(step, nb - i)
+        chunk = pool[i * rpb:(i + n) * rpb].reshape(n, rpb, 8 * F)
+        org = origins[i:i + n]
+        if n < step:                     # pad the LAST chunk only (reuse
+            chunk = jnp.concatenate(     # the compiled program)
+                [chunk, jnp.zeros((step - n,) + chunk.shape[1:],
+                                  chunk.dtype)])
+            org = jnp.concatenate(
+                [org, jnp.zeros((step - n, 3), jnp.int32)])
         parts.append(_bake_rgba_chunk(
-            pool_rows[i:i + step], origins[i:i + step],
-            tuple(baked["rgb_mlp"]), cam_o, Bk=Bk, F=F, V=V, s=float(s),
-            out_dtype=dtype))
+            chunk, org, tuple(baked["rgb_mlp"]), cam_o, Bk=Bk, F=F, V=V,
+            s=float(s), out_dtype=dtype))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[:nb]
 

@@ -454,7 +454,8 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     L = min(L, int(lo.shape[0]))
     cpr = max(min(int(chunk_tiles), n_tiles), 1)
     if segment_slots > 0:
-        assert kernel == "tp", "segment_slots needs the tp kernel (init)"
+        assert kernel in ("tp", "rgba"), \
+            "segment_slots needs an init-carry kernel (tp/rgba)"
         bands = ()      # segmentation subsumes band scheduling's savings
     if bands == "auto":
         e, q = cpr // 8, cpr // 4

@@ -437,3 +437,82 @@ def test_prepass_frame_matches_full(scene, kernel):
     assert int(two["pairs_pruned"]) >= 0
     mae = float(jnp.abs(two["rgb"] - full["rgb"]).mean())
     assert mae < 5e-3, mae
+
+
+def _toy_rgba_pool(pool3):
+    """(nb, vox, 128) feature pool -> (nb, 32, vox) rgba slabs with
+    h0 = the sigma lane and synthetic in-[0,1] rgb."""
+    rng = np.random.RandomState(7)
+    nb, vox, _ = pool3.shape
+    h0 = np.swapaxes(pool3[:, :, 0::16], 1, 2)          # (nb, 8, vox)
+    rgb = rng.uniform(0.0, 1.0, (nb, 8, 3, vox)).astype(np.float32)
+    rgba = np.concatenate([h0[:, :, None, :], rgb], axis=2)  # (nb,8,4,vox)
+    return rgba.reshape(nb, 32, vox)
+
+
+def test_rgba_kernel_matches_reference_interpret():
+    from google_nerf_tpu.ops.pallas.brick_field import (
+        brick_field_rgba_reference, brick_field_tiles_rgba)
+    args, kw = _toy_inputs(Lp=4)
+    nslots = kw.pop("nslots")
+    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
+    rgba = _toy_rgba_pool(pool3)
+    got = np.asarray(brick_field_tiles_rgba(
+        jnp.asarray(pool_blk), jnp.asarray(meta), jnp.asarray(rays),
+        jnp.asarray(rgba), nslots=jnp.asarray(nslots), interpret=True,
+        **kw))
+    want = brick_field_rgba_reference(pool_blk, meta, rays, rgba,
+                                      nslots=nslots, **kw)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[:, 0], want[:, 0], atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+
+
+def test_rgba_frame_sigma_matches_t_kernel(scene):
+    """The rgba path's SIGMA field is identical to the feature pool's
+    (h0 is copied, not re-shaded), so opacity/depth must track the t
+    kernel tightly; rgb differs only by trilerp-of-MLP vs MLP-of-trilerp
+    (the baked-shading approximation) — bounded loosely."""
+    from google_nerf_tpu.models.baked_rgba import render_brick_mxu_rgba
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64)
+    ref = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="t",
+                           bcfg=bcfg, **kw)
+    got = render_brick_mxu_rgba(baked, cfg, o, d, 16, 16, bcfg=bcfg, **kw)
+    np.testing.assert_allclose(np.asarray(got["opacity"]),
+                               np.asarray(ref["opacity"]), atol=2e-2)
+    assert float(jnp.abs(got["rgb"] - ref["rgb"]).mean()) < 0.12
+    assert int(got["pairs_undrained"]) == 0
+
+
+def test_rgba_segmented_matches_flat(scene):
+    from google_nerf_tpu.models.baked_rgba import render_brick_mxu_rgba
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64, bcfg=bcfg)
+    flat = render_brick_mxu_rgba(baked, cfg, o, d, 16, 16, bands=(), **kw)
+    seg = render_brick_mxu_rgba(baked, cfg, o, d, 16, 16,
+                                segment_slots=8, **kw)
+    np.testing.assert_allclose(np.asarray(seg["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-6)
+    assert int(seg["dma_slots"]) <= int(flat["dma_slots"])
+
+
+def test_bake_rgba_corner_grid_roundtrip():
+    """_corner_grid must invert the bake()/_rows_from_grid slicing: a
+    synthetic corner grid -> rows -> _corner_grid returns it exactly."""
+    from google_nerf_tpu.models.baked_rgba import (_corner_grid,
+                                                   _rows_from_grid)
+    rng = np.random.RandomState(3)
+    Bk, F, nb = 4, 5, 3
+    G = jnp.asarray(rng.randn(nb, Bk + 1, Bk + 1, Bk + 1, F)
+                    .astype(np.float32))
+    rows = _rows_from_grid(G, Bk)                       # (nb, Bk^3, 8, F)
+    back = _corner_grid(rows.reshape(nb, Bk ** 3, 8 * F), Bk, F)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(G))

@@ -48,6 +48,23 @@ VARIANTS = {
                                   pool_dtype="bfloat16", max_samples=256,
                                   segment_slots=8, prepass=1e-3,
                                   prepass_L=32),
+    # pre-shaded rgba slabs (models/baked_rgba.py): 4x fewer slab bytes,
+    # no in-kernel MLP; the per-frame bake runs INSIDE frame() so its
+    # cost is part of the measured FPS
+    "rgba_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
+                       max_samples=256),
+    "rgba_seg8_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
+                            max_samples=256, segment_slots=8),
+    "rgba_seg8": dict(kernel="rgba", pool_dtype="bfloat16",
+                      segment_slots=8),
+    "rgba_seg8_pp_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
+                               max_samples=256, segment_slots=8,
+                               prepass=1e-3, prepass_L=32),
+    "rgba_pp_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
+                          max_samples=256, prepass=1e-3, prepass_L=32),
+    "tp4_pp_ms256_bf16": dict(kernel="tp", pbatch=4,
+                              pool_dtype="bfloat16", max_samples=256,
+                              prepass=1e-3, prepass_L=32),
     # two-phase: sigma prepass scores all pairs (16x narrower matmul),
     # main pass runs on per-tile lists compacted to the >eps pairs
     "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),
@@ -157,10 +174,20 @@ def main():
         baked, bcfg, geo = get_baked(v.pop("block", 8),
                                      v.pop("pool_dtype", "float8_e4m3fn"))
 
-        def frame():
-            return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
-                                    bcfg=bcfg, T_threshold=1e-2,
-                                    geometry=geo, **v)
+        if v.get("kernel") == "rgba":
+            from google_nerf_tpu.models.baked_rgba import \
+                render_brick_mxu_rgba
+            vr = {k: x for k, x in v.items() if k != "kernel"}
+
+            def frame():
+                return render_brick_mxu_rgba(
+                    baked, cfg.model, o, d, 800, 800, bcfg=bcfg,
+                    T_threshold=1e-2, geometry=geo, **vr)
+        else:
+            def frame():
+                return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
+                                        bcfg=bcfg, T_threshold=1e-2,
+                                        geometry=geo, **v)
         try:
             t0 = time.time()
             out = frame()
