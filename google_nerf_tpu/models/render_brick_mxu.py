@@ -407,7 +407,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         # list stride, band capacities, and the drain's per-tile list
         # length must all be pbatch-aligned (the P-batched kernel reads P
         # consecutive list rows per grid step)
-        assert pbatch in (1, 2, 4, 8), pbatch
+        assert pbatch in (1, 2, 4, 8, 16), pbatch
         L = max(pbatch, (L // pbatch) * pbatch)
         drain_L = max(pbatch, (drain_L // pbatch) * pbatch)
     lo, hi, pool_base = geometry if geometry is not None else \

@@ -65,6 +65,73 @@ VARIANTS = {
     "tp4_pp_ms256_bf16": dict(kernel="tp", pbatch=4,
                               pool_dtype="bfloat16", max_samples=256,
                               prepass=1e-3, prepass_L=32),
+    # round 4b: the frame cost is ~1.6 us x GRID-STEP count (fps_r4c
+    # telemetry arithmetic); cut steps — P=8, drain sized to the ~8
+    # needy tiles/chunk actually observed (256-tile static drains were
+    # ~327k steps/frame, 6x the main pass), prepass-compacted lists
+    "tp8_ms256_bf16": dict(kernel="tp", pbatch=8, pool_dtype="bfloat16",
+                           max_samples=256),
+    "tp8_ms256_bf16_d32": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=256,
+                               drain_tiles=32, drain_L=128),
+    "tp8_pp_ms256_bf16_d32": dict(kernel="tp", pbatch=8,
+                                  pool_dtype="bfloat16", max_samples=256,
+                                  prepass=1e-3, prepass_L=32,
+                                  drain_tiles=32, drain_L=128),
+    "tp16_pp_ms256_bf16_d32": dict(kernel="tp", pbatch=16,
+                                   pool_dtype="bfloat16",
+                                   max_samples=256, prepass=1e-3,
+                                   prepass_L=32, drain_tiles=32,
+                                   drain_L=128),
+    "tp8_pp_ms256_bf16_d32_c1k": dict(kernel="tp", pbatch=8,
+                                      pool_dtype="bfloat16",
+                                      max_samples=256, prepass=1e-3,
+                                      prepass_L=32, drain_tiles=32,
+                                      drain_L=128, chunk_tiles=1024),
+    # round 4c: bands save 2x on main steps but force 16k-step drains
+    # (the r4d quality collapse at drain_tiles=32).  FLAT full-L lists
+    # need draining only for true list overflow (t_rel > 64: ~24 tiles/
+    # frame) — small drains suffice and exactness returns.
+    "tp8_ms256_bf16_nb_d32": dict(kernel="tp", pbatch=8,
+                                  pool_dtype="bfloat16", max_samples=256,
+                                  bands=(), drain_tiles=32, drain_L=128),
+    "tp8_ms256_bf16_nb_d64": dict(kernel="tp", pbatch=8,
+                                  pool_dtype="bfloat16", max_samples=256,
+                                  bands=(), drain_tiles=64, drain_L=128),
+    "tp16_ms256_bf16_nb_d32": dict(kernel="tp", pbatch=16,
+                                   pool_dtype="bfloat16",
+                                   max_samples=256, bands=(),
+                                   drain_tiles=32, drain_L=128),
+    "tp8seg8_ms256_bf16_nb_d32": dict(kernel="tp", pbatch=8,
+                                      pool_dtype="bfloat16",
+                                      max_samples=256, segment_slots=8,
+                                      drain_tiles=32, drain_L=128),
+    "tp8_ms512_bf16_nb_d32": dict(kernel="tp", pbatch=8,
+                                  pool_dtype="bfloat16", max_samples=512,
+                                  bands=(), drain_tiles=32, drain_L=128),
+    # round 4d: ~90 tiles/chunk truly exceed L=64 (some exceed 256) —
+    # the drain must be sized for that, and seg8+flat+P8 is the fast
+    # base (332 ms).  Restore exactness with a right-sized drain.
+    "tp8seg8_ms256_bf16_d128L256": dict(
+        kernel="tp", pbatch=8, pool_dtype="bfloat16", max_samples=256,
+        segment_slots=8, drain_tiles=128, drain_L=256),
+    "tp8seg8_ms256_bf16_d96L192": dict(
+        kernel="tp", pbatch=8, pool_dtype="bfloat16", max_samples=256,
+        segment_slots=8, drain_tiles=96, drain_L=192),
+    "tp8seg8_ms512_bf16_d128L256": dict(
+        kernel="tp", pbatch=8, pool_dtype="bfloat16", max_samples=512,
+        segment_slots=8, drain_tiles=128, drain_L=256),
+    "tp4seg8_ms256_bf16_d128L256": dict(
+        kernel="tp", pbatch=4, pool_dtype="bfloat16", max_samples=256,
+        segment_slots=8, drain_tiles=128, drain_L=256),
+    # front-end floor probe: L=8 lists, no drain — frame time ~= cull/
+    # glue cost + a ~30ms kernel, bounding the non-kernel share
+    "tp8_L8_front": dict(kernel="tp", pbatch=8, pool_dtype="bfloat16",
+                         max_samples=256, bands=(), L=8, drain_tiles=0),
+    "tp8_L8_front_nomacro": dict(kernel="tp", pbatch=8,
+                                 pool_dtype="bfloat16", max_samples=256,
+                                 bands=(), L=8, drain_tiles=0,
+                                 macro_tiles=0),
     # two-phase: sigma prepass scores all pairs (16x narrower matmul),
     # main pass runs on per-tile lists compacted to the >eps pairs
     "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),

@@ -109,6 +109,11 @@ VARIANTS = {
     # superlinear-batch re-check on the row-major separable plan (325884d)
     "b16k_r4":     dict(batch=16384),
     "b32k_r4":     dict(batch=32768),
+    # mask_frac 0.908 A/B (VERDICT r3 item 8): does the ~9% excluded/
+    # backfilled supervision at budget 16x bias held-out quality?  Raise
+    # the budget so mask -> 1 and compare PSNR at equal steps.
+    "bud20":       dict(budget=20 * 8192),
+    "bud24":       dict(budget=24 * 8192),
 }
 
 
