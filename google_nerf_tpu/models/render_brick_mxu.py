@@ -49,7 +49,8 @@ NEAR_DISTANCE = 0.05
                                    "kernel", "bands", "drain_tiles",
                                    "drain_L", "pbatch", "prepass",
                                    "prepass_L", "prepass_ms",
-                                   "segment_slots", "interpret"))
+                                   "segment_slots", "exact_cull",
+                                   "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
@@ -58,7 +59,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
                sig3=None, prepass: float = 0.0, prepass_L: int = 32,
                prepass_ms: int = 0, segment_slots: int = 0,
-               interpret: bool = False):
+               exact_cull: int = 0, interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
     T = R // 64
@@ -100,6 +101,55 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     t_c = jnp.sum((c - o_t[:, None, :]) * axis_t[:, None, :], -1)
     key = jnp.where(bidx >= 0, t_c, jnp.inf)
     _, bidx = jax.lax.sort((key, bidx), dimension=1, num_keys=1)
+
+    exact_over = jnp.zeros((T,), bool)
+    if exact_cull > 0:
+        # ---- EXACT per-ray hit filter (round 4): the cone cull's
+        # conservative margin keeps bricks NO ray actually hits — they
+        # inflate the lists (phantom slab DMAs) and the apparent
+        # overflow population the drain must serve.  Re-run the kernel's
+        # own slab/window test for every (slot, ray) of the WIDE
+        # candidate list in XLA ((T, Lp, 64) f32 temporaries — MB-scale
+        # per chunk) and keep only slots with >= 1 true hit: a pruned
+        # slot contributes EXACTLY zero in the kernel, so this is
+        # eps-free.  Lists then compact to `exact_cull` slots; tiles
+        # with more TRUE hits than that drain (rare — genuine depth). ----
+        safe_d = jnp.maximum(bidx, 0)       # post-depth-re-key order!
+        lo_s = brick_lo[safe_d]                             # (T, Lp, 3)
+        hi_s = brick_hi[safe_d]
+        o3 = rays_o.reshape(T, 64, 3)
+        du3 = rays_du.reshape(T, 64, 3)
+        inv3 = 1.0 / jnp.where(jnp.abs(du3) > 1e-10, du3,
+                               jnp.where(du3 >= 0, 1e-10, -1e-10))
+        t1r = t1.reshape(T, 1, 64)
+        t2r = t2.reshape(T, 1, 64)
+        ta_p = jnp.broadcast_to(t1r, (T, Lp, 64))
+        tb_p = jnp.broadcast_to(t2r, (T, Lp, 64))
+        for k in range(3):
+            a = (lo_s[:, :, None, k] - o3[:, None, :, k]) \
+                * inv3[:, None, :, k]
+            b = (hi_s[:, :, None, k] - o3[:, None, :, k]) \
+                * inv3[:, None, :, k]
+            ta_p = jnp.maximum(ta_p, jnp.minimum(a, b))
+            tb_p = jnp.minimum(tb_p, jnp.maximum(a, b))
+        n0e = jnp.maximum(jnp.ceil((ta_p - t1r) / dt - 0.5), 0.0)
+        n1e = jnp.floor((tb_p - t1r) / dt - 0.5)
+        hit_e = ((tb_p > ta_p) & (n1e >= n0e) & (t2r > 0)
+                 & (bidx >= 0)[:, :, None])                 # (T, Lp, 64)
+        hit_any = jnp.any(hit_e, axis=2)                    # (T, Lp)
+        nhits = jnp.sum(hit_any, axis=1).astype(jnp.int32)
+        Le = min(exact_cull, Lp)
+        if kernel == "tp":
+            Le = max(pbatch, (Le // pbatch) * pbatch)
+        pose = jnp.where(hit_any,
+                         jnp.arange(Lp, dtype=jnp.int32)[None], Lp)
+        pose = jax.lax.sort(pose, dimension=1)[:, :Le]
+        bidx = jnp.where(pose < Lp,
+                         jnp.take_along_axis(
+                             bidx, jnp.minimum(pose, Lp - 1), axis=1),
+                         -1)
+        exact_over = nhits > Le
+        Lp = Le
 
     def pack_lists(bx):
         """Depth-sorted (Tb, Lx) lists -> (pool_blk, meta, nvalid).
@@ -293,8 +343,16 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         # ORIGINAL list capacity were truncated at the cull's top_k before
         # the prepass ever scored them — they must drain (the drain
         # rebuilds lists from scratch at drain_L) or count as undrained.
-        need = over_pre | macro_over | (t_rel > L_orig)
+        need = over_pre | macro_over | exact_over | (t_rel > L_orig)
         miss_sz = (jnp.maximum(kc - Lp, 0)
+                   + jnp.maximum(t_rel - L_orig, 0))
+    elif exact_cull > 0:
+        # exact-filtered lists: capacity cuts of NO-HIT slots are exact
+        # (zero contribution); draining is needed only for tiles whose
+        # TRUE-hit count exceeds the compacted capacity, or whose wide
+        # candidate list itself truncated at the cull (conservative)
+        need = exact_over | macro_over | (t_rel > L_orig)
+        miss_sz = (jnp.maximum(nhits - Lp, 0)
                    + jnp.maximum(t_rel - L_orig, 0))
     else:
         need = (t_rel > cap) | macro_over
@@ -365,7 +423,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
                      pbatch: int = 4, prepass: float = 0.0,
                      prepass_L: int = 32, prepass_ms: int = 0,
-                     segment_slots: int = 0,
+                     segment_slots: int = 0, exact_cull: int = 0,
                      exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -381,6 +439,14 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     the eps certificate then only holds at the prepass resolution
     (ADVICE r3).  Use prepass_ms < max_samples only for speed sweeps, not
     for exactness claims.
+
+    exact_cull (> 0): re-test every (candidate slot, ray) of the wide
+    L-slot cull list with the kernel's own slab/window test in XLA and
+    compact to `exact_cull` slots of TRUE-hit bricks before any kernel
+    runs — eps-free (a no-hit slot contributes exactly zero), removes
+    the cone-margin phantom DMAs, and shrinks the genuine drain
+    population to tiles with more true hits than exact_cull.  Use a
+    wide L (e.g. 192) with exact_cull ~48.  Forces bands off.
 
     segment_slots (kernel="tp", bands off): render each tile's list in
     segments of this many slots; between segments, tiles whose rays all
@@ -457,6 +523,8 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         assert kernel in ("tp", "rgba"), \
             "segment_slots needs an init-carry kernel (tp/rgba)"
         bands = ()      # segmentation subsumes band scheduling's savings
+    if exact_cull > 0:
+        bands = ()      # exact-filtered lists are already compact
     if bands == "auto":
         e, q = cpr // 8, cpr // 4
         bands = ((e, L), (e, max(L // 2, 8)), (q, max(L // 4, 8)),
@@ -487,7 +555,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                                        // pbatch) * pbatch)),
             pbatch=pbatch, sig3=sig3, prepass=prepass,
             prepass_L=prepass_L, prepass_ms=prepass_ms,
-            segment_slots=segment_slots,
+            segment_slots=segment_slots, exact_cull=exact_cull,
             interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()

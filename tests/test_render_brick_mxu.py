@@ -516,3 +516,45 @@ def test_bake_rgba_corner_grid_roundtrip():
     rows = _rows_from_grid(G, Bk)                       # (nb, Bk^3, 8, F)
     back = _corner_grid(rows.reshape(nb, Bk ** 3, 8 * F), Bk, F)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(G))
+
+
+@pytest.mark.parametrize("kernel", ["t", "tp"])
+def test_exact_cull_matches_flat(scene, kernel):
+    """Exact per-ray hit filtering is eps-FREE: pruned slots have no
+    (ray, window-sample) hit, so the filtered frame must equal the
+    unfiltered one exactly when no tile's TRUE-hit count exceeds the
+    compacted capacity."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, kernel=kernel, drain_tiles=4, drain_L=64)
+    flat = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, bands=(),
+                            **kw)
+    ex = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, exact_cull=64,
+                          **kw)
+    np.testing.assert_allclose(np.asarray(ex["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-6)
+    assert int(ex["dma_slots"]) <= int(flat["dma_slots"])
+    # tight capacity: overflow tiles must drain back to exactness
+    ex8 = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, exact_cull=8,
+                           **kw)
+    assert int(ex8["pairs_undrained"]) == 0
+    np.testing.assert_allclose(np.asarray(ex8["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-5)
+
+
+def test_exact_cull_with_segments(scene):
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, kernel="tp", pbatch=2, drain_tiles=4,
+              drain_L=64)
+    flat = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, bands=(),
+                            **kw)
+    seg = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, exact_cull=16,
+                           segment_slots=8, **kw)
+    assert int(seg["pairs_undrained"]) == 0
+    np.testing.assert_allclose(np.asarray(seg["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-5)

@@ -124,6 +124,26 @@ VARIANTS = {
     "tp4seg8_ms256_bf16_d128L256": dict(
         kernel="tp", pbatch=4, pool_dtype="bfloat16", max_samples=256,
         segment_slots=8, drain_tiles=128, drain_L=256),
+    # round 4e: exact per-ray hit filter — wide 192-candidate lists
+    # compacted to the TRUE-hit slots (eps-free; phantom margin bricks
+    # never reach the kernel), drains only for genuine deep tiles
+    "tp8xc48_ms256_bf16": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=256,
+                               L=192, exact_cull=48, segment_slots=8,
+                               drain_tiles=32, drain_L=256),
+    "tp8xc32_ms256_bf16": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=256,
+                               L=192, exact_cull=32, segment_slots=8,
+                               drain_tiles=64, drain_L=256),
+    "tp8xc48_ms512_bf16": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=512,
+                               L=192, exact_cull=48, segment_slots=8,
+                               drain_tiles=32, drain_L=256),
+    "tp8xc48_ms256_bf16_noseg": dict(kernel="tp", pbatch=8,
+                                     pool_dtype="bfloat16",
+                                     max_samples=256, L=192,
+                                     exact_cull=48, bands=(),
+                                     drain_tiles=32, drain_L=256),
     # front-end floor probe: L=8 lists, no drain — frame time ~= cull/
     # glue cost + a ~30ms kernel, bounding the non-kernel share
     "tp8_L8_front": dict(kernel="tp", pbatch=8, pool_dtype="bfloat16",
