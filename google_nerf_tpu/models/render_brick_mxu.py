@@ -44,13 +44,52 @@ SQRT3 = 3.0 ** 0.5
 NEAR_DISTANCE = 0.05
 
 
+def _exact_hit_filter(bidx, brick_lo, brick_hi, o3, du3, t1r, t2r, dt,
+                      Le: int):
+    """Exact per-(candidate, ray) slab/window test + stable compaction.
+
+    bidx: (Tb, Lc) depth-sorted candidate lists (-1 pads); o3/du3:
+    (Tb, 64, 3) per-tile rays; t1r/t2r: (Tb, 64).  Returns (bidx2
+    (Tb, Le) lists of TRUE-hit bricks in depth order, nhits (Tb,) true
+    hit counts).  A dropped slot has NO (ray, window-sample) hit, so
+    dropping it is eps-free — the kernel would contribute exactly zero.
+    """
+    Tb, Lc = bidx.shape
+    safe_d = jnp.maximum(bidx, 0)
+    lo_s = brick_lo[safe_d]                                 # (Tb, Lc, 3)
+    hi_s = brick_hi[safe_d]
+    inv3 = 1.0 / jnp.where(jnp.abs(du3) > 1e-10, du3,
+                           jnp.where(du3 >= 0, 1e-10, -1e-10))
+    t1b = t1r[:, None, :]                                   # (Tb, 1, 64)
+    t2b = t2r[:, None, :]
+    ta_p = jnp.broadcast_to(t1b, (Tb, Lc, 64))
+    tb_p = jnp.broadcast_to(t2b, (Tb, Lc, 64))
+    for k in range(3):
+        a = (lo_s[:, :, None, k] - o3[:, None, :, k]) * inv3[:, None, :, k]
+        b = (hi_s[:, :, None, k] - o3[:, None, :, k]) * inv3[:, None, :, k]
+        ta_p = jnp.maximum(ta_p, jnp.minimum(a, b))
+        tb_p = jnp.minimum(tb_p, jnp.maximum(a, b))
+    n0e = jnp.maximum(jnp.ceil((ta_p - t1b) / dt - 0.5), 0.0)
+    n1e = jnp.floor((tb_p - t1b) / dt - 0.5)
+    hit_e = ((tb_p > ta_p) & (n1e >= n0e) & (t2b > 0)
+             & (bidx >= 0)[:, :, None])                     # (Tb, Lc, 64)
+    hit_any = jnp.any(hit_e, axis=2)                        # (Tb, Lc)
+    nhits = jnp.sum(hit_any, axis=1).astype(jnp.int32)
+    pose = jnp.where(hit_any, jnp.arange(Lc, dtype=jnp.int32)[None], Lc)
+    pose = jax.lax.sort(pose, dimension=1)[:, :Le]
+    bidx2 = jnp.where(pose < Lc,
+                      jnp.take_along_axis(
+                          bidx, jnp.minimum(pose, Lc - 1), axis=1), -1)
+    return bidx2, nhits
+
+
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
                                    "kernel", "bands", "drain_tiles",
                                    "drain_L", "pbatch", "prepass",
                                    "prepass_L", "prepass_ms",
                                    "segment_slots", "exact_cull",
-                                   "interpret"))
+                                   "drain_xc", "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
@@ -59,7 +98,8 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
                sig3=None, prepass: float = 0.0, prepass_L: int = 32,
                prepass_ms: int = 0, segment_slots: int = 0,
-               exact_cull: int = 0, interpret: bool = False):
+               exact_cull: int = 0, drain_xc: int = 0,
+               interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
     T = R // 64
@@ -107,47 +147,17 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         # ---- EXACT per-ray hit filter (round 4): the cone cull's
         # conservative margin keeps bricks NO ray actually hits — they
         # inflate the lists (phantom slab DMAs) and the apparent
-        # overflow population the drain must serve.  Re-run the kernel's
-        # own slab/window test for every (slot, ray) of the WIDE
-        # candidate list in XLA ((T, Lp, 64) f32 temporaries — MB-scale
-        # per chunk) and keep only slots with >= 1 true hit: a pruned
-        # slot contributes EXACTLY zero in the kernel, so this is
-        # eps-free.  Lists then compact to `exact_cull` slots; tiles
-        # with more TRUE hits than that drain (rare — genuine depth). ----
-        safe_d = jnp.maximum(bidx, 0)       # post-depth-re-key order!
-        lo_s = brick_lo[safe_d]                             # (T, Lp, 3)
-        hi_s = brick_hi[safe_d]
-        o3 = rays_o.reshape(T, 64, 3)
-        du3 = rays_du.reshape(T, 64, 3)
-        inv3 = 1.0 / jnp.where(jnp.abs(du3) > 1e-10, du3,
-                               jnp.where(du3 >= 0, 1e-10, -1e-10))
-        t1r = t1.reshape(T, 1, 64)
-        t2r = t2.reshape(T, 1, 64)
-        ta_p = jnp.broadcast_to(t1r, (T, Lp, 64))
-        tb_p = jnp.broadcast_to(t2r, (T, Lp, 64))
-        for k in range(3):
-            a = (lo_s[:, :, None, k] - o3[:, None, :, k]) \
-                * inv3[:, None, :, k]
-            b = (hi_s[:, :, None, k] - o3[:, None, :, k]) \
-                * inv3[:, None, :, k]
-            ta_p = jnp.maximum(ta_p, jnp.minimum(a, b))
-            tb_p = jnp.minimum(tb_p, jnp.maximum(a, b))
-        n0e = jnp.maximum(jnp.ceil((ta_p - t1r) / dt - 0.5), 0.0)
-        n1e = jnp.floor((tb_p - t1r) / dt - 0.5)
-        hit_e = ((tb_p > ta_p) & (n1e >= n0e) & (t2r > 0)
-                 & (bidx >= 0)[:, :, None])                 # (T, Lp, 64)
-        hit_any = jnp.any(hit_e, axis=2)                    # (T, Lp)
-        nhits = jnp.sum(hit_any, axis=1).astype(jnp.int32)
+        # overflow population the drain must serve.  Filter the WIDE
+        # candidate list to TRUE-hit slots (eps-free); any bands then
+        # schedule by TRUE occupancy, and the drain serves only tiles
+        # with more true hits than their rendered capacity. ----
         Le = min(exact_cull, Lp)
         if kernel == "tp":
             Le = max(pbatch, (Le // pbatch) * pbatch)
-        pose = jnp.where(hit_any,
-                         jnp.arange(Lp, dtype=jnp.int32)[None], Lp)
-        pose = jax.lax.sort(pose, dimension=1)[:, :Le]
-        bidx = jnp.where(pose < Lp,
-                         jnp.take_along_axis(
-                             bidx, jnp.minimum(pose, Lp - 1), axis=1),
-                         -1)
+        bidx, nhits = _exact_hit_filter(
+            bidx, brick_lo, brick_hi, rays_o.reshape(T, 64, 3),
+            rays_du.reshape(T, 64, 3), t1.reshape(T, 64),
+            t2.reshape(T, 64), dt, Le)
         exact_over = nhits > Le
         Lp = Le
 
@@ -349,10 +359,11 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     elif exact_cull > 0:
         # exact-filtered lists: capacity cuts of NO-HIT slots are exact
         # (zero contribution); draining is needed only for tiles whose
-        # TRUE-hit count exceeds the compacted capacity, or whose wide
-        # candidate list itself truncated at the cull (conservative)
-        need = exact_over | macro_over | (t_rel > L_orig)
-        miss_sz = (jnp.maximum(nhits - Lp, 0)
+        # TRUE-hit count exceeds their rendered capacity (band cap or
+        # Lp), or whose wide candidate list truncated at the cull
+        # (conservative: t_rel counts margin bricks too)
+        need = (nhits > cap) | macro_over | (t_rel > L_orig)
+        miss_sz = (jnp.maximum(nhits - cap, 0)
                    + jnp.maximum(t_rel - L_orig, 0))
     else:
         need = (t_rel > cap) | macro_over
@@ -375,22 +386,38 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
             _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1,
                                      num_keys=1)
+            Lcd = drain_L
+            over_d = jnp.zeros((D,), jnp.int32)
+            if exact_cull > 0 and drain_xc > 0:
+                # exact-filter the drain lists too: the drain's wide
+                # rebuild is phantom-inflated like the main cull, and a
+                # 256-slot static drain grid was measured at up to 6x
+                # the main pass's steps (DESIGN_NOTES R4.2)
+                Lcd = min(drain_xc, drain_L)
+                if kernel == "tp":
+                    Lcd = max(pbatch, (Lcd // pbatch) * pbatch)
+                o3a = rays_o.reshape(T, 64, 3)
+                du3a = rays_du.reshape(T, 64, 3)
+                bidx_e, nh_e = _exact_hit_filter(
+                    bidx_e, brick_lo, brick_hi, o3a[dtid], du3a[dtid],
+                    t1.reshape(T, 64)[dtid], t2.reshape(T, 64)[dtid],
+                    dt, Lcd)
+                over_d = jnp.maximum(nh_e - Lcd, 0)
             pb_e, meta_e, nv_e = pack_lists(bidx_e)
             out_d = field(pb_e, meta_e, *fargs, tid=dtid,
-                          lbase=jnp.arange(D, dtype=jnp.int32) * drain_L,
-                          nslots=jnp.where(dmask, nv_e, 0), Lcall=drain_L,
+                          lbase=jnp.arange(D, dtype=jnp.int32) * Lcd,
+                          nslots=jnp.where(dmask, nv_e, 0), Lcall=Lcd,
                           **fkw)
             dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)    # (T,)
             out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
             # exactness accounting: tiles needing drain beyond D, and
-            # drained tiles whose true list exceeded drain_L
+            # drained tiles whose true list exceeded the drain capacity
             missed = need & ~dm_t
+            dmiss = jnp.maximum(rel_e - drain_L, 0) + over_d
             und = (jnp.sum(jnp.where(missed, miss_sz, 0))
-                   + jnp.sum(jnp.where(dmask,
-                                       jnp.maximum(rel_e - drain_L, 0),
-                                       0))).astype(jnp.int32)
+                   + jnp.sum(jnp.where(dmask, dmiss, 0))).astype(jnp.int32)
             tr = (missed.sum()
-                  + jnp.sum(dmask & (rel_e > drain_L))).astype(jnp.int32)
+                  + jnp.sum(dmask & (dmiss > 0))).astype(jnp.int32)
             dsl = jnp.sum(jnp.where(dmask, nv_e, 0)).astype(jnp.int32)
             return out, und, tr, dsl
 
@@ -424,6 +451,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      pbatch: int = 4, prepass: float = 0.0,
                      prepass_L: int = 32, prepass_ms: int = 0,
                      segment_slots: int = 0, exact_cull: int = 0,
+                     drain_xc: int = 0,
                      exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -523,12 +551,13 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         assert kernel in ("tp", "rgba"), \
             "segment_slots needs an init-carry kernel (tp/rgba)"
         bands = ()      # segmentation subsumes band scheduling's savings
-    if exact_cull > 0:
-        bands = ()      # exact-filtered lists are already compact
     if bands == "auto":
+        # with exact_cull, bands schedule the FILTERED lists — derive
+        # capacities from the compacted length, not the wide L
+        eb = min(exact_cull, L) if exact_cull > 0 else L
         e, q = cpr // 8, cpr // 4
-        bands = ((e, L), (e, max(L // 2, 8)), (q, max(L // 4, 8)),
-                 (cpr - e - e - q, max(L // 8, 8)))
+        bands = ((e, eb), (e, max(eb // 2, 8)), (q, max(eb // 4, 8)),
+                 (cpr - e - e - q, max(eb // 8, 8)))
         bands = tuple((n, lp) for n, lp in bands if n > 0)
     bands = tuple(bands)
     mL = min(macro_L, int(lo.shape[0]))
@@ -556,6 +585,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
             pbatch=pbatch, sig3=sig3, prepass=prepass,
             prepass_L=prepass_L, prepass_ms=prepass_ms,
             segment_slots=segment_slots, exact_cull=exact_cull,
+            drain_xc=drain_xc,
             interpret=interpret))
     cat = {k: jnp.concatenate([o[k] for o in outs])
            if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()

@@ -558,3 +558,22 @@ def test_exact_cull_with_segments(scene):
     assert int(seg["pairs_undrained"]) == 0
     np.testing.assert_allclose(np.asarray(seg["rgb"]),
                                np.asarray(flat["rgb"]), atol=1e-5)
+
+
+def test_exact_cull_banded_with_exact_drain(scene):
+    """Bands on TRUE-hit counts + the exact-culled drain must reproduce
+    the ample flat frame: band capacity cuts of true-hit slots drain
+    through filtered drain lists (drain_xc)."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, kernel="tp", pbatch=2)
+    flat = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, bands=(),
+                            drain_tiles=4, drain_L=64, **kw)
+    ex = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64, exact_cull=16,
+                          bands=((1, 16), (3, 8)), drain_tiles=4,
+                          drain_L=64, drain_xc=64, **kw)
+    assert int(ex["pairs_undrained"]) == 0
+    np.testing.assert_allclose(np.asarray(ex["rgb"]),
+                               np.asarray(flat["rgb"]), atol=1e-5)

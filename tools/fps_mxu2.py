@@ -152,6 +152,33 @@ VARIANTS = {
                                  pool_dtype="bfloat16", max_samples=256,
                                  bands=(), L=8, drain_tiles=0,
                                  macro_tiles=0),
+    "tp8_L8_front_mL512": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=256,
+                               bands=(), L=8, drain_tiles=0,
+                               macro_L=512),
+    "tp8_L8_front_mL256": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", max_samples=256,
+                               bands=(), L=8, drain_tiles=0,
+                               macro_L=256),
+    "tp8_L8_front_c1k": dict(kernel="tp", pbatch=8,
+                             pool_dtype="bfloat16", max_samples=256,
+                             bands=(), L=8, drain_tiles=0,
+                             chunk_tiles=1024),
+    "tp8_L8_front_mt16": dict(kernel="tp", pbatch=8,
+                              pool_dtype="bfloat16", max_samples=256,
+                              bands=(), L=8, drain_tiles=0,
+                              macro_tiles=16),
+    # full exact pipeline with banded true-hit scheduling + exact drain
+    "tp8xc48b_ms256_bf16": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=48, bands="auto",
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
+    "tp8xc48f_ms256_bf16": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=48, segment_slots=8,
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
     # two-phase: sigma prepass scores all pairs (16x narrower matmul),
     # main pass runs on per-tile lists compacted to the >eps pairs
     "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),
