@@ -203,7 +203,9 @@ def main():
     @stage(em, "bake", est_seconds=90)
     def _bake():
         from google_nerf_tpu.models.baked import BakedConfig, bake
-        bcfg = BakedConfig(voxel_res=512, block=8, dtype="float8_e4m3fn")
+        # bf16 pool: ~1.8x faster slab DMAs than fp8 (1-byte dtypes pay a
+        # repack on this target, DESIGN_NOTES R4.1) and no quantization
+        bcfg = BakedConfig(voxel_res=512, block=8, dtype="bfloat16")
         t0 = time.time()
         baked = bake(state["params"], cfg.model, state["occ"], bcfg)
         shared["baked"], shared["bcfg"] = baked, bcfg
@@ -221,14 +223,13 @@ def main():
                              cfg.model)
         shared["geo"] = geo
         res = {}
-        # tp4 + ms256: best exact config of the r3 chip sweep (1.14 FPS,
-        # PSNR-vs-gt 43.7, tools/fps_mxu2.py; DESIGN_NOTES R3.2.1)
-        mxu_kw = dict(L=64, kernel="tp", pbatch=4, bands="auto",
-                      max_samples=min(ms_render, 256), T_threshold=1e-2)
-        pp = float(os.environ.get("BENCH_MXU_PREPASS", 0.0))
-        if pp > 0:
-            mxu_kw.update(prepass=pp, prepass_L=int(
-                os.environ.get("BENCH_MXU_PREPASS_L", 32)))
+        # r4 best: exact per-ray hit filter over wide lists + true-hit
+        # bands + exact-culled drain, P=8, bf16 slabs, ms256 lattice,
+        # whole-frame jit (tools/fps_mxu2.py r4 sweeps, DESIGN_NOTES R4.2)
+        mxu_kw = dict(L=192, exact_cull=48, kernel="tp", pbatch=8,
+                      bands="auto", drain_tiles=256, drain_L=256,
+                      drain_xc=96, max_samples=min(ms_render, 256),
+                      T_threshold=1e-2)
 
         def frame():
             out = render_brick_mxu(

@@ -564,32 +564,54 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     mt = macro_tiles if mL > 0 else 0
     while mt > 1 and cpr % mt:
         mt //= 2
-    outs = []
-    for i in range(0, n_tiles, cpr):
-        n_c = min(cpr, n_tiles - i)
-        sl = slice(i * 64, (i + n_c) * 64)
-        pad = (cpr - n_c) * 64
-        ro_c, rd_c = ro_t[sl], rd_t[sl]
-        if pad:
-            ro_c = jnp.concatenate([ro_c, jnp.full((pad, 3), 100.0)])
-            rd_c = jnp.concatenate([rd_c, jnp.ones((pad, 3)) / SQRT3])
-        outs.append(_mxu_tiles(
-            pool3, baked["rgb_mlp"], lo, hi, ro_c, rd_c, cfg=cfg,
-            bcfg=bcfg, L=L, max_samples=max_samples,
-            T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
-            macro_L=mL, kernel=kernel, bands=bands,
-            drain_tiles=min(drain_tiles, cpr),
-            drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
-                     else max(pbatch, (min(drain_L, int(lo.shape[0]))
-                                       // pbatch) * pbatch)),
-            pbatch=pbatch, sig3=sig3, prepass=prepass,
-            prepass_L=prepass_L, prepass_ms=prepass_ms,
-            segment_slots=segment_slots, exact_cull=exact_cull,
-            drain_xc=drain_xc,
-            interpret=interpret))
-    cat = {k: jnp.concatenate([o[k] for o in outs])
-           if outs[0][k].ndim else jnp.stack([o[k] for o in outs]).sum()
-           for k in outs[0]}
+    # ---- WHOLE-FRAME jit (round 4): the chunk loop used to run in
+    # eager python — per-chunk slicing / pad concats / dispatch / the
+    # final unpermute summed to ~200 ms/frame of pure host glue while
+    # the device did ~70 ms of work (tools/profile_frame.py trace).
+    # The loop is now a lax.map over stacked ray chunks inside ONE jit
+    # (the kernel body appears once in the HLO), and the unpermute +
+    # background composite ride along. ----
+    n_chunks = -(-n_tiles // cpr)
+    pad_rays = n_chunks * cpr * 64 - Wp * Hp
+    if pad_rays:
+        ro_t = jnp.concatenate(
+            [ro_t, jnp.full((pad_rays, 3), 100.0)])
+        rd_t = jnp.concatenate(
+            [rd_t, jnp.full((pad_rays, 3), 1.0 / SQRT3)])
+    ro_ch = ro_t.reshape(n_chunks, cpr * 64, 3)
+    rd_ch = rd_t.reshape(n_chunks, cpr * 64, 3)
+    mxu_kw = dict(
+        cfg=cfg, bcfg=bcfg, L=L, max_samples=max_samples,
+        T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
+        macro_L=mL, kernel=kernel, bands=bands,
+        drain_tiles=min(drain_tiles, cpr),
+        drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
+                 else max(pbatch, (min(drain_L, int(lo.shape[0]))
+                                   // pbatch) * pbatch)),
+        pbatch=pbatch, prepass=prepass,
+        prepass_L=prepass_L, prepass_ms=prepass_ms,
+        segment_slots=segment_slots, exact_cull=exact_cull,
+        drain_xc=drain_xc, interpret=interpret)
+    cat = _mxu_frame(pool3, baked["rgb_mlp"], lo, hi, ro_ch, rd_ch,
+                     jnp.asarray(inv), sig3=sig3, W=W, H=H, Wp=Wp, Hp=Hp,
+                     exp_step_factor=exp_step_factor, **mxu_kw)
+    return cat
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "bcfg", "L", "max_samples", "T_threshold", "macro_tiles",
+    "macro_L", "kernel", "bands", "drain_tiles", "drain_L", "pbatch",
+    "prepass", "prepass_L", "prepass_ms", "segment_slots", "exact_cull",
+    "drain_xc", "interpret", "W", "H", "Wp", "Hp", "exp_step_factor"))
+def _mxu_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, sig3, W, H,
+               Wp, Hp, exp_step_factor, **mxu_kw):
+    def one_chunk(rc):
+        return _mxu_tiles(pool3, rgb_mlp, lo, hi, rc[0], rc[1],
+                          sig3=sig3, **mxu_kw)
+
+    outs = jax.lax.map(one_chunk, (ro_ch, rd_ch))
+    cat = {k: (v.reshape((-1,) + v.shape[2:]) if v.ndim > 1 else v.sum())
+           for k, v in outs.items()}
 
     def unpermute(x):
         x = jnp.take(x[:Wp * Hp], inv, axis=0)
