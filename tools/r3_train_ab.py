@@ -114,6 +114,14 @@ VARIANTS = {
     # the budget so mask -> 1 and compare PSNR at equal steps.
     "bud20":       dict(budget=20 * 8192),
     "bud24":       dict(budget=24 * 8192),
+    # r4 follow-ups on the winning ms512+bud12 recipe: shrink the padded
+    # per-ray capacity (plan-sort rows = R*K) and the level count
+    "ms512_k128_bud12": dict(ms=512, k=128, budget=12 * 8192),
+    "ms512_k192_bud12": dict(ms=512, k=192, budget=12 * 8192),
+    "ms512_k128_bud10": dict(ms=512, k=128, budget=10 * 8192),
+    "lev6_ms512_bud12": dict(ms=512, lev=6, budget=12 * 8192),
+    "b16k_ms512_k128_bud12": dict(batch=16384, ms=512, k=128,
+                                  budget=12 * 16384),
 }
 
 
