@@ -26,12 +26,14 @@ print = functools.partial(print, flush=True)
 
 
 def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
-                n_keep_groups=0, march="block", encoder="packed"):
+                n_keep_groups=0, march="block", encoder="packed",
+                scan=0):
     import jax.numpy as jnp
 
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              fused_train_steps,
                                               grid_update_step,
                                               init_train_state)
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
@@ -50,6 +52,20 @@ def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
 
     def loop(state, n, start):
         metrics = None
+        if scan:  # one dispatch per `scan` steps (grid cadence outside)
+            assert n % scan == 0 and start % scan == 0
+            assert cfg.grid_update_interval % scan == 0 or \
+                scan % cfg.grid_update_interval == 0
+            for i in range(start, start + n, scan):
+                if i % cfg.grid_update_interval == 0:
+                    state = grid_update_step(
+                        state, jax.random.fold_in(key, 2 * i + 1), cfg=cfg,
+                        warmup=i < cfg.warmup_steps)
+                state, metrics = fused_train_steps(
+                    state, scene, jax.random.fold_in(key, 2 * i), cfg=cfg,
+                    n_steps=scan)
+            _ = float(jax.tree_util.tree_leaves(state)[0].ravel()[0])
+            return state, metrics
         for i in range(start, start + n):
             if i % cfg.grid_update_interval == 0:
                 state = grid_update_step(
@@ -122,6 +138,10 @@ VARIANTS = {
     "lev6_ms512_bud12": dict(ms=512, lev=6, budget=12 * 8192),
     "b16k_ms512_k128_bud12": dict(batch=16384, ms=512, k=128,
                                   budget=12 * 16384),
+    # r4: 16-step lax.scan per dispatch — amortize the ~10 ms/step host
+    # dispatch gap the device-op trace exposed (tools/profile_train.py)
+    "scan16_ms512_bud10": dict(ms=512, budget=10 * 8192, scan=16),
+    "scan16_ms512_bud12": dict(ms=512, budget=12 * 8192, scan=16),
 }
 
 
