@@ -89,8 +89,16 @@ def main():
     # march="block": one-phase 8^3 block-row marcher — measured faster than
     # the segment marcher (70.4 vs 75.3 ms/step) at equal-or-better
     # convergence (49.45 vs 48.57 PSNR@1024) in the A/B (tools/block_bench.py)
+    # r4 config round (DESIGN_NOTES R4.3, tools/r3_train_ab.py):
+    #   max_samples 1024 -> 512   (serving-grade lattice, ~0 dB at bench)
+    #   budget 16x -> 10x rays    (mask_frac 0.927, PSNR went UP)
+    #   grid_sample_div 4 -> 16   (the grid update was the hidden
+    #                              ~10 ms/step; smaller refresh passes the
+    #                              >=48 gate where gi32/gi64 cadence cuts
+    #                              did not: 216.2k rays/s @ 48.22)
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
-                      num_epochs=30, samples_budget=131072,
+                      num_epochs=30, samples_budget=81920,
+                      max_samples=512, grid_sample_div=16,
                       random_bg=True, exclude_incomplete="backfill",
                       march="block")
 
@@ -223,11 +231,13 @@ def main():
                              cfg.model)
         shared["geo"] = geo
         res = {}
-        # r4 best: exact per-ray hit filter over wide lists + true-hit
-        # bands + exact-culled drain, P=8, bf16 slabs, ms256 lattice,
-        # whole-frame jit (tools/fps_mxu2.py r4 sweeps, DESIGN_NOTES R4.2)
+        # r4 best (tp8xc48f, 1.78 FPS @ 42.7 dB vs gt, /tmp/fps_r4i):
+        # exact per-ray hit filter over wide lists, P=8, bf16 slabs,
+        # ms256 lattice, segmented-l dead-tile DMA elision, exact-culled
+        # drain (tools/fps_mxu2.py r4 sweeps, DESIGN_NOTES R4.2/R4.4)
         mxu_kw = dict(L=192, exact_cull=48, kernel="tp", pbatch=8,
-                      bands="auto", drain_tiles=256, drain_L=256,
+                      bands=(), segment_slots=8,
+                      drain_tiles=256, drain_L=256,
                       drain_xc=96, max_samples=min(ms_render, 256),
                       T_threshold=1e-2)
 

@@ -36,7 +36,7 @@ from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  _tile_lists,
                                                  brick_geometry, tile_order)
 from google_nerf_tpu.ops.pallas.brick_field import (
-    brick_field_sigma_tp, brick_field_tiles, brick_field_tiles_rgba,
+    brick_field_tiles, brick_field_tiles_rgba,
     brick_field_tiles_t, brick_field_tiles_tp, window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
@@ -86,8 +86,7 @@ def _exact_hit_filter(bidx, brick_lo, brick_hi, o3, du3, t1r, t2r, dt,
 @partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
                                    "T_threshold", "macro_tiles", "macro_L",
                                    "kernel", "bands", "drain_tiles",
-                                   "drain_L", "pbatch", "prepass",
-                                   "prepass_L", "prepass_ms",
+                                   "drain_L", "pbatch",
                                    "segment_slots", "exact_cull",
                                    "drain_xc", "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
@@ -96,8 +95,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
                kernel: str = "n", bands: tuple = (),
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
-               sig3=None, prepass: float = 0.0, prepass_L: int = 32,
-               prepass_ms: int = 0, segment_slots: int = 0,
+               segment_slots: int = 0,
                exact_cull: int = 0, drain_xc: int = 0,
                interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
@@ -131,7 +129,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                                   tan_t, t_far, L=L)
         macro_over = jnp.zeros((T,), bool)
     Lp = bidx.shape[1]
-    L_orig = Lp     # pre-compaction list capacity (prepass drain trigger)
+    L_orig = Lp     # pre-compaction (wide cull) list capacity
 
     # re-key the selected lists to PLAIN front-to-back center depth: the
     # selection key's relevance tiers would misorder the in-kernel
@@ -184,68 +182,6 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     rays8 = jnp.concatenate(
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
-
-    # ---- sigma prepass (two-phase): score every (tile, slot) pair with
-    # a 16x-narrower sigma-only kernel, then COMPACT each tile's list to
-    # the pairs whose weight or window tau clears eps for some ray.  A
-    # pruned pair is certified < eps everywhere; kept-overflow tiles
-    # (> prepass_L surviving pairs) re-render exactly via the drain. ----
-    over_pre = jnp.zeros((T,), bool)
-    pairs_pruned = jnp.int32(0)
-    if prepass > 0.0:
-        ms_pre = prepass_ms or max_samples
-        dt_pre = SQRT3 / ms_pre
-        P_pre = max(p for p in (8, 4, 2, 1) if Lp % p == 0)
-        _, scores = brick_field_sigma_tp(
-            pool_blk, meta, rays8, sig3,
-            S=window_span(ms_pre, bcfg.block, bcfg.voxel_res, cfg.scale),
-            dt=dt_pre, inv2s=0.5 / s, V=bcfg.voxel_res,
-            tau_max=float(-np.log(T_threshold)), nslots=nvalid,
-            P=P_pre, Bk=bcfg.block, interpret=interpret)
-        w_mx = jnp.max(scores[:, 0], axis=1).reshape(T, Lp)
-        tau_mx = jnp.max(scores[:, 1], axis=1).reshape(T, Lp)
-        # keep every pair whose weight clears eps; among the rest, drop
-        # only the ascending-tau prefix whose PER-TILE tau sum stays
-        # under 3*eps — so the aggregate transmittance error of all
-        # drops is bounded (~3*eps in tau), not just each pair's.
-        # (Occluded drops self-bound: once T_bef < eps the remaining
-        # weights sum to < eps collectively.)
-        base_keep = w_mx > prepass
-        cand = jnp.where(base_keep, jnp.inf, tau_mx)
-        # drop by RANK in the ascending-tau sort, not by threshold: with
-        # tied tau values a threshold drops every tie and the dropped
-        # per-tile tau sum can exceed the 3*eps budget by the tie count
-        # (ADVICE r3).  n_drop = longest ascending prefix with
-        # cum tau <= 3*eps; slots at sorted rank < n_drop are dropped.
-        iota_l = jnp.broadcast_to(
-            jnp.arange(Lp, dtype=jnp.int32), cand.shape)
-        st, pord = jax.lax.sort((cand, iota_l), dimension=1, num_keys=1)
-        cum = jnp.cumsum(jnp.where(jnp.isfinite(st), st, 0.0), axis=1)
-        n_drop = jnp.sum((cum <= 3.0 * prepass) & jnp.isfinite(st),
-                         axis=1, keepdims=True)                 # (T, 1)
-        drop_sorted = (iota_l < n_drop).astype(jnp.int32)
-        # invert the sort permutation: resort (pord, drop) by pord
-        _, dropped = jax.lax.sort((pord, drop_sorted), dimension=1,
-                                  num_keys=1)                   # slot order
-        keep = base_keep | (dropped == 0)
-        kc = jnp.sum(keep, axis=1).astype(jnp.int32)
-        Lk = min(prepass_L, Lp)
-        if kernel == "tp":
-            Lk = max(pbatch, (Lk // pbatch) * pbatch)
-        # stable per-row compaction: sorted kept positions, first Lk
-        posk = jnp.where(keep, jnp.arange(Lp, dtype=jnp.int32), Lp)
-        posk = jax.lax.sort(posk, dimension=1)[:, :Lk]      # (T, Lk)
-        valid2 = posk < Lp
-        bidx2 = jnp.where(
-            valid2,
-            jnp.take_along_axis(bidx, jnp.minimum(posk, Lp - 1), axis=1),
-            -1)
-        pool_blk, meta, nvalid = pack_lists(bidx2)
-        over_pre = kc > Lk
-        pairs_pruned = jnp.sum(
-            jnp.minimum(jnp.sum(bidx >= 0, 1), Lp) - kc).astype(jnp.int32)
-        Lp = Lk
-        bands = ()          # compact lists are dense; banding adds calls
 
     if kernel == "tp":
         field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
@@ -345,18 +281,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     # at drain_L slots for up to drain_tiles cones.  The kernel's l-grid
     # is the cursor, so one extra call drains everything; only content
     # beyond drain_L or beyond drain_tiles remains culled — counted.
-    # With the prepass, capacity cuts of sub-eps pairs are INTENTIONAL:
-    # only kept-overflow tiles (and macro overflows) need draining, and
-    # miss sizes count surviving pairs, not the pruned ones.
-    if prepass > 0.0:
-        # ADVICE r3 (high): tiles whose TRUE relevant count exceeded the
-        # ORIGINAL list capacity were truncated at the cull's top_k before
-        # the prepass ever scored them — they must drain (the drain
-        # rebuilds lists from scratch at drain_L) or count as undrained.
-        need = over_pre | macro_over | exact_over | (t_rel > L_orig)
-        miss_sz = (jnp.maximum(kc - Lp, 0)
-                   + jnp.maximum(t_rel - L_orig, 0))
-    elif exact_cull > 0:
+    if exact_cull > 0:
         # exact-filtered lists: capacity cuts of NO-HIT slots are exact
         # (zero contribution); draining is needed only for tiles whose
         # TRUE-hit count exceeds their rendered capacity (band cap or
@@ -437,7 +362,6 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                 opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
                 pairs_rendered=out[:, 5].sum().astype(jnp.int32),
                 pairs_undrained=undrained,
-                pairs_pruned=pairs_pruned,
                 dma_slots=dma_slots.astype(jnp.int32),
                 trunc_tiles=trunc)
 
@@ -448,8 +372,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      chunk_tiles: int = 512, macro_tiles: int = 8,
                      macro_L: int = 1024, geometry=None, kernel: str = "n",
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
-                     pbatch: int = 4, prepass: float = 0.0,
-                     prepass_L: int = 32, prepass_ms: int = 0,
+                     pbatch: int = 4,
                      segment_slots: int = 0, exact_cull: int = 0,
                      drain_xc: int = 0,
                      exp_step_factor: float = 0.0, interpret=None):
@@ -459,14 +382,6 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     "auto" = occupancy-banded scheduling (1/8 of tiles at L, 1/8 at L/2,
     1/4 at L/4, 1/2 at L/8 — tiles argsorted by true list occupancy);
     or an explicit tuple of (n_tiles, Lp) pairs summing to chunk_tiles.
-
-    prepass_ms: lattice resolution of the sigma prepass (0 = max_samples).
-    CAUTION: setting it below max_samples scores tau at a coarser step, so
-    a thin high-sigma feature the fine main pass resolves can be
-    under-integrated by the prepass and a > eps pair mistakenly pruned —
-    the eps certificate then only holds at the prepass resolution
-    (ADVICE r3).  Use prepass_ms < max_samples only for speed sweeps, not
-    for exactness claims.
 
     exact_cull (> 0): re-test every (candidate slot, ray) of the wide
     L-slot cull list with the kernel's own slab/window test in XLA and
@@ -521,15 +436,6 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         pool3 = baked["poolT"]
     else:
         pool3 = baked["pool"].reshape(-1, vox, 128)
-    sig3 = None
-    if prepass > 0.0:
-        assert kernel in ("t", "tp", "rgba"), \
-            "prepass needs a transposed pool"
-        if "sigT" not in baked:
-            # log-sigma corner rows of every slab (nb, 8, vox)
-            baked["sigT"] = pool3[:, 0::4, :] + 0 if kernel == "rgba" \
-                else pool3[:, 0::16, :] + 0     # materialized copy
-        sig3 = baked["sigT"]
     Wp = ((W + tile - 1) // tile) * tile
     Hp = ((H + tile - 1) // tile) * tile
     if (Wp, Hp) != (W, H):
@@ -588,12 +494,11 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
                  else max(pbatch, (min(drain_L, int(lo.shape[0]))
                                    // pbatch) * pbatch)),
-        pbatch=pbatch, prepass=prepass,
-        prepass_L=prepass_L, prepass_ms=prepass_ms,
+        pbatch=pbatch,
         segment_slots=segment_slots, exact_cull=exact_cull,
         drain_xc=drain_xc, interpret=interpret)
     cat = _mxu_frame(pool3, baked["rgb_mlp"], lo, hi, ro_ch, rd_ch,
-                     jnp.asarray(inv), sig3=sig3, W=W, H=H, Wp=Wp, Hp=Hp,
+                     jnp.asarray(inv), W=W, H=H, Wp=Wp, Hp=Hp,
                      exp_step_factor=exp_step_factor, **mxu_kw)
     return cat
 
@@ -601,13 +506,13 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
 @partial(jax.jit, static_argnames=(
     "cfg", "bcfg", "L", "max_samples", "T_threshold", "macro_tiles",
     "macro_L", "kernel", "bands", "drain_tiles", "drain_L", "pbatch",
-    "prepass", "prepass_L", "prepass_ms", "segment_slots", "exact_cull",
+    "segment_slots", "exact_cull",
     "drain_xc", "interpret", "W", "H", "Wp", "Hp", "exp_step_factor"))
-def _mxu_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, sig3, W, H,
+def _mxu_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, W, H,
                Wp, Hp, exp_step_factor, **mxu_kw):
     def one_chunk(rc):
         return _mxu_tiles(pool3, rgb_mlp, lo, hi, rc[0], rc[1],
-                          sig3=sig3, **mxu_kw)
+                          **mxu_kw)
 
     outs = jax.lax.map(one_chunk, (ro_ch, rd_ch))
     cat = {k: (v.reshape((-1,) + v.shape[2:]) if v.ndim > 1 else v.sum())
@@ -629,5 +534,4 @@ def _mxu_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, sig3, W, H,
                 trunc_tiles=cat["trunc_tiles"],
                 pairs_rendered=cat["pairs_rendered"],
                 pairs_undrained=cat["pairs_undrained"],
-                pairs_pruned=cat["pairs_pruned"],
                 dma_slots=cat["dma_slots"])

@@ -146,7 +146,8 @@ def _erode(grid):
 def update_density_grid(density_grid, density_fn, key, *, scale: float,
                         density_threshold: float, warmup: bool,
                         decay: float = 0.95, erode: bool = False,
-                        eval_chunks: int = 32, axis_name=None):
+                        eval_chunks: int = 32, axis_name=None,
+                        sample_div: int = 4):
     """One density-grid maintenance step.
 
     density_grid: (C, G, G, G) float32 (negatives = permanently invisible);
@@ -179,7 +180,12 @@ def update_density_grid(density_grid, density_fn, key, *, scale: float,
         if warmup:
             idx = jnp.arange(G ** 3, dtype=jnp.int32)
         else:
-            m = G ** 3 // 4
+            # sample_div=4 is the reference recipe (vren's M=G^3/4 uniform
+            # + M occupied).  At the r4 flagship the 2M density evals cost
+            # ~13 train steps' worth of field evals per update — larger
+            # divisors trade occupancy-refresh rate for throughput (A/B
+            # gated on held-out PSNR, tools/r3_train_ab.py).
+            m = G ** 3 // sample_div
             k1, k2, k3 = jax.random.split(kc, 3)
             coords_u = jax.random.randint(k1, (m, 3), 0, G, dtype=jnp.int32)
             idx_u = (coords_u[:, 0] * G + coords_u[:, 1]) * G + coords_u[:, 2]

@@ -1009,269 +1009,15 @@ def brick_field_rgba_reference(pool_blk, meta, rays, poolRGBA, *, S, dt,
             out[sl, 4] += T_bef * depw
             out[sl, 5] += (hit & live).astype(np.float32)
     return out
+# The two-phase sigma-prepass kernel family (_kernel_sig /
+# brick_field_sigma_tp / brick_field_sigma_reference) was measured and
+# DELETED in round 4: at eps=1e-3 it pruned only ~21% of slots while
+# costing a full extra pass over the uncompacted lists, and no chip
+# sweep ever put a prepass config ahead of the flat exact-cull design
+# at equal exactness (DESIGN_NOTES R4.2/R4.4; VERDICT r3 item 3 kill
+# criterion: keep only if >= 1.7x FPS at <= 0.1 dB — it delivered 1.0x).
 
 
-def _kernel_sig(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
-                *slab_misc, S: int, dt: float, inv2s: float, V: int,
-                tau_max: float, P: int, Bk: int = 8):
-    """Sigma-only PREPASS kernel (P-batched, transposed layout).
-
-    Computes, per (tile, list slot), each ray's window optical depth
-    tau_c and contribution weight T_before * (1 - exp(-tau_c)) — with
-    NO per-slice composite (the within-window weight telescopes), no
-    rgb MLP, and a (8, vox) sigma slab whose one-hot matmul is 16x
-    narrower than the full kernel's.  The two-phase renderer
-    (models/render_brick_mxu.py) uses the scores to COMPACT the lists
-    before the expensive main pass: pairs whose weight and tau both
-    stay below eps for every ray are provably <eps contributors.
-
-    Outputs: [0] revisited (8, TPX) ray accumulator (row 0 = carried
-    tau, same early-termination gate as the main kernels); [1] per-pair
-    (P, 2, TPX) score rows — row 0 weight, row 1 live-masked tau_c —
-    zero-initialized every step so skipped groups read as prunable.
-    """
-    slab_refs = slab_misc[:P]
-    rowv_ref, bitw8_ref, outT_ref, sc_ref = slab_misc[P:]
-    t = pl.program_id(0)
-    l = pl.program_id(1)
-
-    @pl.when(l == 0)
-    def _init():
-        outT_ref[:] = jnp.zeros_like(outT_ref)
-
-    sc_ref[:] = jnp.zeros_like(sc_ref)      # every (t, l) block: own step
-
-    rays = raysT_ref[:]                     # (8, 64)
-    o = rays[0:3]
-    du = rays[3:6]
-    t1 = rays[6:7]
-    t2 = rays[7:8]
-    inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
-                            jnp.where(du >= 0, 1e-10, -1e-10))
-    N = S * TPX
-
-    def lane_tile(x):
-        return jnp.concatenate([x] * S, axis=1)
-
-    hits, n0s, n1s = [], [], []
-    for k in range(P):
-        valid = l * P + k < ns_ref[t]
-        m = metaP_ref[k]                    # (1, 8)
-        ta, tb = t1, t2
-        for kk in range(3):
-            a = (m[0:1, kk:kk + 1] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
-            b = (m[0:1, kk + 3:kk + 4] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
-            ta = jnp.maximum(ta, jnp.minimum(a, b))
-            tb = jnp.minimum(tb, jnp.maximum(a, b))
-        n0 = jnp.maximum(jnp.ceil((ta - t1) / dt - 0.5), 0.0)
-        n1 = jnp.floor((tb - t1) / dt - 0.5)
-        hits.append(valid & (tb > ta) & (n1 >= n0) & (t2 > 0))
-        n0s.append(n0)
-        n1s.append(n1)
-    hit_any = hits[0]
-    for k in range(1, P):
-        hit_any = hit_any | hits[k]
-
-    tau_in = outT_ref[0:1, :]                               # (1, 64)
-    work = jnp.any(hit_any & (tau_in < tau_max))
-
-    @pl.when(work)
-    def _body():
-        o_n = lane_tile(o)
-        du_n = lane_tile(du)
-        t1_n = lane_tile(t1)
-        s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-               // TPX).astype(jnp.float32)
-        tau_tot = tau_in
-        for k in range(P):
-            live = tau_tot < tau_max
-            hit = hits[k]
-            sigT = slab_refs[k][0].astype(jnp.bfloat16)     # (8, vox)
-            n_s = lane_tile(n0s[k]) + s_n
-            hitf = jnp.where(hit, 1.0, 0.0)
-            ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1s[k]))
-            ts = t1_n + (n_s + 0.5) * dt
-            fBk = float(Bk)
-            lid = jnp.zeros((1, N), jnp.float32)
-            frs = []
-            for kk in range(3):
-                pos = jnp.clip((o_n[kk:kk + 1] + ts * du_n[kk:kk + 1])
-                               * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-                v0 = jnp.floor(pos)
-                frs.append(pos - v0)
-                lid = lid * fBk + jnp.clip(
-                    v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk,
-                    0.0, fBk - 1.0)
-            lid_i = lid.astype(jnp.int32)
-            ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
-                            1.0, 0.0).astype(jnp.bfloat16)  # (vox, N)
-            sig8 = jnp.dot(sigT, ohT,
-                           preferred_element_type=jnp.float32)  # (8, N)
-            # trilinear corner weights on the 8 sigma rows
-            w8 = jnp.ones((8, N), jnp.float32)
-            for kk in range(3):
-                w8 = w8 * ((1.0 - frs[kk])
-                           + bitw8_ref[kk] * (2.0 * frs[kk] - 1.0))
-            ws = w8 * sig8
-            h = ws[0:1]
-            for c in range(1, 8):
-                h = h + ws[c:c + 1]                         # (1, N)
-            sd = jnp.where(ok_n,
-                           jnp.exp(jnp.minimum(h, 30.0)) * dt, 0.0)
-            sd = jnp.minimum(sd, 80.0)
-            tau_c = jnp.zeros((1, TPX), jnp.float32)
-            for si in range(S):
-                tau_c = tau_c + sd[:, si * TPX:(si + 1) * TPX]
-            T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
-            sc_ref[k, 0:1, :] = T_bef * (1.0 - jnp.exp(-tau_c))
-            sc_ref[k, 1:2, :] = jnp.where(live, tau_c, 0.0)
-            tau_tot = tau_tot + jnp.where(live, tau_c, 0.0)
-        outT_ref[0:1, :] += tau_tot - tau_in
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "S", "dt", "inv2s", "V", "tau_max", "Lcall", "P", "Bk", "interpret"))
-def brick_field_sigma_tp(pool_blk, meta, rays, sig3, *, S: int, dt: float,
-                         inv2s: float, V: int, tau_max: float, tid=None,
-                         lbase=None, nslots=None, Lcall: int = 0,
-                         P: int = 4, Bk: int = 8,
-                         interpret: bool = False):
-    """Sigma prepass entry.  sig3: (n_blocks, 8, vox) sigma-corner slabs
-    (poolT[:, 0::FEAT, :] — the log-sigma feature of each corner).
-    Returns (tau_out (T*TPX,) f32, scores (n_rows, 2, TPX) f32):
-    scores[r, 0] = per-ray contribution weight of list row r,
-    scores[r, 1] = its live-masked window tau; both all-zero for padded
-    / skipped / terminated rows, so `max over rays < eps` certifies the
-    pair contributes < eps everywhere."""
-    T = rays.shape[0] // TPX
-    tid, lbase, nslots, Lcall = _list_scalars(pool_blk, rays, tid, lbase,
-                                              nslots, Lcall)
-    assert Lcall % P == 0, (Lcall, P)
-    Tb = tid.shape[0]
-    n_rows = pool_blk.shape[0]
-    raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
-    metaP = meta.reshape(-1, 1, 8)
-    N = S * TPX
-    vox = Bk * Bk * Bk
-    rowv = jax.lax.broadcasted_iota(jnp.int32, (vox, N), 0)
-    bitw8 = jnp.stack([jnp.broadcast_to(
-        ((jnp.arange(8, dtype=jnp.int32)[:, None] >> k) & 1
-         ).astype(jnp.float32), (8, N)) for k in range(3)])
-    # CONTRACT: lbase must be P-aligned (see brick_field_tiles_tp)
-    slab_specs = [
-        pl.BlockSpec((1, 8, vox),
-                     functools.partial(
-                         lambda t, l, pb, lb, ns, td, k=0:
-                         (pb[lb[t] + l * P + k], 0, 0), k=k))
-        for k in range(P)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(Tb, Lcall // P),
-        in_specs=[
-            pl.BlockSpec((P, 1, 8),
-                         lambda t, l, pb, lb, ns, td:
-                         (lb[t] // P + l, 0, 0)),
-            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
-                         (td[t], 0)),
-            *slab_specs,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, TPX), lambda t, l, pb, lb, ns, td:
-                         (td[t], 0)),
-            pl.BlockSpec((P, 2, TPX),
-                         lambda t, l, pb, lb, ns, td:
-                         (lb[t] // P + l, 0, 0)),
-        ],
-    )
-    kern = functools.partial(_kernel_sig, S=S, dt=dt, inv2s=inv2s,
-                             V=V, tau_max=tau_max, P=P, Bk=Bk)
-    outT, scores = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
-                   jax.ShapeDtypeStruct((n_rows, 2, TPX), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Tb * Lcall * S * TPX * (vox * 8 + 8),
-            bytes_accessed=(Tb * Lcall * vox * 8 * sig3.dtype.itemsize
-                            + n_rows * 2 * TPX * 4),
-            transcendentals=Tb * Lcall * S * TPX * 2),
-    )(pool_blk, lbase, nslots, tid, metaP, raysT, *([sig3] * P), rowv,
-      bitw8)
-    tau = outT.reshape(T, 8, TPX)[:, 0, :].reshape(T * TPX)
-    return tau, scores
-
-
-def brick_field_sigma_reference(pool_blk, meta, rays, sig3, *, S, dt,
-                                inv2s, V, tau_max, tid=None, lbase=None,
-                                nslots=None, Bk: int = 8):
-    """Numpy restatement of the sigma prepass (same list addressing and
-    early-termination gate) for golden tests."""
-    pool_blk = np.asarray(pool_blk)
-    meta = np.asarray(meta, np.float32)
-    rays = np.asarray(rays, np.float32)
-    sig3 = np.asarray(sig3, np.float32)
-    T = rays.shape[0] // TPX
-    Lp = pool_blk.shape[0] // T
-    if tid is None:
-        tid = np.arange(T, dtype=np.int32)
-    if lbase is None:
-        lbase = tid.astype(np.int32) * Lp
-    if nslots is None:
-        nslots = np.full(tid.shape, Lp, np.int32)
-    tau_out = np.zeros(T * TPX, np.float32)
-    scores = np.zeros((pool_blk.shape[0], 2, TPX), np.float32)
-    for b in range(len(tid)):
-        t = int(tid[b])
-        sl = slice(t * TPX, (t + 1) * TPX)
-        o, du = rays[sl, 0:3], rays[sl, 3:6]
-        t1, t2 = rays[sl, 6], rays[sl, 7]
-        tau_tot = np.zeros(TPX)
-        for l in range(int(nslots[b])):
-            row = int(lbase[b]) + l
-            m = meta[row]
-            inv_d = 1.0 / np.where(np.abs(du) > 1e-10, du,
-                                   np.where(du >= 0, 1e-10, -1e-10))
-            t_lo = (m[0:3][None] - o) * inv_d
-            t_hi = (m[3:6][None] - o) * inv_d
-            ta = np.maximum(np.minimum(t_lo, t_hi).max(1), t1)
-            tb = np.minimum(np.maximum(t_lo, t_hi).min(1), t2)
-            n0 = np.maximum(np.ceil((ta - t1) / dt - 0.5), 0.0)
-            n1 = np.floor((tb - t1) / dt - 0.5)
-            hit = (tb > ta) & (n1 >= n0) & (t2 > 0)
-            live = tau_tot < tau_max
-            if not np.any(hit & live):
-                continue
-            sigT = sig3[pool_blk[row]]                     # (8, vox)
-            tau_c = np.zeros(TPX)
-            for s in range(S):
-                n_s = n0 + s
-                s_ok = hit & (n_s <= n1)
-                ts = t1 + (n_s + 0.5) * dt
-                xyz = o + ts[:, None] * du
-                pos = np.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-                v0 = np.floor(pos)
-                frac = pos - v0
-                loc = np.clip(v0 - np.floor(v0 / Bk) * Bk, 0.0, Bk - 1.0)
-                lid = ((loc[:, 0] * Bk + loc[:, 1]) * Bk
-                       + loc[:, 2]).astype(np.int64)
-                sig8 = sigT[:, lid]                        # (8, TPX)
-                w8 = np.ones((8, TPX))
-                for k in range(3):
-                    bit = (np.arange(8)[:, None] >> k) & 1
-                    w8 = w8 * np.where(bit == 1, frac[None, :, k],
-                                       1.0 - frac[None, :, k])
-                h = np.sum(w8 * sig8, axis=0)
-                sd = np.where(s_ok, np.exp(np.minimum(h, 30.0)) * dt, 0.0)
-                tau_c += np.minimum(sd, 80.0)
-            T_bef = np.where(live, np.exp(-tau_tot), 0.0)
-            scores[row, 0] = T_bef * (1.0 - np.exp(-tau_c))
-            scores[row, 1] = np.where(live, tau_c, 0.0)
-            tau_tot = tau_tot + np.where(live, tau_c, 0.0)
-        tau_out[sl] = tau_tot
-    return tau_out, scores
 
 
 def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,

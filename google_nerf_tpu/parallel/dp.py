@@ -143,7 +143,8 @@ def make_dp_grid_update(cfg: TrainConfig, mesh: Mesh,
             new_grid, occ = update_density_grid(
                 state["density_grid"], density_fn, key, scale=m.scale,
                 density_threshold=cfg.density_threshold, warmup=warmup,
-                erode=cfg.erode, axis_name=axis_name)
+                erode=cfg.erode, axis_name=axis_name,
+                sample_div=cfg.grid_sample_div)
             out = dict(state)
             out["density_grid"] = new_grid
             out["occ"] = occ

@@ -58,6 +58,7 @@ class TrainConfig:
     lambda_opacity: float = 1e-3
     lambda_depth: float = 0.0
     grid_update_interval: int = 16         # train.py:61 (S)
+    grid_sample_div: int = 4               # vren recipe: M = G^3/4 cells
     warmup_steps: int = 256                # train.py:147
     erode: bool = False                    # train.py:148 (colmap)
     T_threshold: float = 1e-4
@@ -321,7 +322,7 @@ def grid_update_step(state, key, *, cfg: TrainConfig, warmup: bool):
     new_grid, occ = update_density_grid(
         state["density_grid"], density_fn, key, scale=m.scale,
         density_threshold=cfg.density_threshold, warmup=warmup,
-        erode=cfg.erode)
+        erode=cfg.erode, sample_div=cfg.grid_sample_div)
     out = dict(state)
     out["density_grid"] = new_grid
     out["occ"] = occ

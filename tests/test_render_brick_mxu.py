@@ -14,7 +14,7 @@ from google_nerf_tpu.models.ngp import NGPConfig, init_ngp
 from google_nerf_tpu.models.render_brick import render_brick
 from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
 from google_nerf_tpu.ops.pallas.brick_field import (
-    brick_field_sigma_reference, brick_field_sigma_tp, brick_field_tiles,
+    brick_field_tiles,
     brick_field_tiles_reference, brick_field_tiles_t, brick_field_tiles_tp,
     window_span)
 
@@ -324,53 +324,6 @@ def test_block4_kernel_matches_reference_interpret(kern, P):
     np.testing.assert_allclose(got[:, 1:5], want[:, 1:5], atol=3e-2)
     np.testing.assert_array_equal(got[:, 5], want[:, 5])
 
-@pytest.mark.parametrize("P", [1, 2])
-def test_sigma_prepass_matches_reference_interpret(P):
-    """Sigma prepass kernel: per-pair weight/tau scores and the carried
-    ray tau must match the numpy restatement (same list addressing,
-    same termination gate)."""
-    args, kw = _toy_inputs(Lp=4)
-    nslots = kw.pop("nslots")
-    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
-    sig3 = np.swapaxes(pool3, 1, 2)[:, 0::16, :]        # (nb, 8, vox)
-    got_tau, got_sc = brick_field_sigma_tp(
-        jnp.asarray(pool_blk), jnp.asarray(meta), jnp.asarray(rays),
-        jnp.asarray(sig3), nslots=jnp.asarray(nslots), P=P,
-        interpret=True, **kw)
-    want_tau, want_sc = brick_field_sigma_reference(
-        pool_blk, meta, rays, sig3, nslots=nslots, **kw)
-    np.testing.assert_allclose(np.asarray(got_tau), want_tau,
-                               atol=5e-2, rtol=5e-2)
-    np.testing.assert_allclose(np.asarray(got_sc), want_sc, atol=3e-2)
-
-
-def test_sigma_prepass_scores_certify_contribution():
-    """A pair whose prepass weight AND tau are < eps for every ray must
-    contribute < ~eps to the full-kernel composite: render with and
-    without the sub-eps pairs and bound the rgb delta."""
-    args, kw = _toy_inputs(Lp=4, sigma_scale=3.0)
-    nslots = kw.pop("nslots")
-    pool_blk, meta, rays, sh, pool3, w1, w2, w3 = args
-    sig3 = np.swapaxes(pool3, 1, 2)[:, 0::16, :]
-    _, sc = brick_field_sigma_reference(
-        pool_blk, meta, rays, sig3, nslots=nslots, **kw)
-    eps = 1e-3
-    keep_row = sc.max(axis=(1, 2)) > eps                 # (T*Lp,)
-    full = brick_field_tiles_reference(*args, nslots=nslots, **kw)
-    # drop sub-eps rows by shrinking nslots per tile after a stable
-    # compaction of kept rows (lists stay depth-ordered)
-    T, Lp = 2, 4
-    pb2, mt2, ns2 = pool_blk.copy(), meta.copy(), nslots.copy()
-    for t in range(T):
-        rows = [t * Lp + l for l in range(nslots[t]) if keep_row[t * Lp + l]]
-        for j, r in enumerate(rows):
-            pb2[t * Lp + j] = pool_blk[r]
-            mt2[t * Lp + j] = meta[r]
-        ns2[t] = len(rows)
-    pruned = brick_field_tiles_reference(
-        pb2, mt2, rays, sh, pool3, w1, w2, w3, nslots=ns2,
-        **{k: v for k, v in kw.items()})
-    assert np.max(np.abs(pruned[:, 1:4] - full[:, 1:4])) < 20 * eps
 
 def test_segmented_frame_matches_flat(scene):
     """Segmented-l rendering (dead-tile DMA elision + init carry across
@@ -394,11 +347,11 @@ def test_segmented_frame_matches_flat(scene):
     assert int(seg["pairs_undrained"]) == int(flat["pairs_undrained"])
 
 
-def test_prepass_list_overflow_still_drains(scene):
-    """ADVICE r3 (high): with the prepass on, a tile whose TRUE brick
-    count exceeds the original list capacity L was truncated by the
-    cull's top_k BEFORE the prepass scored it — it must still drain (or
-    count as undrained), not silently certify exactness."""
+def test_list_overflow_still_drains(scene):
+    """A tile whose TRUE brick count exceeds the cull list capacity L is
+    truncated by the cull's top_k — it must drain (or be counted in
+    pairs_undrained), never silently certify exactness (ADVICE r3 high,
+    retained after the prepass path was deleted in r4)."""
     cfg, bcfg, baked = scene
     ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
     o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
@@ -407,35 +360,15 @@ def test_prepass_list_overflow_still_drains(scene):
     ample = render_brick_mxu(baked, cfg, o, d, 16, 16, L=64,
                              drain_tiles=0, **kw)
     assert int(ample["trunc_tiles"]) == 0
-    # L=4 truncates true lists; prepass on; drains OFF -> must be counted
-    cut = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4, prepass=1e-3,
-                           prepass_L=4, drain_tiles=0, **kw)
+    # L=4 truncates true lists; drains OFF -> must be counted
+    cut = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4,
+                           drain_tiles=0, **kw)
     assert int(cut["pairs_undrained"]) > 0
     # drains ON -> exactness restored vs the ample frame
     drained = render_brick_mxu(baked, cfg, o, d, 16, 16, L=4,
-                               prepass=1e-3, prepass_L=4, drain_tiles=4,
-                               drain_L=64, **kw)
+                               drain_tiles=4, drain_L=64, **kw)
     assert int(drained["pairs_undrained"]) == 0
     mae = float(jnp.abs(drained["rgb"] - ample["rgb"]).mean())
-    assert mae < 5e-3, mae
-
-
-@pytest.mark.parametrize("kernel", ["t", "tp"])
-def test_prepass_frame_matches_full(scene, kernel):
-    """Two-phase (sigma prepass + compacted main pass) frame must agree
-    with the single-phase frame to ~eps, while actually pruning pairs on
-    this mostly-empty random field."""
-    cfg, bcfg, baked = scene
-    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
-    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
-    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
-              interpret=True, L=64, kernel=kernel)
-    full = render_brick_mxu(baked, cfg, o, d, 16, 16, **kw)
-    two = render_brick_mxu(baked, cfg, o, d, 16, 16, prepass=1e-3,
-                           prepass_L=32, **kw)
-    assert int(two["pairs_undrained"]) == 0
-    assert int(two["pairs_pruned"]) >= 0
-    mae = float(jnp.abs(two["rgb"] - full["rgb"]).mean())
     assert mae < 5e-3, mae
 
 

@@ -44,10 +44,6 @@ VARIANTS = {
     "tp1seg8_ms256_bf16": dict(kernel="tp", pbatch=1,
                                pool_dtype="bfloat16", max_samples=256,
                                segment_slots=8),
-    "tp1seg8_pp_ms256_bf16": dict(kernel="tp", pbatch=1,
-                                  pool_dtype="bfloat16", max_samples=256,
-                                  segment_slots=8, prepass=1e-3,
-                                  prepass_L=32),
     # pre-shaded rgba slabs (models/baked_rgba.py): 4x fewer slab bytes,
     # no in-kernel MLP; the per-frame bake runs INSIDE frame() so its
     # cost is part of the measured FPS
@@ -57,37 +53,15 @@ VARIANTS = {
                             max_samples=256, segment_slots=8),
     "rgba_seg8": dict(kernel="rgba", pool_dtype="bfloat16",
                       segment_slots=8),
-    "rgba_seg8_pp_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
-                               max_samples=256, segment_slots=8,
-                               prepass=1e-3, prepass_L=32),
-    "rgba_pp_ms256": dict(kernel="rgba", pool_dtype="bfloat16",
-                          max_samples=256, prepass=1e-3, prepass_L=32),
-    "tp4_pp_ms256_bf16": dict(kernel="tp", pbatch=4,
-                              pool_dtype="bfloat16", max_samples=256,
-                              prepass=1e-3, prepass_L=32),
     # round 4b: the frame cost is ~1.6 us x GRID-STEP count (fps_r4c
     # telemetry arithmetic); cut steps — P=8, drain sized to the ~8
     # needy tiles/chunk actually observed (256-tile static drains were
-    # ~327k steps/frame, 6x the main pass), prepass-compacted lists
+    # ~327k steps/frame, 6x the main pass)
     "tp8_ms256_bf16": dict(kernel="tp", pbatch=8, pool_dtype="bfloat16",
                            max_samples=256),
     "tp8_ms256_bf16_d32": dict(kernel="tp", pbatch=8,
                                pool_dtype="bfloat16", max_samples=256,
                                drain_tiles=32, drain_L=128),
-    "tp8_pp_ms256_bf16_d32": dict(kernel="tp", pbatch=8,
-                                  pool_dtype="bfloat16", max_samples=256,
-                                  prepass=1e-3, prepass_L=32,
-                                  drain_tiles=32, drain_L=128),
-    "tp16_pp_ms256_bf16_d32": dict(kernel="tp", pbatch=16,
-                                   pool_dtype="bfloat16",
-                                   max_samples=256, prepass=1e-3,
-                                   prepass_L=32, drain_tiles=32,
-                                   drain_L=128),
-    "tp8_pp_ms256_bf16_d32_c1k": dict(kernel="tp", pbatch=8,
-                                      pool_dtype="bfloat16",
-                                      max_samples=256, prepass=1e-3,
-                                      prepass_L=32, drain_tiles=32,
-                                      drain_L=128, chunk_tiles=1024),
     # round 4c: bands save 2x on main steps but force 16k-step drains
     # (the r4d quality collapse at drain_tiles=32).  FLAT full-L lists
     # need draining only for true list overflow (t_rel > 64: ~24 tiles/
@@ -179,13 +153,8 @@ VARIANTS = {
                                 L=192, exact_cull=48, segment_slots=8,
                                 drain_tiles=256, drain_L=256,
                                 drain_xc=96),
-    # two-phase: sigma prepass scores all pairs (16x narrower matmul),
-    # main pass runs on per-tile lists compacted to the >eps pairs
-    "tp8_pp": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=32),
-    "tp8_pp48": dict(kernel="tp", pbatch=8, prepass=1e-3, prepass_L=48),
-    "tp8_pp_pre256": dict(kernel="tp", pbatch=8, prepass=1e-3,
-                          prepass_L=32, prepass_ms=256),
-    "tp8_pp_e2": dict(kernel="tp", pbatch=8, prepass=1e-2, prepass_L=32),
+    # (the two-phase sigma-prepass variants were deleted with the code
+    # path in r4 — see DESIGN_NOTES R4.4)
     # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x
     # more pairs -> expected net ~4x (see DESIGN_NOTES R3.2 flop budget)
     "tp4_b4": dict(kernel="tp", pbatch=4, block=4, L=128, drain_L=512),
@@ -317,8 +286,7 @@ def main():
                   f"trunc_tiles={int(out['trunc_tiles'])} "
                   f"pairs={int(out['pairs_rendered'])} "
                   f"undrained={int(out.get('pairs_undrained', 0))} "
-                  f"dma_slots={int(out.get('dma_slots', -1))} "
-                  f"pruned={int(out.get('pairs_pruned', -1))}")
+                  f"dma_slots={int(out.get('dma_slots', -1))}")
         except Exception as e:  # noqa: BLE001 — sweep survives a variant
             print(f"{name}: FAILED {type(e).__name__}: {e}"[:400])
     print("DONE")

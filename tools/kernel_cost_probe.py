@@ -83,12 +83,11 @@ def chain_time(fn, n_iter=6):
 
 def main():
     from google_nerf_tpu.ops.pallas.brick_field import (
-        brick_field_sigma_tp, brick_field_tiles_t, brick_field_tiles_tp,
-        window_span)
+        brick_field_tiles_t, brick_field_tiles_tp, window_span)
     T, L = 512, 64
     S = window_span(512, 8, 512, 0.5)
     names = sys.argv[1:] or ["tp8_miss", "tp8_hit", "tp8_half",
-                             "sig8_hit", "t_hit", "tp8_hit_s5"]
+                             "t_hit", "tp8_hit_s5"]
     for name in names:
         kind, mode = name.split("_", 1)[0], name.split("_", 1)[1]
         hit = not mode.startswith("miss")
@@ -107,13 +106,9 @@ def main():
             m2[::2, 5] = -1.9
             meta = jnp.asarray(m2)
         if kind == "sig8":
-            sig3 = poolT[:, 0::16, :] + 0
-
-            def fn(c, sig3=sig3, pool_blk=pool_blk, meta=meta,
-                   rays=rays, kw=kw):
-                _, sc = brick_field_sigma_tp(
-                    pool_blk, meta, rays + c, sig3, P=8, **kw)
-                return sc
+            print(f"{name}: sigma prepass kernel deleted in r4 "
+                  "(DESIGN_NOTES R4.4)")
+            continue
         elif kind == "t":
             def fn(c, a=(pool_blk, meta, rays, sh, poolT, w1, w2, w3),
                    kw=kw):

@@ -21,10 +21,12 @@ print = functools.partial(print, flush=True)
 
 def precompile_train(name, *, batch=8192, k=256, ms=1024, lev=8,
                      budget=None, n_keep_groups=0, march="block",
-                     num_epochs=30, encoder="packed"):
+                     num_epochs=30, encoder="packed", scan=0, gi=16,
+                     gdiv=4):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
+                                              fused_train_steps,
                                               grid_update_step,
                                               init_train_state)
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
@@ -34,7 +36,8 @@ def precompile_train(name, *, batch=8192, k=256, ms=1024, lev=8,
                       samples_budget=budget if budget is not None
                       else 16 * batch,
                       random_bg=True, exclude_incomplete="backfill",
-                      march=march, n_keep_groups=n_keep_groups)
+                      march=march, n_keep_groups=n_keep_groups,
+                      grid_update_interval=gi, grid_sample_div=gdiv)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="textured")
     key = jax.random.PRNGKey(0)
@@ -42,15 +45,18 @@ def precompile_train(name, *, batch=8192, k=256, ms=1024, lev=8,
         lambda: init_train_state(key, cfg, ds.K, ds.poses, ds.img_wh))
     scene_s = jax.eval_shape(ds.scene)
     key_s = jax.ShapeDtypeStruct(key.shape, key.dtype)
-    for label, fn, kw in [
-            ("grid_warm", grid_update_step, dict(cfg=cfg, warmup=True)),
-            ("grid", grid_update_step, dict(cfg=cfg, warmup=False)),
-            ("step", fused_train_step, dict(cfg=cfg))]:
+    steps = [("grid_warm", grid_update_step, dict(cfg=cfg, warmup=True)),
+             ("grid", grid_update_step, dict(cfg=cfg, warmup=False)),
+             ("step", fused_train_step, dict(cfg=cfg))]
+    if scan:
+        steps.append(("scan", fused_train_steps,
+                      dict(cfg=cfg, n_steps=scan)))
+    for label, fn, kw in steps:
         t0 = time.time()
-        if fn is fused_train_step:
-            fn.lower(state_s, scene_s, key_s, **kw).compile()
-        else:
+        if fn is grid_update_step:
             fn.lower(state_s, key_s, **kw).compile()
+        else:
+            fn.lower(state_s, scene_s, key_s, **kw).compile()
         print(f"{name}:{label} compiled in {time.time() - t0:.0f}s")
 
 

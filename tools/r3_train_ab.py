@@ -27,7 +27,7 @@ print = functools.partial(print, flush=True)
 
 def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
                 n_keep_groups=0, march="block", encoder="packed",
-                scan=0):
+                scan=0, gi=16, gdiv=4):
     import jax.numpy as jnp
 
     from google_nerf_tpu.data.synthetic import SyntheticDataset
@@ -43,7 +43,8 @@ def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
                       samples_budget=budget if budget is not None
                       else 16 * batch,
                       random_bg=True, exclude_incomplete="backfill",
-                      march=march, n_keep_groups=n_keep_groups)
+                      march=march, n_keep_groups=n_keep_groups,
+                      grid_update_interval=gi, grid_sample_div=gdiv)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="textured")
     scene = ds.scene()
@@ -142,6 +143,24 @@ VARIANTS = {
     # dispatch gap the device-op trace exposed (tools/profile_train.py)
     "scan16_ms512_bud10": dict(ms=512, budget=10 * 8192, scan=16),
     "scan16_ms512_bud12": dict(ms=512, budget=12 * 8192, scan=16),
+    # lev7: middle point between lev8 (183.6k @ 48.77) and lev6
+    # (208.6k @ 46.49 — fails the >=48 gate)
+    "scan16_lev7_ms512_bud10": dict(ms=512, lev=7, budget=10 * 8192,
+                                    scan=16),
+    "scan16_lev6_ms512_bud12": dict(ms=512, lev=6, budget=12 * 8192,
+                                    scan=16),
+    # r4: the ~10 ms/step non-device gap is the GRID UPDATE amortized
+    # (every 16 steps; the device trace excluded it).  Same compiled
+    # programs, host-side cadence only — interval is the free lever.
+    # Reference uses S=16 (train.py:61); quality gate arbitrates.
+    "gi32_ms512_bud10": dict(ms=512, budget=10 * 8192, gi=32),
+    "gi64_ms512_bud10": dict(ms=512, budget=10 * 8192, gi=64),
+    "lev7_ms512_bud10": dict(ms=512, lev=7, budget=10 * 8192),
+    "gi64_lev7_ms512_bud10": dict(ms=512, lev=7, budget=10 * 8192, gi=64),
+    # fewer grid-update density evals per call (reference m=G^3/4)
+    "gdiv16_ms512_bud10": dict(ms=512, budget=10 * 8192, gdiv=16),
+    "gi32_gdiv8_ms512_bud10": dict(ms=512, budget=10 * 8192, gi=32,
+                                   gdiv=8),
 }
 
 
