@@ -255,4 +255,10 @@ def get_opts(argv=None):
     parser.add_argument('--samples_budget', type=int, default=-1,
                         help='max field-network samples per step via '
                              'compaction; -1 = 16*batch_size, 0 = off')
+    parser.add_argument('--grid_sample_div', type=int, default=4,
+                        help='density-grid update samples G^3/div uniform '
+                             '+ as many occupied cells per call '
+                             '(reference recipe: 4; 16 measured ~14%% '
+                             'faster steps at equal PSNR, DESIGN_NOTES '
+                             'R4.3)')
     return parser.parse_args(argv)

@@ -72,6 +72,7 @@ def build_configs(hparams, scene_scale=None):
         n_keep_groups=hparams.n_keep_groups,
         n_keep=hparams.n_keep, n_keep_sup=hparams.n_keep_sup,
         weight_decay=hparams.weight_decay,
+        grid_sample_div=hparams.grid_sample_div,
         erode=hparams.dataset_name == 'colmap')
     return cfg
 
