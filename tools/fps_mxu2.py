@@ -153,6 +153,48 @@ VARIANTS = {
                                 L=192, exact_cull=48, segment_slots=8,
                                 drain_tiles=256, drain_L=256,
                                 drain_xc=96),
+    # r4 P-batch x exact-cull interaction: the kernel-cost probe ranks
+    # P=1 bodies ~3x cheaper than P=8's, but P-batching was only ever
+    # chip-raced on SPARSE lists; exact-culled lists are DENSE true
+    # hits, so the body (not the DMA miss floor) should dominate
+    "tp4xc48f_ms256_bf16": dict(kernel="tp", pbatch=4,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=48, segment_slots=8,
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
+    "tp2xc48f_ms256_bf16": dict(kernel="tp", pbatch=2,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=48, segment_slots=8,
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
+    "t_xc48f_ms256_bf16": dict(kernel="t",
+                               pool_dtype="bfloat16", max_samples=256,
+                               L=192, exact_cull=48,
+                               drain_tiles=256, drain_L=256,
+                               drain_xc=96),
+    "tp8xc32f_ms256_bf16": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=32, segment_slots=8,
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
+    "tp4xc32f_ms256_bf16": dict(kernel="tp", pbatch=4,
+                                pool_dtype="bfloat16", max_samples=256,
+                                L=192, exact_cull=32, segment_slots=8,
+                                drain_tiles=256, drain_L=256,
+                                drain_xc=96),
+    # coarser serving bake: 256^3 voxels -> ~8x fewer bricks, ~4x fewer
+    # (tile, brick) slots — the slot-count ceiling analysis (R4.5) says
+    # slot count is the ONLY big lever left; measures the quality price
+    "tp8xc48f_v256_ms256_bf16": dict(kernel="tp", pbatch=8,
+                                     pool_dtype="bfloat16", voxel_res=256,
+                                     max_samples=256, L=96, exact_cull=48,
+                                     segment_slots=8, drain_tiles=256,
+                                     drain_L=256, drain_xc=96),
+    "tp4xc24f_v256_ms128_bf16": dict(kernel="tp", pbatch=4,
+                                     pool_dtype="bfloat16", voxel_res=256,
+                                     max_samples=128, L=96, exact_cull=24,
+                                     segment_slots=8, drain_tiles=256,
+                                     drain_L=256, drain_xc=48),
     # (the two-phase sigma-prepass variants were deleted with the code
     # path in r4 — see DESIGN_NOTES R4.4)
     # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x
@@ -228,10 +270,10 @@ def main():
 
     baked_by_blk, geo_by_blk, bcfg_by_blk = {}, {}, {}
 
-    def get_baked(blk, dtype="float8_e4m3fn"):
-        kk = (blk, dtype)
+    def get_baked(blk, dtype="float8_e4m3fn", vres=512):
+        kk = (blk, dtype, vres)
         if kk not in baked_by_blk:
-            bc = BakedConfig(voxel_res=512, block=blk, dtype=dtype)
+            bc = BakedConfig(voxel_res=vres, block=blk, dtype=dtype)
             t0 = time.time()
             bk = bake(state["params"], cfg.model, state["occ"], bc)
             print(f"bake(block={blk},{dtype}): {time.time()-t0:.0f}s, "
@@ -255,7 +297,8 @@ def main():
             v["segment_slots"] = VARIANTS[name]["segment_slots"]
             v["bands"] = ()
         baked, bcfg, geo = get_baked(v.pop("block", 8),
-                                     v.pop("pool_dtype", "float8_e4m3fn"))
+                                     v.pop("pool_dtype", "float8_e4m3fn"),
+                                     v.pop("voxel_res", 512))
 
         if v.get("kernel") == "rgba":
             from google_nerf_tpu.models.baked_rgba import \

@@ -27,13 +27,20 @@ def main():
                                               init_train_state)
     name = sys.argv[1] if len(sys.argv) > 1 else "ms512_k256_bud10"
     conf = {"base": dict(ms=1024, budget=16 * 8192),
-            "ms512_k256_bud10": dict(ms=512, budget=10 * 8192)}[name]
+            "ms512_k256_bud10": dict(ms=512, budget=10 * 8192),
+            # superlinear-batch forensics (VERDICT r3 weak 2): same
+            # per-ray recipe at 2x/4x rays — diff the per-op table
+            # against the 8k run to find the superlinear ops
+            "b16k": dict(ms=512, budget=10 * 16384, batch=16384),
+            "b32k": dict(ms=512, budget=10 * 32768, batch=32768)}[name]
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
                       compute_dtype=jnp.bfloat16)
-    cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
+    cfg = TrainConfig(model=model, batch_size=conf.get("batch", 8192),
+                      k_samples=256,
                       max_samples=conf["ms"], num_epochs=30,
                       samples_budget=conf["budget"], random_bg=True,
-                      exclude_incomplete="backfill", march="block")
+                      exclude_incomplete="backfill", march="block",
+                      grid_sample_div=16)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="textured")
     scene = ds.scene()
