@@ -143,18 +143,34 @@ def get_opts(argv=None):
                              'renderer (implies --bake; bounded scenes), '
                              '"brick_mxu" = brick raster with the Pallas '
                              'MXU field kernel (implies --bake)')
-    parser.add_argument('--brick_mxu_L', type=int, default=64,
-                        help='brick_mxu renderer: bricks composited per '
-                             'tile (the per-tile list capacity)')
-    parser.add_argument('--brick_mxu_kernel', default='t',
+    parser.add_argument('--brick_mxu_L', type=int, default=192,
+                        help='brick_mxu renderer: cull-list candidates '
+                             'per tile (wide; the exact hit filter '
+                             'compacts to --brick_mxu_exact_cull slots)')
+    parser.add_argument('--brick_mxu_kernel', default='tp',
                         choices=['t', 'n', 'tp'],
-                        help='brick_mxu field kernel layout: "t" = '
-                             'rays-on-lanes transposed (default), "n" = '
-                             'samples-on-sublanes, "tp" = transposed with '
-                             'P list slots batched per grid step')
-    parser.add_argument('--brick_mxu_pbatch', type=int, default=4,
+                        help='brick_mxu field kernel layout: "tp" = '
+                             'transposed with P list slots batched per '
+                             'grid step (default, measured champion), '
+                             '"t" = rays-on-lanes transposed, "n" = '
+                             'samples-on-sublanes')
+    parser.add_argument('--brick_mxu_pbatch', type=int, default=8,
                         help='brick_mxu kernel=tp: list slots rendered '
                              'per grid step (P slab DMAs per step)')
+    parser.add_argument('--brick_mxu_exact_cull', type=int, default=48,
+                        help='brick_mxu: re-test the wide cull list '
+                             'per-ray and compact to this many TRUE-hit '
+                             'slots before the kernel runs (eps-free; '
+                             '0 disables).  DESIGN_NOTES R4.2/R4.4')
+    parser.add_argument('--brick_mxu_seg', type=int, default=8,
+                        help='brick_mxu kernel=tp: render lists in '
+                             'segments of this many slots; saturated '
+                             'tiles stop issuing slab DMAs between '
+                             'segments (0 disables)')
+    parser.add_argument('--brick_mxu_drain_xc', type=int, default=96,
+                        help='brick_mxu: exact-filter drain lists to '
+                             'this many true-hit slots (0 = render the '
+                             'full drain_L rebuild)')
     parser.add_argument('--brick_mxu_bands', type=int, default=1,
                         help='brick_mxu: 1 = occupancy-banded tile '
                              'scheduling (tiles argsorted by brick-list '

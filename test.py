@@ -162,14 +162,18 @@ def run(hparams):
                 render_brick_mxu
             rms = getattr(hparams, "render_max_samples", 512) \
                 or cfg.max_samples
+            seg = getattr(hparams, "brick_mxu_seg", 8)
             out = render_brick_mxu(
                 baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
                 T_threshold=1e-2, geometry=brick_geo,
-                L=getattr(hparams, "brick_mxu_L", 64),
-                kernel=getattr(hparams, "brick_mxu_kernel", "t"),
-                pbatch=getattr(hparams, "brick_mxu_pbatch", 4),
-                bands=("auto" if getattr(hparams, "brick_mxu_bands", True)
-                       else ()),
+                L=getattr(hparams, "brick_mxu_L", 192),
+                kernel=getattr(hparams, "brick_mxu_kernel", "tp"),
+                pbatch=getattr(hparams, "brick_mxu_pbatch", 8),
+                exact_cull=getattr(hparams, "brick_mxu_exact_cull", 48),
+                segment_slots=seg,
+                drain_xc=getattr(hparams, "brick_mxu_drain_xc", 96),
+                bands=("auto" if (getattr(hparams, "brick_mxu_bands", 1)
+                                  and not seg) else ()),
                 drain_tiles=getattr(hparams, "brick_mxu_drain", 256),
                 macro_tiles=getattr(hparams, "brick_macro", 8),
                 macro_L=getattr(hparams, "brick_macro_L", 1024),
