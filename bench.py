@@ -259,6 +259,40 @@ def main():
                 "mxu_pairs_undrained": int(res["telemetry"].get(
                     "pairs_undrained", -1))}
 
+    @stage(em, "mxu_v256", est_seconds=90)
+    def _mxu_v256():
+        # fast serving mode: 256^3 bake quarters the (tile, brick) slot
+        # count — measured 3.27 FPS @ 42.5 dB with ZERO undrained pairs
+        # (exact w.r.t. its own bake; the 512^3 stage above is the
+        # full-resolution reference).  DESIGN_NOTES R4.5 slot-count law.
+        from google_nerf_tpu.models.baked import BakedConfig, bake
+        from google_nerf_tpu.models.render_brick import brick_geometry
+        from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
+        bc = BakedConfig(voxel_res=256, block=8, dtype="bfloat16")
+        baked = bake(state["params"], cfg.model, state["occ"], bc)
+        geo = brick_geometry(baked["block_map"], bc, cfg.model)
+        kw = dict(L=96, exact_cull=48, kernel="tp", pbatch=8,
+                  bands=(), segment_slots=8, drain_tiles=256,
+                  drain_L=256, drain_xc=96,
+                  max_samples=min(ms_render, 256), T_threshold=1e-2)
+        res = {}
+
+        def frame():
+            out = render_brick_mxu(baked, cfg.model, rays_o, rays_d, w, h,
+                                   bcfg=bc, geometry=geo, **kw)
+            res["t"] = {k: out[k]
+                        for k in ("trunc_tiles", "pairs_undrained")}
+            return out["rgb"]
+        fps, out = time_frames(frame)
+        kv = {"render_fps_800_mxu_v256": round(fps, 2),
+              "render_fps_800_mxu_v256_vs_baseline": round(
+                  fps / BASELINE_FPS, 3),
+              "mxu_v256_pairs_undrained": int(res["t"]["pairs_undrained"])}
+        if "mxu_rgb" in shared:
+            kv["mxu_v256_vs_mxu_mae"] = round(
+                float(jnp.abs(out - shared["mxu_rgb"]).mean()), 4)
+        return kv
+
     @stage(em, "brick", est_seconds=90)
     def _brick():
         # XLA brick renderer (rasterized cone-culled pair lists)

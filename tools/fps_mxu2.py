@@ -195,6 +195,34 @@ VARIANTS = {
                                      max_samples=128, L=96, exact_cull=24,
                                      segment_slots=8, drain_tiles=256,
                                      drain_L=256, drain_xc=48),
+    # v256 champion follow-ups (3.27 FPS @ 42.51, 0 undrained): shrink
+    # the front-end share (chunk 1024), cull cap, and resolution further
+    "tp8xc48f_v256_c1k": dict(kernel="tp", pbatch=8,
+                              pool_dtype="bfloat16", voxel_res=256,
+                              max_samples=256, L=96, exact_cull=48,
+                              segment_slots=8, drain_tiles=256,
+                              drain_L=256, drain_xc=96,
+                              chunk_tiles=1024),
+    "tp8xc32f_v256": dict(kernel="tp", pbatch=8,
+                          pool_dtype="bfloat16", voxel_res=256,
+                          max_samples=256, L=96, exact_cull=32,
+                          segment_slots=8, drain_tiles=256,
+                          drain_L=256, drain_xc=96),
+    "tp8xc48f_v256_ms512": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", voxel_res=256,
+                                max_samples=512, L=96, exact_cull=48,
+                                segment_slots=8, drain_tiles=256,
+                                drain_L=256, drain_xc=96),
+    "tp8xc24f_v128_ms128": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", voxel_res=128,
+                                max_samples=128, L=64, exact_cull=24,
+                                segment_slots=8, drain_tiles=256,
+                                drain_L=256, drain_xc=48),
+    "tp8xc48f_v256_seg16": dict(kernel="tp", pbatch=8,
+                                pool_dtype="bfloat16", voxel_res=256,
+                                max_samples=256, L=96, exact_cull=48,
+                                segment_slots=16, drain_tiles=256,
+                                drain_L=256, drain_xc=96),
     # (the two-phase sigma-prepass variants were deleted with the code
     # path in r4 — see DESIGN_NOTES R4.4)
     # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x
