@@ -42,23 +42,19 @@ def _setup_compilation_cache():
             "GOOGLE_NERF_TPU_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.dirname(__file__)),
                          ".jax_cache"))
-        # CPU AOT cache entries encode the COMPILING host's vector ISA;
-        # loading them on a host without those features can SIGILL /
-        # segfault (observed: avx512/amx entries from a previous round's
-        # machine crashing test_spvcnn here).  When this process is
-        # pinned to CPU up front (the test suite's conftest), key the
-        # directory by a CPU-feature fingerprint so every machine keeps
-        # its own CPU entries; TPU-bound processes keep the shared dir
-        # (TPU executables are compiled remotely, host-independent).
+        # CPU AOT cache entries encode the COMPILING host's exact target
+        # features; loading them on a different machine can SIGILL /
+        # segfault.  A cpuinfo-flags fingerprint proved INSUFFICIENT
+        # (r4: two VMs shared the flags line yet their XLA target
+        # features differed — cpu_aot_loader warnings, then a segfault
+        # in compile_or_get_cached during the full test suite), so CPU
+        # processes now cache under /tmp: warm within this machine's
+        # lifetime, never carried across machines.  TPU-bound processes
+        # keep the shared repo dir (TPU executables are compiled
+        # remotely and are host-independent).
         if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-            try:
-                import hashlib
-                with open("/proc/cpuinfo") as f:
-                    flags = next((ln for ln in f
-                                  if ln.startswith("flags")), "")
-                d = d + "_" + hashlib.sha1(flags.encode()).hexdigest()[:8]
-            except OSError:
-                pass
+            d = os.environ.get("GOOGLE_NERF_TPU_CACHE_DIR",
+                               "/tmp/google_nerf_tpu_jax_cache_cpu")
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

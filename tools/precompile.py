@@ -22,7 +22,7 @@ print = functools.partial(print, flush=True)
 def precompile_train(name, *, batch=8192, k=256, ms=1024, lev=8,
                      budget=None, n_keep_groups=0, march="block",
                      num_epochs=30, encoder="packed", scan=0, gi=16,
-                     gdiv=4):
+                     gdiv=4, tsize=16):
     from google_nerf_tpu.data.synthetic import SyntheticDataset
     from google_nerf_tpu.models.ngp import NGPConfig
     from google_nerf_tpu.train.system import (TrainConfig, fused_train_step,
@@ -30,7 +30,8 @@ def precompile_train(name, *, batch=8192, k=256, ms=1024, lev=8,
                                               grid_update_step,
                                               init_train_state)
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
-                      compute_dtype=jnp.bfloat16, packed_levels=lev)
+                      compute_dtype=jnp.bfloat16, packed_levels=lev,
+                      packed_log2_size=tsize)
     cfg = TrainConfig(model=model, batch_size=batch, k_samples=k,
                       max_samples=ms, num_epochs=num_epochs,
                       samples_budget=budget if budget is not None

@@ -27,7 +27,7 @@ print = functools.partial(print, flush=True)
 
 def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
                 n_keep_groups=0, march="block", encoder="packed",
-                scan=0, gi=16, gdiv=4):
+                scan=0, gi=16, gdiv=4, tsize=16):
     import jax.numpy as jnp
 
     from google_nerf_tpu.data.synthetic import SyntheticDataset
@@ -37,7 +37,8 @@ def run_variant(name, *, batch=8192, k=256, ms=1024, lev=8, budget=None,
                                               grid_update_step,
                                               init_train_state)
     model = NGPConfig(scale=0.5, encoder=encoder, grid_size=128,
-                      packed_levels=lev, compute_dtype=jnp.bfloat16)
+                      packed_levels=lev, packed_log2_size=tsize,
+                      compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(model=model, batch_size=batch, k_samples=k,
                       max_samples=ms, num_epochs=30,
                       samples_budget=budget if budget is not None
@@ -161,6 +162,13 @@ VARIANTS = {
     "gdiv16_ms512_bud10": dict(ms=512, budget=10 * 8192, gdiv=16),
     "gi32_gdiv8_ms512_bud10": dict(ms=512, budget=10 * 8192, gi=32,
                                    gdiv=8),
+    # lev6 quality recovery via table size: -25% encoder rows lost
+    # 2.3 dB at T=2^16 — do collisions, not capacity, cost the dB?
+    "lev6T17_gdiv16_ms512_bud12": dict(ms=512, lev=6, tsize=17,
+                                       budget=12 * 8192, gdiv=16),
+    "lev6T18_gdiv16_ms512_bud12": dict(ms=512, lev=6, tsize=18,
+                                       budget=12 * 8192, gdiv=16),
+    "bud8_gdiv16_ms512": dict(ms=512, budget=8 * 8192, gdiv=16),
 }
 
 
