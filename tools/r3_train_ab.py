@@ -169,6 +169,8 @@ VARIANTS = {
     "lev6T18_gdiv16_ms512_bud12": dict(ms=512, lev=6, tsize=18,
                                        budget=12 * 8192, gdiv=16),
     "bud8_gdiv16_ms512": dict(ms=512, budget=8 * 8192, gdiv=16),
+    "bud7_gdiv16_ms512": dict(ms=512, budget=7 * 8192, gdiv=16),
+    "bud6_gdiv16_ms512": dict(ms=512, budget=6 * 8192, gdiv=16),
 }
 
 
