@@ -91,16 +91,17 @@ def main():
     # convergence (49.45 vs 48.57 PSNR@1024) in the A/B (tools/block_bench.py)
     # r4 config round (DESIGN_NOTES R4.3, tools/r3_train_ab.py):
     #   max_samples 1024 -> 512   (serving-grade lattice, ~0 dB at bench)
-    #   budget 16x -> 8x rays     (mask_frac 0.90, PSNR went UP at every
-    #                              cut: 48.07 -> 48.77 -> 48.56; the budget
-    #                              is a dynamic batch cap and backfill
-    #                              supervision is unbiased)
+    #   budget 16x -> 7x rays     (PSNR went UP at every cut: 48.07 ->
+    #                              48.77 -> 48.91; the budget is a dynamic
+    #                              batch cap and backfill supervision is
+    #                              unbiased.  Saturates at ~6-7x: the
+    #                              step hits a 32 ms floor)
     #   grid_sample_div 4 -> 16   (the grid update was the hidden
     #                              ~10 ms/step; smaller refresh passes the
     #                              >=48 gate where gi32/gi64 cadence cuts
     #                              did not: 216.2k rays/s @ 48.22)
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
-                      num_epochs=30, samples_budget=65536,
+                      num_epochs=30, samples_budget=57344,
                       max_samples=512, grid_sample_div=16,
                       random_bg=True, exclude_incomplete="backfill",
                       march="block")

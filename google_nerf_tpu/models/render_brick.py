@@ -144,8 +144,9 @@ def _cone_keys(c, r_b, o, axis, tan_half, t_far):
 @partial(jax.jit, static_argnames=("L",))
 def _tile_lists(brick_lo, brick_hi, o, axis, tan_half, t_far, *, L: int):
     """Cone-cull every brick against every cone; keep the L most relevant
-    bricks per cone.  Returns (T, L) brick index (-1 pad), plus per-cone
-    overflow flag."""
+    bricks per cone.  Returns (T, L) brick index (-1 pad), plus the
+    per-cone TRUE relevant count (band scheduling and the overflow drain
+    compare it against the rendered capacity)."""
     c = 0.5 * (brick_lo + brick_hi)[None]            # (1, Nb, 3)
     r_b = 0.5 * jnp.linalg.norm(brick_hi - brick_lo, axis=-1)[None]
     key, relevant = _cone_keys(c, r_b, o, axis, tan_half, t_far)

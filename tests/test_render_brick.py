@@ -54,9 +54,12 @@ def test_cone_cull_is_conservative():
     T = (16 * 16) // (tile * tile)
     oc, ax, th = _tile_cones(o_t, d_t, T, tile * tile)
     Nb = lo.shape[0]
-    bidx, over = _tile_lists(lo, hi, oc, ax, th,
-                             jnp.full((T,), 10.0), L=Nb)
-    assert not bool(over.any())  # L=Nb can never overflow
+    bidx, n_rel = _tile_lists(lo, hi, oc, ax, th,
+                              jnp.full((T,), 10.0), L=Nb)
+    # r4: the second return is the true-relevant COUNT (band scheduling
+    # + drain triggers compare it against capacity); at L=Nb no tile's
+    # relevant set can exceed the list capacity
+    assert not bool((n_rel > Nb).any())
     in_list = np.zeros((T, Nb), bool)
     bn = np.asarray(bidx)
     for t in range(T):
