@@ -195,14 +195,20 @@ def main():
     n_frames = 5
 
     def time_frames(frame_fn):
+        t0 = time.time()
         out = frame_fn()
         _ = float(out[0, 0])  # compile + warm
+        first_s = time.time() - t0
+        # slow renderers (< ~1 FPS) don't need 5 frames for a stable
+        # mean, and the extra frames blow the stage deadline (r4 trial:
+        # the brick stage alone ran 159 s)
+        n = n_frames if first_s < 2.0 else 2
         t0 = time.time()
-        outs = [frame_fn() for _ in range(n_frames)]
+        outs = [frame_fn() for _ in range(n)]
         # scalar fetch bounds all in-order dispatches (timing-audit law:
         # block_until_ready can return early through the axon relay)
         _ = float(outs[-1][0, 0])
-        return n_frames / (time.time() - t0), outs[-1]
+        return n / (time.time() - t0), outs[-1]
 
     shared = {}
 
@@ -297,7 +303,7 @@ def main():
                 float(jnp.abs(out - shared["mxu_rgb"]).mean()), 4)
         return kv
 
-    @stage(em, "brick", est_seconds=90)
+    @stage(em, "brick", est_seconds=130)
     def _brick():
         # XLA brick renderer (rasterized cone-culled pair lists)
         if "baked" not in shared:
