@@ -171,6 +171,11 @@ VARIANTS = {
     "bud8_gdiv16_ms512": dict(ms=512, budget=8 * 8192, gdiv=16),
     "bud7_gdiv16_ms512": dict(ms=512, budget=7 * 8192, gdiv=16),
     "bud6_gdiv16_ms512": dict(ms=512, budget=6 * 8192, gdiv=16),
+    # coarser TRAIN lattice: ms256 halves marching candidates again;
+    # the serving protocol renders at ms256 anyway — does train quality
+    # survive sampling at the serving lattice?
+    "ms256_bud7_gdiv16": dict(ms=256, budget=7 * 8192, gdiv=16),
+    "ms256_bud6_gdiv16": dict(ms=256, budget=6 * 8192, gdiv=16),
 }
 
 
