@@ -272,7 +272,7 @@ def main():
     @stage(em, "mxu_v256", est_seconds=90)
     def _mxu_v256():
         # fast serving mode: 256^3 bake quarters the (tile, brick) slot
-        # count — measured 3.27 FPS @ 42.5 dB with ZERO undrained pairs
+        # count — measured 3.40 FPS @ 42.5 dB with ZERO undrained pairs
         # (exact w.r.t. its own bake; the 512^3 stage above is the
         # full-resolution reference).  DESIGN_NOTES R4.5 slot-count law.
         from google_nerf_tpu.models.baked import BakedConfig, bake
@@ -281,9 +281,12 @@ def main():
         bc = BakedConfig(voxel_res=256, block=8, dtype="bfloat16")
         baked = bake(state["params"], cfg.model, state["occ"], bc)
         geo = brick_geometry(baked["block_map"], bc, cfg.model)
-        kw = dict(L=96, exact_cull=48, kernel="tp", pbatch=8,
-                  bands=(), segment_slots=8, drain_tiles=256,
-                  drain_L=256, drain_xc=96,
+        # tp16 + exact_cull=L=96: every tile's true-hit set fits the
+        # rendered capacity, so the drain never fires and exactness
+        # holds by construction (3.40 FPS, /tmp/fps_r4m)
+        kw = dict(L=96, exact_cull=96, kernel="tp", pbatch=16,
+                  bands=(), segment_slots=16, drain_tiles=32,
+                  drain_L=128, drain_xc=96,
                   max_samples=min(ms_render, 256), T_threshold=1e-2)
         res = {}
 

@@ -223,6 +223,44 @@ VARIANTS = {
                                 max_samples=256, L=96, exact_cull=48,
                                 segment_slots=16, drain_tiles=256,
                                 drain_L=256, drain_xc=96),
+    # v256 drain diet: the frame trace shows the drain cond at ~75 ms of
+    # the 229 ms device frame (it fires for tiles with 48<nhits<=96 and
+    # renders the full 256-tile drain grid for them)
+    "tp8xc48f_v256_d64": dict(kernel="tp", pbatch=8,
+                              pool_dtype="bfloat16", voxel_res=256,
+                              max_samples=256, L=96, exact_cull=48,
+                              segment_slots=8, drain_tiles=64,
+                              drain_L=128, drain_xc=96),
+    "tp8xc48f_v256_d32": dict(kernel="tp", pbatch=8,
+                              pool_dtype="bfloat16", voxel_res=256,
+                              max_samples=256, L=96, exact_cull=48,
+                              segment_slots=8, drain_tiles=32,
+                              drain_L=128, drain_xc=96),
+    "tp8xc64f_v256": dict(kernel="tp", pbatch=8,
+                          pool_dtype="bfloat16", voxel_res=256,
+                          max_samples=256, L=96, exact_cull=64,
+                          segment_slots=8, drain_tiles=64,
+                          drain_L=128, drain_xc=96),
+    "tp8xc96f_v256": dict(kernel="tp", pbatch=8,
+                          pool_dtype="bfloat16", voxel_res=256,
+                          max_samples=256, L=96, exact_cull=96,
+                          segment_slots=8, drain_tiles=32,
+                          drain_L=128, drain_xc=96),
+    "tp16xc96f_v256": dict(kernel="tp", pbatch=16,
+                           pool_dtype="bfloat16", voxel_res=256,
+                           max_samples=256, L=96, exact_cull=96,
+                           segment_slots=16, drain_tiles=32,
+                           drain_L=128, drain_xc=96),
+    "tp8xc96_v256_noseg": dict(kernel="tp", pbatch=8,
+                               pool_dtype="bfloat16", voxel_res=256,
+                               max_samples=256, L=96, exact_cull=96,
+                               bands=(), drain_tiles=32,
+                               drain_L=128, drain_xc=96),
+    "tp8xc96b_v256": dict(kernel="tp", pbatch=8,
+                          pool_dtype="bfloat16", voxel_res=256,
+                          max_samples=256, L=96, exact_cull=96,
+                          bands="auto", drain_tiles=64,
+                          drain_L=128, drain_xc=96),
     # (the two-phase sigma-prepass variants were deleted with the code
     # path in r4 — see DESIGN_NOTES R4.4)
     # Bk=4 slab geometry: 8x fewer one-hot matmul FLOPs per pair, ~2x

@@ -45,7 +45,8 @@ def main():
         tree, [jnp.asarray(z[f"p{i}"]).astype(l.dtype)
                for i, l in enumerate(flat)])
     occ = jnp.asarray(z["occ"])
-    bcfg = BakedConfig(voxel_res=512, block=8, dtype="bfloat16")
+    bcfg = BakedConfig(voxel_res=int(os.environ.get("PF_VRES", 512)),
+                       block=8, dtype="bfloat16")
     baked = bake(params, model, occ, bcfg)
     geo = brick_geometry(baked["block_map"], bcfg, model)
 
@@ -56,9 +57,14 @@ def main():
 
     v = dict(L=int(os.environ.get("PF_L", 192)),
              exact_cull=int(os.environ.get("PF_XC", 48)),
-             max_samples=256, chunk_tiles=512, bands="auto",
+             max_samples=256, chunk_tiles=512,
              drain_tiles=int(os.environ.get("PF_D", 256)),
              drain_L=256, drain_xc=96, kernel="tp", pbatch=8)
+    seg = int(os.environ.get("PF_SEG", 8))
+    if seg:
+        v["segment_slots"], v["bands"] = seg, ()
+    else:
+        v["bands"] = "auto"
     if os.environ.get("PF_SIMPLE"):
         v = dict(L=8, max_samples=256, chunk_tiles=512, bands=(),
                  drain_tiles=0, kernel="tp", pbatch=8)
@@ -84,16 +90,22 @@ def main():
     for p in paths:
         with gzip.open(p, "rt") as f:
             tr = json.load(f)
+        # device-lane filter (profile_train.py method): only pids whose
+        # process name mentions TPU/TensorCore/device
+        pidname = {}
+        for ev in tr.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pidname[ev.get("pid")] = ev["args"].get("name", "")
+        dev_pids = {pid for pid, n in pidname.items()
+                    if "TPU" in n or "Tensor" in n or "/device" in n.lower()}
         for ev in tr.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
+            if dev_pids and ev.get("pid") not in dev_pids:
+                continue
             name = ev.get("name", "?")
-            # keep only device-lane events (XLA ops carry args.long_name
-            # or run on TensorCore tracks); heuristically skip python
             dur = ev.get("dur", 0) / 1e3          # ms
-            cat = str(ev.get("args", {}).get("group_id", ""))
-            pid_name = name
-            agg[pid_name] = agg.get(pid_name, 0.0) + dur
+            agg[name] = agg.get(name, 0.0) + dur
             total += dur
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
     print(f"sum of spans: {total:.1f} ms (overcounts nesting)")
