@@ -197,12 +197,15 @@ def main():
     def time_frames(frame_fn):
         t0 = time.time()
         out = frame_fn()
-        _ = float(out[0, 0])  # compile + warm
+        _ = float(out[0, 0])  # compile
         first_s = time.time() - t0
-        # slow renderers (< ~1 FPS) don't need 5 frames for a stable
-        # mean, and the extra frames blow the stage deadline (r4 trial:
-        # the brick stage alone ran 159 s)
-        n = n_frames if first_s < 2.0 else 2
+        out = frame_fn()
+        _ = float(out[0, 0])  # true warm frame (post-compile deferred
+        #                       work; r4 trials: timing the frame right
+        #                       after compile under-reports 10-25%)
+        # sub-1-FPS renderers get 3 timed frames instead of 5 so a slow
+        # stage cannot blow the shared deadline (r4 trial: 159 s brick)
+        n = n_frames if first_s < 2.0 else 3
         t0 = time.time()
         outs = [frame_fn() for _ in range(n)]
         # scalar fetch bounds all in-order dispatches (timing-audit law:
