@@ -29,6 +29,10 @@ from google_nerf_tpu.ops.packed_hash import (PackedHashConfig,
                                              init_packed_hash,
                                              packed_config_for_scale,
                                              packed_hash_encode)
+from google_nerf_tpu.ops.packed_pair import (PackedPairConfig,
+                                             init_packed_pair,
+                                             packed_pair_config_for_scale,
+                                             packed_pair_encode)
 from google_nerf_tpu.models.mlp import init_mlp, mlp_apply
 from google_nerf_tpu.ops.trunc_exp import trunc_exp
 
@@ -42,8 +46,11 @@ class NGPConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     n_freqs: int = 12                # frequency-encoder bands
-    # "packed" = packed-corner hash (ops/packed_hash.py), the TPU-native
-    # flagship path: one gather per (sample, level), sort-based backward
+    # "packed" = packed-corner hash (ops/packed_hash.py): one gather per
+    # (sample, level), sort-based backward.  "packed2" = paired-level
+    # rows (ops/packed_pair.py): one gather per (sample, LEVEL PAIR) —
+    # half the rows at the same effective level count (the flagship
+    # round-5 row-cut; gathers are row-rate bound on v5e)
     packed_levels: int = 8
     packed_features: int = 2
     packed_log2_size: int = 16
@@ -81,11 +88,23 @@ class NGPConfig:
             table_dtype=self.packed_table_dtype)
 
     @property
+    def pair_cfg(self) -> PackedPairConfig:
+        # packed_levels effective levels = packed_levels // 2 pair tables
+        return packed_pair_config_for_scale(
+            self.scale, n_pairs=max(self.packed_levels // 2, 1),
+            n_features=self.packed_features,
+            log2_table_size=self.packed_log2_size,
+            max_resolution=self.packed_max_res,
+            table_dtype=self.packed_table_dtype)
+
+    @property
     def xyz_feat_dim(self) -> int:
         if self.encoder == "hash":
             return self.hash_cfg.out_dim
         if self.encoder == "packed":
             return self.packed_cfg.out_dim
+        if self.encoder == "packed2":
+            return self.pair_cfg.out_dim
         return 3 * 2 * self.n_freqs
 
 
@@ -96,6 +115,8 @@ def init_ngp(key, cfg: NGPConfig) -> Dict[str, Any]:
         params["hash_table"] = init_hashgrid(k1, cfg.hash_cfg)
     elif cfg.encoder == "packed":
         params["packed_table"] = init_packed_hash(k1, cfg.packed_cfg)
+    elif cfg.encoder == "packed2":
+        params["pair_table"] = init_packed_pair(k1, cfg.pair_cfg)
     elif cfg.encoder != "freq":
         raise ValueError(f"unknown encoder {cfg.encoder!r}")
     params["sigma_mlp"] = init_mlp(
@@ -112,6 +133,9 @@ def _encode_xyz(params, cfg: NGPConfig, x01):
     if cfg.encoder == "packed":
         return packed_hash_encode(params["packed_table"], x01,
                                   cfg.packed_cfg)
+    if cfg.encoder == "packed2":
+        return packed_pair_encode(params["pair_table"], x01,
+                                  cfg.pair_cfg)
     return frequency_encode(x01, cfg.n_freqs)
 
 

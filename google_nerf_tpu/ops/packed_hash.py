@@ -168,6 +168,56 @@ def _fwd(table, x, cfg):
     return out, res + (x.shape[0], table.shape)
 
 
+def sorted_segment_rows(keys, payload_src, T: int):
+    """Zero-scatter segment-sum: sum payload rows by key, per lane.
+
+    keys: (L, N) int32 in [0, T); payload_src: (L, N, W) f32.  Returns
+    (L, T, W) where out[l, t] = sum over {n: keys[l, n] == t} of
+    payload_src[l, n] — the table-gradient reduction, shared by the
+    packed (per-level) and packed-pair (per-pair) encoder backwards.
+
+    Batched per-lane sort + cumsum + marker merge: lanes are independent
+    segment-sums, so sort (L, N+T) batched along the last axis instead
+    of one flat (L*(N+T),) sort — XLA vectorizes the L lanes, each
+    lane's working set is L x smaller, and the comparator runs log(N+T)
+    instead of log(L*(N+T)) rounds.  Measured 19.0 ms vs 44.8 ms flat
+    at flagship shapes (tools/microbench_encoder_bwd3.py, chained
+    fetch-synced timing).  The sort key is FUSED (cell_key*2 |
+    is_marker) so the comparator runs on ONE int32 key (position rides
+    along as a value operand), and the payload is materialized ONCE at
+    source order so the sorted-order payload costs ONE (L, N+T)-row
+    gather instead of two — gather rows are the backward's wall (v5e
+    gather law, DESIGN_NOTES.md).  This two-sort pipeline IS the XLA
+    floor: bisect-based variants lose 4-5x (DESIGN_NOTES R4.1).
+    """
+    L, n = keys.shape
+    W = payload_src.shape[-1]
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (L, n))
+    marker_k = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))
+    k_all = jnp.concatenate(
+        [keys * 2, marker_k * 2 + 1], axis=1)                # (L, N+T)
+    p_all = jnp.concatenate(
+        [pos, jnp.full((L, T), n, jnp.int32)], axis=1)
+    ks, ps = jax.lax.sort((k_all, p_all), dimension=1, num_keys=1)
+    ks = ks >> 1
+
+    is_contrib = ps < n                                      # (L, N+T)
+    safe = jnp.where(is_contrib, ps, 0)
+    payload = jnp.take_along_axis(payload_src, safe[..., None], axis=1)
+    payload = jnp.where(is_contrib[..., None], payload, 0.0)
+    csum = jnp.cumsum(payload, axis=1)                       # (L, N+T, W)
+
+    # extract marker rows in key order: among markers keys are unique and
+    # ascending, so sorting (marker? key : BIG, stream_pos) puts the T
+    # markers first in each lane, ordered by key
+    stream = jnp.broadcast_to(jnp.arange(n + T, dtype=jnp.int32), (L, n + T))
+    mk = jnp.where(is_contrib, jnp.int32(T), ks)
+    _, mrows = jax.lax.sort((mk, stream), dimension=1, num_keys=1)
+    q = mrows[:, :T]                                         # (L, T)
+    A = jnp.take_along_axis(csum, q[..., None], axis=1)      # (L, T, W)
+    return jnp.diff(A, axis=1, prepend=jnp.zeros((L, 1, W), A.dtype))
+
+
 def _bwd(cfg, res, g):
     keys, frac, rows, w, n, tshape = res
     L, T, W = tshape
@@ -182,46 +232,9 @@ def _bwd(cfg, res, g):
     resv = jnp.asarray(cfg.resolutions, jnp.float32)
     dx = jnp.sum(dfrac * resv[:, None, None], axis=0)        # (N, 3)
 
-    # ---- dtable: batched per-level sort + cumsum + marker merge ----
-    # Levels are independent segment-sums, so sort (L, N+T) batched along
-    # the last axis instead of one flat (L*(N+T),) sort: XLA vectorizes
-    # the L lanes, each lane's working set is L x smaller, and the
-    # comparator runs log(N+T) instead of log(L*(N+T)) rounds.
-    # Measured 19.0 ms vs 44.8 ms flat at flagship shapes
-    # (tools/microbench_encoder_bwd3.py, chained fetch-synced timing).
-    # The sort key is FUSED (cell_key*2 | is_marker) so the comparator
-    # runs on ONE int32 key (position rides along as a value operand),
-    # and the w x g outer-product payload is materialized ONCE at source
-    # order so the sorted-order payload costs ONE (L, N+T)-row gather
-    # instead of two (w then g) — gather rows are the backward's wall
-    # (v5e gather law, DESIGN_NOTES.md).
-    k_contrib = keys                                         # (L, N) in [0,T)
-    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (L, n))
-    marker_k = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))
-    k_all = jnp.concatenate(
-        [k_contrib * 2, marker_k * 2 + 1], axis=1)           # (L, N+T)
-    p_all = jnp.concatenate(
-        [pos, jnp.full((L, T), n, jnp.int32)], axis=1)
-    ks, ps = jax.lax.sort((k_all, p_all), dimension=1, num_keys=1)
-    ks = ks >> 1
-
-    is_contrib = ps < n                                      # (L, N+T)
-    safe = jnp.where(is_contrib, ps, 0)
+    # ---- dtable: batched per-level two-sort segment-sum ----
     payload_src = (w[..., :, None] * gl[..., None, :]).reshape(L, n, W)
-    payload = jnp.take_along_axis(payload_src, safe[..., None], axis=1)
-    payload = jnp.where(is_contrib[..., None], payload, 0.0)
-    csum = jnp.cumsum(payload, axis=1)                       # (L, N+T, W)
-
-    # extract marker rows in key order: among markers keys are unique and
-    # ascending, so sorting (marker? key : BIG, stream_pos) puts the T
-    # markers first in each lane, ordered by key
-    stream = jnp.broadcast_to(jnp.arange(n + T, dtype=jnp.int32), (L, n + T))
-    mk = jnp.where(is_contrib, jnp.int32(T), ks)
-    _, mrows = jax.lax.sort((mk, stream), dimension=1, num_keys=1)
-    q = mrows[:, :T]                                         # (L, T)
-    A = jnp.take_along_axis(csum, q[..., None], axis=1)      # (L, T, W)
-    dtab = jnp.diff(A, axis=1,
-                    prepend=jnp.zeros((L, 1, W), A.dtype))
+    dtab = sorted_segment_rows(keys, payload_src, T)
     return dtab, dx
 
 

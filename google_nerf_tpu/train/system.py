@@ -132,7 +132,7 @@ def cosine_lr(cfg: TrainConfig):
     return schedule
 
 
-_TABLE_KEYS = ("packed_table", "hash_table")
+_TABLE_KEYS = ("packed_table", "pair_table", "hash_table")
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -355,12 +355,14 @@ def fused_train_step(state, scene, key, *, cfg: TrainConfig):
 def fused_train_steps(state, scene, key, *, cfg: TrainConfig, n_steps: int):
     """n_steps fused steps under ONE dispatch via lax.scan.
 
-    A device-op trace (tools/profile_train.py) showed ~34 ms of device
-    work per step against ~45 ms of wall at the r4 flagship config: the
-    per-call dispatch/donation glue costs ~10 ms/step.  Scanning the
-    16-step grid cadence inside one program amortizes it 16x.  Step i
-    draws key fold_in(key, i); metrics returned are the LAST step's (the
-    same observable the serial loop reports).
+    NOT a throughput win: the apparent ~10 ms/step wall-vs-device gap
+    that motivated this was the AMORTIZED GRID UPDATE (every 16 steps),
+    not dispatch glue, and the scan measured ~5 ms/step SLOWER than the
+    eager donated loop (DESIGN_NOTES R4.3/R4.4).  Kept for the
+    single-dispatch API (e.g. driving training over an rpc relay where
+    per-step round-trips dominate).  Step i draws key fold_in(key, i);
+    metrics returned are the LAST step's (the same observable the
+    serial loop reports).
     """
     def body(st, i):
         k1, k2 = jax.random.split(jax.random.fold_in(key, i))

@@ -62,9 +62,10 @@ def get_opts(argv=None):
 
     # ---- NEW flags (TPU framework) -------------------------------------
     parser.add_argument('--xyz_encoder', type=str, default='packed',
-                        choices=['packed', 'hash', 'freq'],
-                        help='xyz encoder: hash grid (performance path) or '
-                             'frequency (the fork\'s current config)')
+                        choices=['packed', 'packed2', 'hash', 'freq'],
+                        help='xyz encoder: packed-corner hash, paired-level '
+                             'packed rows (half the gather rows), hash grid, '
+                             'or frequency (the fork\'s current config)')
     parser.add_argument('--depth_loss_w', type=float, default=0.0,
                         help='weight of the shift/scale-invariant depth '
                              'prior loss (0 = RGB only)')

@@ -176,6 +176,35 @@ VARIANTS = {
     # survive sampling at the serving lattice?
     "ms256_bud7_gdiv16": dict(ms=256, budget=7 * 8192, gdiv=16),
     "ms256_bud6_gdiv16": dict(ms=256, budget=6 * 8192, gdiv=16),
+    # ---- round 5: row-cutting levers on the r4 flagship recipe
+    # (bud7_gdiv16_ms512 = bench.py config).  packed2 = paired-level
+    # rows (ops/packed_pair.py, half the encoder gather rows); block2 =
+    # the two-phase liveness-table marcher (~4x fewer march gather rows,
+    # never flagshipped — VERDICT r4 item 6).
+    "r5_head":    dict(ms=512, budget=7 * 8192, gdiv=16),
+    "r5_p2":      dict(ms=512, budget=7 * 8192, gdiv=16,
+                       encoder="packed2"),
+    "r5_blk2":    dict(ms=512, budget=7 * 8192, gdiv=16, march="block2"),
+    "r5_p2_blk2": dict(ms=512, budget=7 * 8192, gdiv=16,
+                       encoder="packed2", march="block2"),
+    # budget re-check at the cheaper step (saturation was at the OLD
+    # per-row prices; a cheaper encoder may move the knee)
+    "r5_p2_blk2_bud10": dict(ms=512, budget=10 * 8192, gdiv=16,
+                             encoder="packed2", march="block2"),
+    "r5_p2_bud10": dict(ms=512, budget=10 * 8192, gdiv=16,
+                        encoder="packed2"),
+    # pair-table size: the 140 B rows push a 2^16 table to 9.2 MiB —
+    # out of the fast-cache gather regime (tools/microbench_pair.py);
+    # 2^15/2^14 restore it at a capacity/quality risk the psnr gate
+    # arbitrates.  t15 also probed for the packed encoder (sort-marker
+    # count halves).
+    "r5_p2_t15":  dict(ms=512, budget=7 * 8192, gdiv=16,
+                       encoder="packed2", tsize=15),
+    "r5_p2_t14":  dict(ms=512, budget=7 * 8192, gdiv=16,
+                       encoder="packed2", tsize=14),
+    "r5_p2_t14_blk2": dict(ms=512, budget=7 * 8192, gdiv=16,
+                           encoder="packed2", tsize=14, march="block2"),
+    "r5_head_t15": dict(ms=512, budget=7 * 8192, gdiv=16, tsize=15),
 }
 
 
