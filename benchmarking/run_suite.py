@@ -112,7 +112,8 @@ def main():
         import numpy as np
         avg = {k: float(np.mean([r[k] for r in results.values()
                                  if k in r]))
-               for k in ("psnr", "ssim", "lpips", "train_time_s")
+               for k in ("psnr", "ssim", "lpips", "train_time_s",
+                         "train_time_net_s")
                if any(k in r for r in results.values())}
         results["average"] = avg
         results["reference_average_psnr"] = REFERENCE_PSNR.get(
@@ -126,7 +127,11 @@ def main():
         # per-round regression table (VERDICT r3 item 7): one suite run
         # per round, appended to PARITY.md so quality/serving trends live
         # in a single artifact
-        cols = ("psnr", "ssim", "lpips", "train_time_s")
+        # train_time_net_s excludes compile-service wait (train.py
+        # extrapolates the post-warmup rate) — the regression-comparable
+        # column; train_time_s keeps the raw wall for honesty
+        cols = ("psnr", "ssim", "lpips", "train_time_s",
+                "train_time_net_s")
         with open(args.parity_md, "a") as f:
             f.write(f"\n## Suite `{args.suite}`"
                     + (f" — {args.round_tag}" if args.round_tag else "")

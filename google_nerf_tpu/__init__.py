@@ -53,8 +53,12 @@ def _setup_compilation_cache():
         # keep the shared repo dir (TPU executables are compiled
         # remotely and are host-independent).
         if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-            d = os.environ.get("GOOGLE_NERF_TPU_CACHE_DIR",
-                               "/tmp/google_nerf_tpu_jax_cache_cpu")
+            # per-user path: a world-shared /tmp dir would let another
+            # local user pre-plant AOT cache entries that JAX loads
+            # in-process (advisor r4)
+            d = os.environ.get(
+                "GOOGLE_NERF_TPU_CACHE_DIR",
+                f"/tmp/google_nerf_tpu_jax_cache_cpu_{os.getuid()}")
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

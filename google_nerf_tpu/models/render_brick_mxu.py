@@ -215,10 +215,17 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         # is only skipped when the kernel's own per-ray live gate would
         # contribute nothing.  The composite resumes across calls via
         # the kernel's init carry.
-        segL = max(pbatch, (segment_slots // pbatch) * pbatch)
-        while Lp % segL:
-            segL -= pbatch
-        segL = max(segL, pbatch)
+        # segment length must divide Lp; only the tp kernel additionally
+        # needs pbatch alignment (rgba steps one slot per grid step —
+        # advisor r4: the old pbatch-stride search could hit segL=0 and
+        # ZeroDivisionError at trace time for rgba / clamped-L lists)
+        align = pbatch if kernel == "tp" else 1
+        segL = max(align, (segment_slots // align) * align)
+        while Lp % segL and segL > align:
+            segL -= align
+        assert Lp % segL == 0, (
+            f"list capacity Lp={Lp} has no {align}-aligned divisor >= "
+            f"{align}; align exact_cull / L to pbatch for kernel='tp'")
         tau_max_v = float(-np.log(T_threshold))
         pbT = pool_blk.reshape(T, Lp)
         mtT = meta.reshape(T, Lp, 8)
@@ -470,13 +477,12 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     mt = macro_tiles if mL > 0 else 0
     while mt > 1 and cpr % mt:
         mt //= 2
-    # ---- WHOLE-FRAME jit (round 4): the chunk loop used to run in
-    # eager python — per-chunk slicing / pad concats / dispatch / the
-    # final unpermute summed to ~200 ms/frame of pure host glue while
-    # the device did ~70 ms of work (tools/profile_frame.py trace).
-    # The loop is now a lax.map over stacked ray chunks inside ONE jit
-    # (the kernel body appears once in the HLO), and the unpermute +
-    # background composite ride along. ----
+    # ---- WHOLE-FRAME jit (round 4): the chunk loop runs as a lax.map
+    # over stacked ray chunks inside ONE jit.  Measured NEUTRAL on frame
+    # time (DESIGN_NOTES R4.4: the trace span that suggested ~200 ms of
+    # host glue was the host BLOCKING on device compute; eager chunk
+    # dispatch was already async-pipelined) — kept for the single-
+    # dispatch serving API and the once-in-HLO kernel body. ----
     n_chunks = -(-n_tiles // cpr)
     pad_rays = n_chunks * cpr * 64 - Wp * Hp
     if pad_rays:

@@ -43,14 +43,22 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data"):
     return Mesh(np.array(devs), (axis_name,))
 
 
-def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
+def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data",
+                       collectives: bool = True):
     """Returns jitted step(state, scene, key) running data-parallel over the
-    mesh.  `key` is a single PRNG key; each replica derives its own."""
+    mesh.  `key` is a single PRNG key; each replica derives its own.
+
+    collectives=False is a TIMING PROBE ONLY: the pmean reductions are
+    skipped, so replicas' params drift apart — the step is numerically
+    WRONG for training.  weak_scaling_report uses it to break the
+    measured step cost into compute vs grad-allreduce components."""
     n = mesh.shape[axis_name]
     if cfg.batch_size % n:
         raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
                          f"mesh size {n}")
     local_bs = cfg.batch_size // n
+    reduce = ((lambda x: jax.lax.pmean(x, axis_name)) if collectives
+              else (lambda x: x))
 
     def per_replica(state, scene, keys):
         key = keys[0]
@@ -64,17 +72,16 @@ def make_dp_train_step(cfg: TrainConfig, mesh: Mesh, axis_name: str = "data"):
 
         (loss, results), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
-        grads = jax.lax.pmean(grads, axis_name)
-        loss = jax.lax.pmean(loss, axis_name)
+        grads = reduce(grads)
+        loss = reduce(loss)
         rm = results.get("ray_mask", jnp.ones((), bool))
         rmw = jnp.broadcast_to(rm[..., None] if rm.ndim else rm,
                                results["rgb"].shape)
         target = results.get("rgb_target", batch["rgb"])
-        mse = jax.lax.pmean(
+        mse = reduce(
             jnp.sum(jnp.where(rmw, (results["rgb"] - target) ** 2,
-                              0.0)) / jnp.maximum(rmw.sum(), 1), axis_name)
-        s_per_ray = jax.lax.pmean(
-            results["total_samples"] / local_bs, axis_name)
+                              0.0)) / jnp.maximum(rmw.sum(), 1))
+        s_per_ray = reduce(results["total_samples"] / local_bs)
 
         params, opt_state = apply_grads(state, grads, cfg)
         metrics = dict(loss=loss,
