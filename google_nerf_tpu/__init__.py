@@ -55,10 +55,20 @@ def _setup_compilation_cache():
         if os.environ.get("JAX_PLATFORMS", "") == "cpu":
             # per-user path: a world-shared /tmp dir would let another
             # local user pre-plant AOT cache entries that JAX loads
-            # in-process (advisor r4)
+            # in-process (advisor r4).  Also scoped by the jaxlib BUILD:
+            # this machine runs two XLA builds (the TPU-plugin site dir
+            # shims its own jaxlib) whose CPU AOT target features differ
+            # — cross-loading triggers cpu_aot_loader feature-mismatch
+            # warnings and can SIGILL (r5 observation; same class as the
+            # r4 cross-machine segfault).
+            import sys
+            import jaxlib
+            tag = (f"{os.getuid()}_{getattr(jaxlib, '__version__', '0')}"
+                   + ("_axon" if any(".axon_site" in p for p in sys.path)
+                      else ""))
             d = os.environ.get(
                 "GOOGLE_NERF_TPU_CACHE_DIR",
-                f"/tmp/google_nerf_tpu_jax_cache_cpu_{os.getuid()}")
+                f"/tmp/google_nerf_tpu_jax_cache_cpu_{tag}")
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -37,7 +37,8 @@ from google_nerf_tpu.models.render_brick import (_refine_lists, _tile_cones,
                                                  brick_geometry, tile_order)
 from google_nerf_tpu.ops.pallas.brick_field import (
     brick_field_tiles, brick_field_tiles_rgba,
-    brick_field_tiles_t, brick_field_tiles_tp, window_span)
+    brick_field_tiles_t, brick_field_tiles_tp, brick_field_tiles_wl,
+    window_span)
 from google_nerf_tpu.ops.ray_aabb import clamp_near, ray_aabb_intersect
 
 SQRT3 = 3.0 ** 0.5
@@ -88,7 +89,7 @@ def _exact_hit_filter(bidx, brick_lo, brick_hi, o3, du3, t1r, t2r, dt,
                                    "kernel", "bands", "drain_tiles",
                                    "drain_L", "pbatch",
                                    "segment_slots", "exact_cull",
-                                   "drain_xc", "interpret"))
+                                   "drain_xc", "wl_cap", "interpret"))
 # bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
 def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
@@ -96,7 +97,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                kernel: str = "n", bands: tuple = (),
                drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
                segment_slots: int = 0,
-               exact_cull: int = 0, drain_xc: int = 0,
+               exact_cull: int = 0, drain_xc: int = 0, wl_cap: int = 0,
                interpret: bool = False):
     """Render one tile-contiguous chunk of rays via the MXU kernel."""
     R = rays_o.shape[0]
@@ -150,7 +151,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         # schedule by TRUE occupancy, and the drain serves only tiles
         # with more true hits than their rendered capacity. ----
         Le = min(exact_cull, Lp)
-        if kernel == "tp":
+        if kernel in ("tp", "wl"):
             Le = max(pbatch, (Le // pbatch) * pbatch)
         bidx, nhits = _exact_hit_filter(
             bidx, brick_lo, brick_hi, rays_o.reshape(T, 64, 3),
@@ -183,7 +184,9 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
 
-    if kernel == "tp":
+    if kernel in ("tp", "wl"):
+        # "wl" uses the worklist kernel for the main pass (below) and
+        # the tp kernel for the compact drain lists
         field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
     elif kernel == "t":
         field = partial(brick_field_tiles_t, Bk=bcfg.block)
@@ -201,7 +204,70 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         tau_max=float(-np.log(T_threshold)), interpret=interpret)
     fargs = (rays8, sh, pool3, rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
     dma_slots = jnp.sum(nvalid)          # default: every real slot DMAs
-    if segment_slots > 0 and kernel in ("tp", "rgba") and not bands:
+    wl_dropped_t = jnp.zeros((T,), jnp.int32)
+    if kernel == "wl":
+        # ---- WORKLIST scheduling (round 5): the dense (tile, slot)
+        # grid costs ~2.7 us per grid STEP whether or not the step has
+        # work (tools/profile_frame.py), and exact-culled tiles average
+        # ~5 true hits against a static 96-slot capacity — so the grid
+        # is rebuilt per segment as a compact tile-major list of REAL
+        # (tile, P-slot group) work items (ops/pallas/brick_field.py
+        # _kernel_wl).  Background tiles and terminated tiles cost
+        # ZERO steps.  Groups beyond the static `wl_cap` budget are
+        # counted and drained exactly (same path as capacity cuts). ----
+        Pw = pbatch
+        segL = max(Pw, ((segment_slots or Lp) // Pw) * Pw)
+        while Lp % segL and segL > Pw:
+            segL -= Pw
+        assert Lp % segL == 0, (Lp, segL, Pw)
+        Gmax = segL // Pw
+        cap_wl = wl_cap if wl_cap > 0 else T
+        tau_max_v = float(-np.log(T_threshold))
+        out = jnp.zeros((T * 64, 8), jnp.float32)
+        dma_slots = jnp.int32(0)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (T, Gmax), 1)
+        stream = jnp.arange(T * Gmax, dtype=jnp.int32)
+        for si in range(Lp // segL):
+            s0 = si * segL
+            ns_rem = jnp.clip(nvalid - s0, 0, segL)
+            if si == 0:
+                live_t = ns_rem > 0
+            else:
+                tau_t = out[:, 0].reshape(T, 64)
+                live_t = jnp.any(tau_t < tau_max_v, axis=1) & (ns_rem > 0)
+            ns_eff = jnp.where(live_t, ns_rem, 0)
+            g_t = (ns_eff + Pw - 1) // Pw                   # (T,)
+            validg = (gi < g_t[:, None]).reshape(-1)
+            keyf = jnp.where(validg, stream, T * Gmax)
+            sk, src = jax.lax.sort((keyf, stream), num_keys=1)
+            src = jax.lax.slice_in_dim(src, 0, cap_wl)
+            slotv = jax.lax.slice_in_dim(sk, 0, cap_wl) < T * Gmax
+            wt = src // Gmax
+            wg = src - wt * Gmax
+            nreal = jnp.sum(slotv)
+            last_wt = jnp.take(wt, jnp.clip(nreal - 1, 0, cap_wl - 1))
+            wt = jnp.where(slotv, wt, last_wt)
+            wg = jnp.where(slotv, wg, 0)
+            wlr = wt * Lp + s0 + wg * Pw
+            wn = jnp.where(slotv,
+                           jnp.clip(jnp.take(ns_eff, wt) - wg * Pw,
+                                    0, Pw), 0)
+            wfl = (slotv & (wg == 0)).astype(jnp.int32)
+            out_k = brick_field_tiles_wl(
+                pool_blk, meta, rays8, sh, pool3,
+                rgb_mlp[0], rgb_mlp[1], rgb_mlp[2],
+                wt.astype(jnp.int32), wlr.astype(jnp.int32), wn, wfl,
+                S=fkw["S"], dt=dt, tau_max=tau_max_v, P=Pw,
+                Bk=bcfg.block, init=out, interpret=interpret)
+            # groups actually served under the cap (tile-major prefix)
+            served_g = jnp.clip(cap_wl - (jnp.cumsum(g_t) - g_t), 0, g_t)
+            visited = served_g > 0
+            out = jnp.where(jnp.repeat(visited, 64)[:, None], out_k, out)
+            served = jnp.minimum(ns_eff, served_g * Pw)
+            dma_slots += jnp.sum(served)
+            wl_dropped_t = wl_dropped_t + (ns_eff - served)
+        cap = jnp.full((T,), Lp, jnp.int32)
+    elif segment_slots > 0 and kernel in ("tp", "rgba") and not bands:
         # ---- segmented-l rendering with DEAD-TILE DMA elision ----
         # The kernel-cost probe (R4) measured the frame wall as slab-DMA
         # issue cost (~2.4 us/slot fp8-64KB) with the compute body fully
@@ -300,6 +366,10 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     else:
         need = (t_rel > cap) | macro_over
         miss_sz = jnp.maximum(t_rel - cap, 0)
+    # worklist-budget overflow: groups beyond wl_cap were not rendered —
+    # their tiles re-render exactly through the drain
+    need = need | (wl_dropped_t > 0)
+    miss_sz = miss_sz + wl_dropped_t
     if drain_tiles > 0:
         D = min(drain_tiles, T)
 
@@ -326,7 +396,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                 # 256-slot static drain grid was measured at up to 6x
                 # the main pass's steps (DESIGN_NOTES R4.2)
                 Lcd = min(drain_xc, drain_L)
-                if kernel == "tp":
+                if kernel in ("tp", "wl"):
                     Lcd = max(pbatch, (Lcd // pbatch) * pbatch)
                 o3a = rays_o.reshape(T, 64, 3)
                 du3a = rays_du.reshape(T, 64, 3)
@@ -381,7 +451,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
                      bands=(), drain_tiles: int = 256, drain_L: int = 256,
                      pbatch: int = 4,
                      segment_slots: int = 0, exact_cull: int = 0,
-                     drain_xc: int = 0,
+                     drain_xc: int = 0, wl_cap: int = 0,
                      exp_step_factor: float = 0.0, interpret=None):
     """Full-frame MXU brick renderer over (W*H) rays, image row-major.
 
@@ -419,10 +489,10 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     tile = 8
     assert bcfg.feat_dim == 16, "kernel row layout is 8 corners x 16 feat"
     vox = bcfg.block ** 3
-    if kernel == "tp":
+    if kernel in ("tp", "wl"):
         # list stride, band capacities, and the drain's per-tile list
-        # length must all be pbatch-aligned (the P-batched kernel reads P
-        # consecutive list rows per grid step)
+        # length must all be pbatch-aligned (the P-batched and worklist
+        # kernels read P consecutive list rows per grid step)
         assert pbatch in (1, 2, 4, 8, 16), pbatch
         L = max(pbatch, (L // pbatch) * pbatch)
         drain_L = max(pbatch, (drain_L // pbatch) * pbatch)
@@ -434,7 +504,7 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         # is part of the frame
         pool3 = baked["poolRGBA"]
         assert pool3.shape[1:] == (32, vox), pool3.shape
-    elif kernel in ("t", "tp"):
+    elif kernel in ("t", "tp", "wl"):
         # the t-kernels want slabs pre-transposed to (128, 512); cache the
         # one-time device transpose on the baked dict
         if "poolT" not in baked:
@@ -460,9 +530,9 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     n_tiles = (Wp * Hp) // 64
     L = min(L, int(lo.shape[0]))
     cpr = max(min(int(chunk_tiles), n_tiles), 1)
-    if segment_slots > 0:
-        assert kernel in ("tp", "rgba"), \
-            "segment_slots needs an init-carry kernel (tp/rgba)"
+    if segment_slots > 0 or kernel == "wl":
+        assert kernel in ("tp", "rgba", "wl"), \
+            "segment_slots needs an init-carry kernel (tp/rgba/wl)"
         bands = ()      # segmentation subsumes band scheduling's savings
     if bands == "auto":
         # with exact_cull, bands schedule the FILTERED lists — derive
@@ -497,12 +567,13 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         T_threshold=T_threshold, macro_tiles=mt if mt > 1 else 0,
         macro_L=mL, kernel=kernel, bands=bands,
         drain_tiles=min(drain_tiles, cpr),
-        drain_L=(min(drain_L, int(lo.shape[0])) if kernel != "tp"
+        drain_L=(min(drain_L, int(lo.shape[0]))
+                 if kernel not in ("tp", "wl")
                  else max(pbatch, (min(drain_L, int(lo.shape[0]))
                                    // pbatch) * pbatch)),
         pbatch=pbatch,
         segment_slots=segment_slots, exact_cull=exact_cull,
-        drain_xc=drain_xc, interpret=interpret)
+        drain_xc=drain_xc, wl_cap=wl_cap, interpret=interpret)
     cat = _mxu_frame(pool3, baked["rgb_mlp"], lo, hi, ro_ch, rd_ch,
                      jnp.asarray(inv), W=W, H=H, Wp=Wp, Hp=Hp,
                      exp_step_factor=exp_step_factor, **mxu_kw)
@@ -513,7 +584,8 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
     "cfg", "bcfg", "L", "max_samples", "T_threshold", "macro_tiles",
     "macro_L", "kernel", "bands", "drain_tiles", "drain_L", "pbatch",
     "segment_slots", "exact_cull",
-    "drain_xc", "interpret", "W", "H", "Wp", "Hp", "exp_step_factor"))
+    "drain_xc", "wl_cap", "interpret", "W", "H", "Wp", "Hp",
+    "exp_step_factor"))
 def _mxu_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, W, H,
                Wp, Hp, exp_step_factor, **mxu_kw):
     def one_chunk(rc):

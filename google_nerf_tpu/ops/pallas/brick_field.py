@@ -40,6 +40,13 @@ Pallas notes (ops/pallas/__init__.py records why earlier kernels lost):
 this kernel uses none of the unsupported patterns — no vectorized VMEM
 gather, no scatter; only block DMA via scalar-prefetch index maps,
 iota/compare one-hots, and MXU dots.
+
+Round 5: trilerp coordinates are BRICK-LOCAL — each (tile, slot) step
+maps its samples onto the slab's own Bk^3 lattice over the meta AABB
+[lo, hi], so bricks of different world sizes (mixed-resolution bakes,
+models/baked_mixed.py) composite through one kernel.  The `inv2s`/`V`
+static args only describe the uniform case for cost estimation and are
+no longer read by the lattice math.
 """
 from __future__ import annotations
 
@@ -134,14 +141,18 @@ def _kernel(pb_ref, lb_ref, ns_ref, tid_ref, meta_ref, rays_ref, sh_ref,
         s_ok = up(hit) & (n_s <= up(n1))                    # (N, 1)
         ts = up(t1) + (n_s + 0.5) * dt
         xyz = up(o) + ts * up(du)                           # (N, 3)
-        pos = jnp.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-        v0 = jnp.floor(pos)
-        frac = pos - v0
+        # BRICK-LOCAL voxel coords from the meta AABB: the brick's slab
+        # is its own Bk^3 lattice over [lo, hi], so bricks of ANY world
+        # size (mixed-resolution bakes, models/baked_mixed.py) render
+        # through one kernel.  For uniform bakes this equals the old
+        # global-V arithmetic.
         fBk = float(Bk)
-        loc = jnp.clip(v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk,
-                       0.0, fBk - 1.0)
-        lid = ((loc[:, 0:1] * fBk + loc[:, 1:2]) * fBk
-               + loc[:, 2:3]).astype(jnp.int32)             # (N, 1)
+        u = (xyz - m[0:1, 0:3]) * (fBk / (m[0:1, 3:6] - m[0:1, 0:3]))
+        u = jnp.clip(u, 0.0, fBk - 1e-3)
+        v0 = jnp.floor(u)
+        frac = u - v0
+        lid = ((v0[:, 0:1] * fBk + v0[:, 1:2]) * fBk
+               + v0[:, 2:3]).astype(jnp.int32)              # (N, 1)
         colv = jax.lax.broadcasted_iota(jnp.int32, (N, vox), 1)
         onehot = jnp.where(s_ok & (colv == lid), 1.0, 0.0) \
             .astype(jnp.bfloat16)
@@ -366,16 +377,18 @@ def _kernel_t(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
         ts = lane_tile(t1) + (n_s + 0.5) * dt
         o_n = lane_tile(o)                                  # (3, N)
         du_n = lane_tile(du)
+        # brick-local voxel coords from the meta AABB (see _kernel):
+        # mixed-resolution bricks render through the same lattice math
         fBk = float(Bk)
         lid = jnp.zeros((1, N), jnp.float32)
         frs = []
         for k in range(3):
-            pos = jnp.clip((o_n[k:k + 1] + ts * du_n[k:k + 1]) * inv2s
-                           + 0.5, 0.0, 1.0 - 1e-6) * V
-            v0 = jnp.floor(pos)
-            frs.append(pos - v0)
-            lid = lid * fBk + jnp.clip(
-                v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk, 0.0, fBk - 1.0)
+            u = (o_n[k:k + 1] + ts * du_n[k:k + 1] - m[0:1, k:k + 1]) \
+                * (fBk / (m[0:1, k + 3:k + 4] - m[0:1, k:k + 1]))
+            u = jnp.clip(u, 0.0, fBk - 1e-3)
+            v0 = jnp.floor(u)
+            frs.append(u - v0)
+            lid = lid * fBk + v0
         lid_i = lid.astype(jnp.int32)                       # (1, N)
 
         # rowv is a PRECOMPUTED (VOX, N) int32 row-index table (the same
@@ -601,17 +614,20 @@ def _kernel_tp(pb_ref, lb_ref, ns_ref, tid_ref, metaP_ref, raysT_ref,
             hitf = jnp.where(hit, 1.0, 0.0)
             ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1s[k]))
             ts = t1_n + (n_s + 0.5) * dt
+            # brick-local voxel coords from THIS sub-brick's meta AABB
+            # (see _kernel): mixed-resolution bricks ride the same math
+            m = metaP_ref[k]                                # (1, 8)
             fBk = float(Bk)
             lid = jnp.zeros((1, N), jnp.float32)
             frs = []
             for kk in range(3):
-                pos = jnp.clip((o_n[kk:kk + 1] + ts * du_n[kk:kk + 1])
-                               * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-                v0 = jnp.floor(pos)
-                frs.append(pos - v0)
-                lid = lid * fBk + jnp.clip(
-                    v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk,
-                    0.0, fBk - 1.0)
+                u = (o_n[kk:kk + 1] + ts * du_n[kk:kk + 1]
+                     - m[0:1, kk:kk + 1]) \
+                    * (fBk / (m[0:1, kk + 3:kk + 4] - m[0:1, kk:kk + 1]))
+                u = jnp.clip(u, 0.0, fBk - 1e-3)
+                v0 = jnp.floor(u)
+                frs.append(u - v0)
+                lid = lid * fBk + v0
             lid_i = lid.astype(jnp.int32)
             ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
                             1.0, 0.0).astype(jnp.bfloat16)
@@ -756,6 +772,240 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 
 
+def _kernel_wl(wt_ref, wl_ref, wn_ref, wf_ref, pb_ref, metaP_ref,
+               raysT_ref, shT_ref, initT_ref, *slab_w_out, S: int,
+               dt: float, tau_max: float, P: int, Bk: int = 8):
+    """WORKLIST-grid variant of _kernel_tp: grid step j renders one
+    (tile, P-slot group) WORK ITEM from scalar-prefetched tables instead
+    of a dense (tile, list-slot) grid.
+
+    Why (round-5 trace, tools/profile_frame.py): the dense grid costs
+    ~2.7 us per grid STEP whether or not the step has work — at 800^2
+    the v256 champion sequences ~60k steps for ~51k real slots spread
+    over tiles whose MEAN true-hit count is ~5 against a static capacity
+    of 96, so most steps are dead padding.  The worklist grid sequences
+    ONLY real groups (plus bounded padding): wt[j] = tile, wl[j] =
+    first pairs-table row (P-aligned), wn[j] = live slots in the group
+    (0 on pad steps), wf[j] = 1 iff this is the tile's first group in
+    THIS call (initialize the revisited output block from init).
+
+    Contract: steps of one tile are CONSECUTIVE (tile-major worklist) —
+    the revisited output block stays in VMEM across its groups; pad
+    steps repeat the last real tile id so no spurious block flush
+    happens.  Output blocks of tiles absent from the worklist are
+    UNDEFINED — the caller must mask them (models/render_brick_mxu.py
+    does, against the segment carry).
+    """
+    j = pl.program_id(0)
+    slab_refs = slab_w_out[:P]
+    rowv_ref, bitw_ref, w1t_ref, w2t_ref, w3t_ref, outT_ref = slab_w_out[P:]
+
+    @pl.when(wf_ref[j] == 1)
+    def _init():
+        outT_ref[:] = initT_ref[:]
+    rays = raysT_ref[:]                     # (8, 64)
+    o = rays[0:3]
+    du = rays[3:6]
+    t1 = rays[6:7]
+    t2 = rays[7:8]
+    inv_d = 1.0 / jnp.where(jnp.abs(du) > 1e-10, du,
+                            jnp.where(du >= 0, 1e-10, -1e-10))
+    N = S * TPX
+
+    def lane_tile(x):
+        return jnp.concatenate([x] * S, axis=1)
+
+    hits, n0s, n1s = [], [], []
+    for k in range(P):
+        valid = k < wn_ref[j]
+        m = metaP_ref[k]                    # (1, 8)
+        ta, tb = t1, t2
+        for kk in range(3):
+            a = (m[0:1, kk:kk + 1] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
+            b = (m[0:1, kk + 3:kk + 4] - o[kk:kk + 1]) * inv_d[kk:kk + 1]
+            ta = jnp.maximum(ta, jnp.minimum(a, b))
+            tb = jnp.minimum(tb, jnp.maximum(a, b))
+        n0 = jnp.maximum(jnp.ceil((ta - t1) / dt - 0.5), 0.0)
+        n1 = jnp.floor((tb - t1) / dt - 0.5)
+        hits.append(valid & (tb > ta) & (n1 >= n0) & (t2 > 0))
+        n0s.append(n0)
+        n1s.append(n1)
+    hit_any = hits[0]
+    for k in range(1, P):
+        hit_any = hit_any | hits[k]
+
+    tau_in = outT_ref[0:1, :]                               # (1, 64)
+    work = jnp.any(hit_any & (tau_in < tau_max))
+
+    @pl.when(work)
+    def _body():
+        o_n = lane_tile(o)
+        du_n = lane_tile(du)
+        t1_n = lane_tile(t1)
+        s_n = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               // TPX).astype(jnp.float32)
+        sh_n = lane_tile(shT_ref[:])                        # (16, N)
+
+        tau_tot = tau_in
+        upd_tau = jnp.zeros((1, TPX), jnp.float32)
+        upd_rgb = jnp.zeros((3, TPX), jnp.float32)
+        upd_dep = jnp.zeros((1, TPX), jnp.float32)
+        upd_cnt = jnp.zeros((1, TPX), jnp.float32)
+        for k in range(P):
+            live = tau_tot < tau_max
+            hit = hits[k]
+            slabT = slab_refs[k][0].astype(jnp.bfloat16)    # (128, vox)
+            n_s = lane_tile(n0s[k]) + s_n
+            hitf = jnp.where(hit, 1.0, 0.0)
+            ok_n = (lane_tile(hitf) > 0.5) & (n_s <= lane_tile(n1s[k]))
+            ts = t1_n + (n_s + 0.5) * dt
+            m = metaP_ref[k]                                # (1, 8)
+            fBk = float(Bk)
+            lid = jnp.zeros((1, N), jnp.float32)
+            frs = []
+            for kk in range(3):
+                u = (o_n[kk:kk + 1] + ts * du_n[kk:kk + 1]
+                     - m[0:1, kk:kk + 1]) \
+                    * (fBk / (m[0:1, kk + 3:kk + 4] - m[0:1, kk:kk + 1]))
+                u = jnp.clip(u, 0.0, fBk - 1e-3)
+                v0 = jnp.floor(u)
+                frs.append(u - v0)
+                lid = lid * fBk + v0
+            lid_i = lid.astype(jnp.int32)
+            ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
+                            1.0, 0.0).astype(jnp.bfloat16)
+            out8T = jnp.dot(slabT, ohT,
+                            preferred_element_type=jnp.float32)
+            w128T = jnp.ones((ROWW, N), jnp.float32)
+            for kk in range(3):
+                w128T = w128T * ((1.0 - frs[kk])
+                                 + bitw_ref[kk] * (2.0 * frs[kk] - 1.0))
+            rr = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 0)
+            rc = jax.lax.broadcasted_iota(jnp.int32, (FEAT, ROWW), 1)
+            redT = (rc % FEAT == rr).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+            hT = jnp.dot(redT, (out8T * w128T).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            sd = jnp.where(ok_n,
+                           jnp.exp(jnp.minimum(hT[0:1], 30.0)) * dt, 0.0)
+            sd = jnp.minimum(sd, 80.0)
+            w1b = w1t_ref[:].astype(jnp.bfloat16)
+            a = jnp.maximum(
+                jnp.dot(w1b[:, 0:FEAT], sh_n.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(w1b[:, FEAT:], hT.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32),
+                0.0).astype(jnp.bfloat16)
+            a = jnp.maximum(jnp.dot(w2t_ref[:].astype(jnp.bfloat16), a,
+                                    preferred_element_type=jnp.float32),
+                            0.0).astype(jnp.bfloat16)
+            rgbT = jax.nn.sigmoid(
+                jnp.dot(w3t_ref[:].astype(jnp.bfloat16), a,
+                        preferred_element_type=jnp.float32))
+            run = jnp.zeros((1, TPX), jnp.float32)
+            rgbw = jnp.zeros((3, TPX), jnp.float32)
+            depw = jnp.zeros((1, TPX), jnp.float32)
+            for si in range(S):
+                sl = slice(si * TPX, (si + 1) * TPX)
+                sd_si = sd[:, sl]
+                w_si = jnp.exp(-run) * (1.0 - jnp.exp(-sd_si))
+                rgbw = rgbw + w_si * rgbT[:, sl]
+                depw = depw + w_si * ts[:, sl]
+                run = run + sd_si
+            tau_c = run
+            T_bef = jnp.where(live, jnp.exp(-tau_tot), 0.0)
+            upd_tau = upd_tau + jnp.where(live, tau_c, 0.0)
+            upd_rgb = upd_rgb + T_bef * rgbw
+            upd_dep = upd_dep + T_bef * depw
+            upd_cnt = upd_cnt + (hit & live).astype(jnp.float32)
+            tau_tot = tau_tot + jnp.where(live, tau_c, 0.0)
+        outT_ref[0:1, :] += upd_tau
+        outT_ref[1:4, :] += upd_rgb
+        outT_ref[4:5, :] += upd_dep
+        outT_ref[5:6, :] += upd_cnt
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S", "dt", "tau_max", "P", "Bk", "interpret"))
+def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
+                         wt, wl, wn, wf, *, S: int, dt: float,
+                         tau_max: float, P: int = 16, Bk: int = 8,
+                         init=None, interpret: bool = False):
+    """Worklist-grid transposed entry (see _kernel_wl).
+
+    pool_blk/meta: the (T*Lp) padded pairs tables (any layout — wl rows
+        address them absolutely; each wl must be P-aligned).
+    wt/wl/wn/wf: (Ns,) int32 worklist — tile id, first pairs row, live
+        slots (<= P; 0 = pad step), first-group-of-tile flag.  Steps of
+        one tile must be consecutive; pad steps must repeat the last
+        real wt.
+    init: (T*TPX, 8) accumulator carry-in (None = zeros).  Output blocks
+        of tiles NOT in the worklist are UNDEFINED — callers must select
+        against `init` using their own tile mask.
+    """
+    T = rays.shape[0] // TPX
+    Ns = wt.shape[0]
+    vox = Bk * Bk * Bk
+    raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
+    if init is None:
+        initT = jnp.zeros((T * 8, TPX), jnp.float32)
+    else:
+        initT = init.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
+    metaP = meta.reshape(-1, 1, 8)
+    N = S * TPX
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (vox, N), 0)
+    bitw = jnp.stack([jnp.broadcast_to(
+        ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
+         ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
+    slab_specs = [
+        pl.BlockSpec((1, ROWW, vox),
+                     functools.partial(
+                         lambda j, wt_, wl_, wn_, wf_, pb, k=0:
+                         (pb[wl_[j] + k], 0, 0), k=k))
+        for k in range(P)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(Ns,),
+        in_specs=[
+            pl.BlockSpec((P, 1, 8),
+                         lambda j, wt_, wl_, wn_, wf_, pb:
+                         (wl_[j] // P, 0, 0)),
+            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+                         (wt_[j], 0)),
+            pl.BlockSpec((FEAT, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+                         (wt_[j], 0)),
+            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+                         (wt_[j], 0)),
+            *slab_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+                               (wt_[j], 0)),
+    )
+    kern = functools.partial(_kernel_wl, S=S, dt=dt, tau_max=tau_max,
+                             P=P, Bk=Bk)
+    outT = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * 8, TPX), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Ns * P * S * TPX * (vox * ROWW + 32 * 64
+                                          + 64 * 64 + 64 * 3
+                                          + ROWW * FEAT),
+            bytes_accessed=Ns * P * vox * ROWW * pool3T.dtype.itemsize,
+            transcendentals=Ns * P * S * TPX * 4),
+    )(wt.astype(jnp.int32), wl.astype(jnp.int32), wn.astype(jnp.int32),
+      wf.astype(jnp.int32), pool_blk, metaP, raysT, shT, initT,
+      *([pool3T] * P), rowv, bitw, w1.T, w2.T, w3.T)
+    return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
+
+
 def _kernel_rgba(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
                  initT_ref, slabT_ref, rowv_ref, bitw4_ref, outT_ref, *,
                  S: int, dt: float, inv2s: float, V: int, tau_max: float,
@@ -816,16 +1066,17 @@ def _kernel_rgba(pb_ref, lb_ref, ns_ref, tid_ref, metaT_ref, raysT_ref,
         ts = lane_tile(t1) + (n_s + 0.5) * dt
         o_n = lane_tile(o)
         du_n = lane_tile(du)
+        # brick-local voxel coords from the meta AABB (see _kernel)
         fBk = float(Bk)
         lid = jnp.zeros((1, N), jnp.float32)
         frs = []
         for k in range(3):
-            pos = jnp.clip((o_n[k:k + 1] + ts * du_n[k:k + 1]) * inv2s
-                           + 0.5, 0.0, 1.0 - 1e-6) * V
-            v0 = jnp.floor(pos)
-            frs.append(pos - v0)
-            lid = lid * fBk + jnp.clip(
-                v0 - jnp.floor(v0 * (1.0 / fBk)) * fBk, 0.0, fBk - 1.0)
+            u = (o_n[k:k + 1] + ts * du_n[k:k + 1] - m[0:1, k:k + 1]) \
+                * (fBk / (m[0:1, k + 3:k + 4] - m[0:1, k:k + 1]))
+            u = jnp.clip(u, 0.0, fBk - 1e-3)
+            v0 = jnp.floor(u)
+            frs.append(u - v0)
+            lid = lid * fBk + v0
         lid_i = lid.astype(jnp.int32)
 
         ohT = jnp.where(ok_n & (rowv_ref[:] == lid_i),
@@ -981,12 +1232,12 @@ def brick_field_rgba_reference(pool_blk, meta, rays, poolRGBA, *, S, dt,
                 s_ok = hit & (n_s <= n1)
                 ts = t1 + (n_s + 0.5) * dt
                 xyz = o + ts[:, None] * du
-                pos = np.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-                v0 = np.floor(pos)
-                frac = pos - v0
-                loc = np.clip(v0 - np.floor(v0 / Bk) * Bk, 0.0, Bk - 1.0)
-                lid = ((loc[:, 0] * Bk + loc[:, 1]) * Bk
-                       + loc[:, 2]).astype(np.int64)
+                u = np.clip((xyz - m[0:3][None]) * Bk
+                            / (m[3:6] - m[0:3])[None], 0.0, Bk - 1e-3)
+                v0 = np.floor(u)
+                frac = u - v0
+                lid = ((v0[:, 0] * Bk + v0[:, 1]) * Bk
+                       + v0[:, 2]).astype(np.int64)
                 rows = slabT[:, lid].T.reshape(TPX, 8, 4)    # (TPX, 8, 4)
                 w8 = np.ones((TPX, 8))
                 for k in range(3):
@@ -1072,13 +1323,12 @@ def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
                 s_ok = hit & (n_s <= n1)
                 ts = t1 + (n_s + 0.5) * dt
                 xyz = o + ts[:, None] * du
-                pos = np.clip(xyz * inv2s + 0.5, 0.0, 1.0 - 1e-6) * V
-                v0 = np.floor(pos)
-                frac = pos - v0
-                loc = np.clip(v0 - np.floor(v0 / Bk) * Bk,
-                              0.0, Bk - 1.0)
-                lid = ((loc[:, 0] * Bk + loc[:, 1]) * Bk
-                       + loc[:, 2]).astype(np.int64)
+                u = np.clip((xyz - m[0:3][None]) * Bk
+                            / (m[3:6] - m[0:3])[None], 0.0, Bk - 1e-3)
+                v0 = np.floor(u)
+                frac = u - v0
+                lid = ((v0[:, 0] * Bk + v0[:, 1]) * Bk
+                       + v0[:, 2]).astype(np.int64)
                 rows = slab[lid].reshape(TPX, 8, FEAT)
                 w8 = np.ones((TPX, 8))
                 for k in range(3):
@@ -1107,7 +1357,11 @@ def brick_field_tiles_reference(pool_blk, meta, rays, sh, pool3, w1,
 def window_span(max_samples: int, block: int, voxel_res: int,
                 scale: float) -> int:
     """Longest lattice window inside one brick (matches
-    models/render_brick.render_brick's S rule)."""
+    models/render_brick.render_brick's S rule).
+
+    For MIXED-resolution bakes (models/baked_mixed.py) pass the COARSEST
+    level's voxel_res: S must cover the widest brick's diagonal, and a
+    too-small S silently truncates coarse-brick windows."""
     s = min(0.5, scale)
     vox_w = 2.0 * s / voxel_res
     dt = math.sqrt(3.0) / max_samples

@@ -510,3 +510,49 @@ def test_exact_cull_banded_with_exact_drain(scene):
     assert int(ex["pairs_undrained"]) == 0
     np.testing.assert_allclose(np.asarray(ex["rgb"]),
                                np.asarray(flat["rgb"]), atol=1e-5)
+
+
+def test_worklist_frame_matches_segmented(scene):
+    """The worklist grid (round 5: only real (tile, P-group) work items
+    are sequenced) must reproduce the segmented tp frame EXACTLY — same
+    composite order, same between-segment live gating, same drain."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64, exact_cull=16, pbatch=2,
+              drain_tiles=4, drain_L=64, drain_xc=32)
+    seg = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="tp",
+                           segment_slots=8, **kw)
+    wl = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="wl",
+                          segment_slots=8, **kw)
+    np.testing.assert_allclose(np.asarray(wl["rgb"]),
+                               np.asarray(seg["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wl["opacity"]),
+                               np.asarray(seg["opacity"]), atol=1e-5)
+    assert int(wl["pairs_undrained"]) == int(seg["pairs_undrained"]) == 0
+    # the worklist can only sequence fewer-or-equal real slots
+    assert int(wl["dma_slots"]) <= int(seg["dma_slots"])
+
+
+def test_worklist_cap_overflow_drains(scene):
+    """Groups beyond the static wl_cap budget must re-render exactly
+    through the drain (or be counted undrained) — never silently drop."""
+    cfg, bcfg, baked = scene
+    ds = SyntheticDataset(split="test", n_images=1, img_wh=(16, 16))
+    o, d = get_rays(jnp.asarray(ds.directions), jnp.asarray(ds.poses[0]))
+    kw = dict(bcfg=bcfg, max_samples=64, T_threshold=1e-2, macro_tiles=0,
+              interpret=True, L=64, exact_cull=16, pbatch=2)
+    ample = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="tp",
+                             bands=(), drain_tiles=4, drain_L=64,
+                             drain_xc=32, **kw)
+    # wl_cap=1: ~one group per chunk — nearly everything must drain
+    tight = render_brick_mxu(baked, cfg, o, d, 16, 16, kernel="wl",
+                             segment_slots=8, wl_cap=1, drain_tiles=4,
+                             drain_L=64, drain_xc=32, **kw)
+    # exactness restored by the drain wherever it fits; the rest counted
+    if int(tight["pairs_undrained"]) == 0:
+        np.testing.assert_allclose(np.asarray(tight["rgb"]),
+                                   np.asarray(ample["rgb"]), atol=1e-5)
+    else:
+        assert int(tight["pairs_undrained"]) > 0

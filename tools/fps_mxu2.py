@@ -277,6 +277,31 @@ VARIANTS = {
     "tp4_nodrain": dict(kernel="tp", pbatch=4, drain_tiles=0),
     "tp4_L96": dict(kernel="tp", pbatch=4, L=96),
     "tp4_flat": dict(kernel="tp", pbatch=4, bands=()),
+    # round 5: WORKLIST grid — only real (tile, P-group) work items are
+    # sequenced (the dense grid pays ~2.7 us/step for ~60k steps of
+    # which most are dead padding; tools/profile_frame.py trace).
+    "wl16xc96_v256": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                          voxel_res=256, max_samples=256, L=96,
+                          exact_cull=96, segment_slots=32,
+                          drain_tiles=32, drain_L=128, drain_xc=96),
+    "wl8xc96_v256": dict(kernel="wl", pbatch=8, pool_dtype="bfloat16",
+                         voxel_res=256, max_samples=256, L=96,
+                         exact_cull=96, segment_slots=32,
+                         drain_tiles=32, drain_L=128, drain_xc=96),
+    "wl16seg96_v256": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                           voxel_res=256, max_samples=256, L=96,
+                           exact_cull=96, segment_slots=96,
+                           drain_tiles=32, drain_L=128, drain_xc=96),
+    "wl16xc96_v256_T3": dict(kernel="wl", pbatch=16,
+                             pool_dtype="bfloat16", voxel_res=256,
+                             max_samples=256, L=96, exact_cull=96,
+                             segment_slots=32, drain_tiles=32,
+                             drain_L=128, drain_xc=96,
+                             T_threshold=1e-3),
+    "wl16xc96_v512": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                          voxel_res=512, max_samples=256, L=192,
+                          exact_cull=96, segment_slots=32,
+                          drain_tiles=64, drain_L=256, drain_xc=256),
 }
 
 
@@ -365,6 +390,7 @@ def main():
         baked, bcfg, geo = get_baked(v.pop("block", 8),
                                      v.pop("pool_dtype", "float8_e4m3fn"),
                                      v.pop("voxel_res", 512))
+        tthr = v.pop("T_threshold", 1e-2)
 
         if v.get("kernel") == "rgba":
             from google_nerf_tpu.models.baked_rgba import \
@@ -374,11 +400,11 @@ def main():
             def frame():
                 return render_brick_mxu_rgba(
                     baked, cfg.model, o, d, 800, 800, bcfg=bcfg,
-                    T_threshold=1e-2, geometry=geo, **vr)
+                    T_threshold=tthr, geometry=geo, **vr)
         else:
             def frame():
                 return render_brick_mxu(baked, cfg.model, o, d, 800, 800,
-                                        bcfg=bcfg, T_threshold=1e-2,
+                                        bcfg=bcfg, T_threshold=tthr,
                                         geometry=geo, **v)
         try:
             t0 = time.time()

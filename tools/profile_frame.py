@@ -59,7 +59,9 @@ def main():
              exact_cull=int(os.environ.get("PF_XC", 48)),
              max_samples=256, chunk_tiles=512,
              drain_tiles=int(os.environ.get("PF_D", 256)),
-             drain_L=256, drain_xc=96, kernel="tp", pbatch=8)
+             drain_L=int(os.environ.get("PF_DL", 256)),
+             drain_xc=int(os.environ.get("PF_DXC", 96)), kernel="tp",
+             pbatch=int(os.environ.get("PF_P", 8)))
     seg = int(os.environ.get("PF_SEG", 8))
     if seg:
         v["segment_slots"], v["bands"] = seg, ()
