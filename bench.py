@@ -263,10 +263,14 @@ def main():
         # exact per-ray hit filter over wide lists, P=8, bf16 slabs,
         # ms256 lattice, segmented-l dead-tile DMA elision, exact-culled
         # drain (tools/fps_mxu2.py r4 sweeps, DESIGN_NOTES R4.2/R4.4)
+        # drain_xc=256 (was 96): the r4 drain capped its exact-culled
+        # lists at 96 slots, leaving 154 pairs undrained on deep tiles
+        # (BENCH_r04) — the full-resolution stage should be exact by
+        # construction (VERDICT r4 item 5)
         mxu_kw = dict(L=192, exact_cull=48, kernel="tp", pbatch=8,
                       bands=(), segment_slots=8,
                       drain_tiles=256, drain_L=256,
-                      drain_xc=96, max_samples=min(ms_render, 256),
+                      drain_xc=256, max_samples=min(ms_render, 256),
                       T_threshold=1e-2)
 
         def frame():

@@ -84,25 +84,34 @@ def _exact_hit_filter(bidx, brick_lo, brick_hi, o3, du3, t1r, t2r, dt,
     return bidx2, nhits
 
 
-@partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
-                                   "T_threshold", "macro_tiles", "macro_L",
-                                   "kernel", "bands", "drain_tiles",
-                                   "drain_L", "pbatch",
-                                   "segment_slots", "exact_cull",
-                                   "drain_xc", "wl_cap", "interpret"))
-# bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
-def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
-               cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
-               T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
-               kernel: str = "n", bands: tuple = (),
-               drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
-               segment_slots: int = 0,
-               exact_cull: int = 0, drain_xc: int = 0, wl_cap: int = 0,
-               interpret: bool = False):
-    """Render one tile-contiguous chunk of rays via the MXU kernel."""
+def _pack_lists(bx, brick_lo, brick_hi):
+    """Depth-sorted (Tb, Lx) lists -> (pool_blk, meta, nvalid).
+    Pad slots are a suffix after the depth re-key: fill them with the
+    tile's LAST valid block id so the Mosaic pipeline sees an unchanged
+    block index and SKIPS the slab DMA — measured tile lists are ~5%
+    occupied at 800^2, so pad-slot DMAs dominate traffic if they
+    alternate with real blocks."""
+    sf = jnp.maximum(bx, 0)
+    nv = jnp.sum(bx >= 0, axis=1).astype(jnp.int32)
+    lastv = sf[jnp.arange(sf.shape[0]), jnp.maximum(nv - 1, 0)]
+    pb = jnp.where(bx >= 0, sf,
+                   lastv[:, None]).reshape(-1).astype(jnp.int32)
+    mt_ = jnp.concatenate(
+        [brick_lo[sf], brick_hi[sf],
+         jnp.zeros(sf.shape + (2,), jnp.float32)],
+        axis=-1).reshape(-1, 8)
+    return pb, mt_, nv
+
+
+def _chunk_frontend(brick_lo, brick_hi, rays_o, rays_du, *, cfg, bcfg,
+                    L, max_samples, macro_tiles, macro_L, exact_cull,
+                    kernel, pbatch):
+    """Cull + exact filter + list build for one tile-contiguous ray
+    chunk — everything before any kernel runs.  Returns a dict of
+    per-chunk arrays (shared by the per-chunk renderer `_mxu_tiles` and
+    the global worklist frame `_wl_frame`)."""
     R = rays_o.shape[0]
     T = R // 64
-    s = baked_extent(cfg)
     dt = SQRT3 / max_samples
 
     hits = ray_aabb_intersect(rays_o, rays_du, jnp.zeros(3),
@@ -130,7 +139,6 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                                   tan_t, t_far, L=L)
         macro_over = jnp.zeros((T,), bool)
     Lp = bidx.shape[1]
-    L_orig = Lp     # pre-compaction (wide cull) list capacity
 
     # re-key the selected lists to PLAIN front-to-back center depth: the
     # selection key's relevance tiers would misorder the in-kernel
@@ -141,7 +149,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     key = jnp.where(bidx >= 0, t_c, jnp.inf)
     _, bidx = jax.lax.sort((key, bidx), dimension=1, num_keys=1)
 
-    exact_over = jnp.zeros((T,), bool)
+    nhits = jnp.zeros((T,), jnp.int32)
     if exact_cull > 0:
         # ---- EXACT per-ray hit filter (round 4): the cone cull's
         # conservative margin keeps bricks NO ray actually hits — they
@@ -157,32 +165,129 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
             bidx, brick_lo, brick_hi, rays_o.reshape(T, 64, 3),
             rays_du.reshape(T, 64, 3), t1.reshape(T, 64),
             t2.reshape(T, 64), dt, Le)
-        exact_over = nhits > Le
-        Lp = Le
 
-    def pack_lists(bx):
-        """Depth-sorted (Tb, Lx) lists -> (pool_blk, meta, nvalid).
-        Pad slots are a suffix after the depth re-key: fill them with the
-        tile's LAST valid block id so the Mosaic pipeline sees an
-        unchanged block index and SKIPS the slab DMA — measured tile
-        lists are ~5% occupied at 800^2, so pad-slot DMAs dominate
-        traffic if they alternate with real blocks."""
-        sf = jnp.maximum(bx, 0)
-        nv = jnp.sum(bx >= 0, axis=1).astype(jnp.int32)
-        lastv = sf[jnp.arange(sf.shape[0]), jnp.maximum(nv - 1, 0)]
-        pb = jnp.where(bx >= 0, sf,
-                       lastv[:, None]).reshape(-1).astype(jnp.int32)
-        mt_ = jnp.concatenate(
-            [brick_lo[sf], brick_hi[sf],
-             jnp.zeros(sf.shape + (2,), jnp.float32)],
-            axis=-1).reshape(-1, 8)
-        return pb, mt_, nv
-
-    pool_blk, meta, nvalid = pack_lists(bidx)
-
+    pool_blk, meta, nvalid = _pack_lists(bidx, brick_lo, brick_hi)
     rays8 = jnp.concatenate(
         [rays_o, rays_du, t1[:, None], t2[:, None]], axis=1)
     sh = sh_encode_deg4(rays_du)
+    return dict(pool_blk=pool_blk, meta=meta, nvalid=nvalid,
+                nhits=nhits, t_rel=t_rel, macro_over=macro_over,
+                rays8=rays8, sh=sh, o_t=o_t, axis_t=axis_t, tan_t=tan_t,
+                t_far=t_far, t1=t1, t2=t2)
+
+
+def frontend_caps(L, macro_tiles, macro_L, exact_cull, kernel, pbatch,
+                  n_bricks):
+    """Static (Lp, L_orig) the frontend's lists will have."""
+    L = min(L, n_bricks)
+    Lp = min(L, macro_L) if (macro_tiles > 1 and macro_L > 0) else L
+    L_orig = Lp
+    if exact_cull > 0:
+        Le = min(exact_cull, Lp)
+        if kernel in ("tp", "wl"):
+            Le = max(pbatch, (Le // pbatch) * pbatch)
+        Lp = Le
+    return Lp, L_orig
+
+
+def _drain_pass(out, fe, need, miss_sz, field, fargs, fkw, brick_lo,
+                brick_hi, *, D, drain_L, drain_xc, exact_cull, kernel,
+                pbatch, dt):
+    """Exact overflow drain: re-render up to D needy tiles from scratch
+    through compact drain_L-slot extended lists (VERDICT r3: no silent
+    content drops).  Shared by the per-chunk and global-worklist paths;
+    all tile-indexed arrays come from the frontend dict `fe`."""
+    T = fe["nvalid"].shape[0]
+    o_t, axis_t, tan_t, t_far = (fe["o_t"], fe["axis_t"], fe["tan_t"],
+                                 fe["t_far"])
+    t_rel = fe["t_rel"]
+
+    def run_drain(out):
+        score = jnp.where(need, jnp.maximum(t_rel, 1), 0)
+        sc, dtid = jax.lax.top_k(score, D)
+        dmask = sc > 0                                      # (D,)
+        bidx_e, rel_e = _tile_lists(
+            brick_lo, brick_hi, o_t[dtid], axis_t[dtid], tan_t[dtid],
+            t_far[dtid], L=drain_L)
+        # same depth re-key as the main lists
+        safe_e = jnp.maximum(bidx_e, 0)
+        c_e = 0.5 * (brick_lo + brick_hi)[safe_e]
+        t_ce = jnp.sum((c_e - o_t[dtid][:, None, :])
+                       * axis_t[dtid][:, None, :], -1)
+        key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
+        _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1,
+                                 num_keys=1)
+        Lcd = drain_L
+        over_d = jnp.zeros((D,), jnp.int32)
+        if exact_cull > 0 and drain_xc > 0:
+            # exact-filter the drain lists too: the drain's wide rebuild
+            # is phantom-inflated like the main cull, and a 256-slot
+            # static drain grid was measured at up to 6x the main
+            # pass's steps (DESIGN_NOTES R4.2)
+            Lcd = min(drain_xc, drain_L)
+            if kernel in ("tp", "wl"):
+                Lcd = max(pbatch, (Lcd // pbatch) * pbatch)
+            o3a = fe["rays8"][:, 0:3].reshape(T, 64, 3)
+            du3a = fe["rays8"][:, 3:6].reshape(T, 64, 3)
+            bidx_e, nh_e = _exact_hit_filter(
+                bidx_e, brick_lo, brick_hi, o3a[dtid], du3a[dtid],
+                fe["t1"].reshape(T, 64)[dtid],
+                fe["t2"].reshape(T, 64)[dtid], dt, Lcd)
+            over_d = jnp.maximum(nh_e - Lcd, 0)
+        pb_e, meta_e, nv_e = _pack_lists(bidx_e, brick_lo, brick_hi)
+        out_d = field(pb_e, meta_e, *fargs, tid=dtid,
+                      lbase=jnp.arange(D, dtype=jnp.int32) * Lcd,
+                      nslots=jnp.where(dmask, nv_e, 0), Lcall=Lcd,
+                      **fkw)
+        dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)    # (T,)
+        out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
+        # exactness accounting: tiles needing drain beyond D, and
+        # drained tiles whose true list exceeded the drain capacity
+        missed = need & ~dm_t
+        dmiss = jnp.maximum(rel_e - drain_L, 0) + over_d
+        und = (jnp.sum(jnp.where(missed, miss_sz, 0))
+               + jnp.sum(jnp.where(dmask, dmiss, 0))).astype(jnp.int32)
+        tr = (missed.sum()
+              + jnp.sum(dmask & (dmiss > 0))).astype(jnp.int32)
+        dsl = jnp.sum(jnp.where(dmask, nv_e, 0)).astype(jnp.int32)
+        return out, und, tr, dsl
+
+    # frames whose lists all fit their capacity skip the drain's
+    # selection AND kernel call at runtime (lax.cond)
+    return jax.lax.cond(
+        jnp.any(need), run_drain,
+        lambda o: (o, jnp.int32(0), jnp.int32(0), jnp.int32(0)), out)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bcfg", "L", "max_samples",
+                                   "T_threshold", "macro_tiles", "macro_L",
+                                   "kernel", "bands", "drain_tiles",
+                                   "drain_L", "pbatch",
+                                   "segment_slots", "exact_cull",
+                                   "drain_xc", "wl_cap", "interpret"))
+# bcfg is static: bcfg.block selects the kernels' slab geometry (Bk)
+def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
+               cfg: NGPConfig, bcfg: BakedConfig, L: int, max_samples: int,
+               T_threshold: float, macro_tiles: int = 0, macro_L: int = 0,
+               kernel: str = "n", bands: tuple = (),
+               drain_tiles: int = 0, drain_L: int = 256, pbatch: int = 4,
+               segment_slots: int = 0,
+               exact_cull: int = 0, drain_xc: int = 0, wl_cap: int = 0,
+               interpret: bool = False):
+    """Render one tile-contiguous chunk of rays via the MXU kernel."""
+    T = rays_o.shape[0] // 64
+    s = baked_extent(cfg)
+    dt = SQRT3 / max_samples
+    fe = _chunk_frontend(brick_lo, brick_hi, rays_o, rays_du, cfg=cfg,
+                         bcfg=bcfg, L=L, max_samples=max_samples,
+                         macro_tiles=macro_tiles, macro_L=macro_L,
+                         exact_cull=exact_cull, kernel=kernel,
+                         pbatch=pbatch)
+    pool_blk, meta, nvalid = fe["pool_blk"], fe["meta"], fe["nvalid"]
+    nhits, t_rel, macro_over = fe["nhits"], fe["t_rel"], fe["macro_over"]
+    rays8, sh = fe["rays8"], fe["sh"]
+    Lp, L_orig = frontend_caps(L, macro_tiles, macro_L, exact_cull,
+                               kernel, pbatch, int(brick_lo.shape[0]))
 
     if kernel in ("tp", "wl"):
         # "wl" uses the worklist kernel for the main pass (below) and
@@ -204,70 +309,7 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
         tau_max=float(-np.log(T_threshold)), interpret=interpret)
     fargs = (rays8, sh, pool3, rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
     dma_slots = jnp.sum(nvalid)          # default: every real slot DMAs
-    wl_dropped_t = jnp.zeros((T,), jnp.int32)
-    if kernel == "wl":
-        # ---- WORKLIST scheduling (round 5): the dense (tile, slot)
-        # grid costs ~2.7 us per grid STEP whether or not the step has
-        # work (tools/profile_frame.py), and exact-culled tiles average
-        # ~5 true hits against a static 96-slot capacity — so the grid
-        # is rebuilt per segment as a compact tile-major list of REAL
-        # (tile, P-slot group) work items (ops/pallas/brick_field.py
-        # _kernel_wl).  Background tiles and terminated tiles cost
-        # ZERO steps.  Groups beyond the static `wl_cap` budget are
-        # counted and drained exactly (same path as capacity cuts). ----
-        Pw = pbatch
-        segL = max(Pw, ((segment_slots or Lp) // Pw) * Pw)
-        while Lp % segL and segL > Pw:
-            segL -= Pw
-        assert Lp % segL == 0, (Lp, segL, Pw)
-        Gmax = segL // Pw
-        cap_wl = wl_cap if wl_cap > 0 else T
-        tau_max_v = float(-np.log(T_threshold))
-        out = jnp.zeros((T * 64, 8), jnp.float32)
-        dma_slots = jnp.int32(0)
-        gi = jax.lax.broadcasted_iota(jnp.int32, (T, Gmax), 1)
-        stream = jnp.arange(T * Gmax, dtype=jnp.int32)
-        for si in range(Lp // segL):
-            s0 = si * segL
-            ns_rem = jnp.clip(nvalid - s0, 0, segL)
-            if si == 0:
-                live_t = ns_rem > 0
-            else:
-                tau_t = out[:, 0].reshape(T, 64)
-                live_t = jnp.any(tau_t < tau_max_v, axis=1) & (ns_rem > 0)
-            ns_eff = jnp.where(live_t, ns_rem, 0)
-            g_t = (ns_eff + Pw - 1) // Pw                   # (T,)
-            validg = (gi < g_t[:, None]).reshape(-1)
-            keyf = jnp.where(validg, stream, T * Gmax)
-            sk, src = jax.lax.sort((keyf, stream), num_keys=1)
-            src = jax.lax.slice_in_dim(src, 0, cap_wl)
-            slotv = jax.lax.slice_in_dim(sk, 0, cap_wl) < T * Gmax
-            wt = src // Gmax
-            wg = src - wt * Gmax
-            nreal = jnp.sum(slotv)
-            last_wt = jnp.take(wt, jnp.clip(nreal - 1, 0, cap_wl - 1))
-            wt = jnp.where(slotv, wt, last_wt)
-            wg = jnp.where(slotv, wg, 0)
-            wlr = wt * Lp + s0 + wg * Pw
-            wn = jnp.where(slotv,
-                           jnp.clip(jnp.take(ns_eff, wt) - wg * Pw,
-                                    0, Pw), 0)
-            wfl = (slotv & (wg == 0)).astype(jnp.int32)
-            out_k = brick_field_tiles_wl(
-                pool_blk, meta, rays8, sh, pool3,
-                rgb_mlp[0], rgb_mlp[1], rgb_mlp[2],
-                wt.astype(jnp.int32), wlr.astype(jnp.int32), wn, wfl,
-                S=fkw["S"], dt=dt, tau_max=tau_max_v, P=Pw,
-                Bk=bcfg.block, init=out, interpret=interpret)
-            # groups actually served under the cap (tile-major prefix)
-            served_g = jnp.clip(cap_wl - (jnp.cumsum(g_t) - g_t), 0, g_t)
-            visited = served_g > 0
-            out = jnp.where(jnp.repeat(visited, 64)[:, None], out_k, out)
-            served = jnp.minimum(ns_eff, served_g * Pw)
-            dma_slots += jnp.sum(served)
-            wl_dropped_t = wl_dropped_t + (ns_eff - served)
-        cap = jnp.full((T,), Lp, jnp.int32)
-    elif segment_slots > 0 and kernel in ("tp", "rgba") and not bands:
+    if segment_slots > 0 and kernel in ("tp", "rgba") and not bands:
         # ---- segmented-l rendering with DEAD-TILE DMA elision ----
         # The kernel-cost probe (R4) measured the frame wall as slab-DMA
         # issue cost (~2.4 us/slot fp8-64KB) with the compute body fully
@@ -366,68 +408,12 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
     else:
         need = (t_rel > cap) | macro_over
         miss_sz = jnp.maximum(t_rel - cap, 0)
-    # worklist-budget overflow: groups beyond wl_cap were not rendered —
-    # their tiles re-render exactly through the drain
-    need = need | (wl_dropped_t > 0)
-    miss_sz = miss_sz + wl_dropped_t
     if drain_tiles > 0:
-        D = min(drain_tiles, T)
-
-        def run_drain(out):
-            score = jnp.where(need, jnp.maximum(t_rel, 1), 0)
-            sc, dtid = jax.lax.top_k(score, D)
-            dmask = sc > 0                                      # (D,)
-            bidx_e, rel_e = _tile_lists(
-                brick_lo, brick_hi, o_t[dtid], axis_t[dtid], tan_t[dtid],
-                t_far[dtid], L=drain_L)
-            # same depth re-key as the main lists
-            safe_e = jnp.maximum(bidx_e, 0)
-            c_e = 0.5 * (brick_lo + brick_hi)[safe_e]
-            t_ce = jnp.sum((c_e - o_t[dtid][:, None, :])
-                           * axis_t[dtid][:, None, :], -1)
-            key_e = jnp.where(bidx_e >= 0, t_ce, jnp.inf)
-            _, bidx_e = jax.lax.sort((key_e, bidx_e), dimension=1,
-                                     num_keys=1)
-            Lcd = drain_L
-            over_d = jnp.zeros((D,), jnp.int32)
-            if exact_cull > 0 and drain_xc > 0:
-                # exact-filter the drain lists too: the drain's wide
-                # rebuild is phantom-inflated like the main cull, and a
-                # 256-slot static drain grid was measured at up to 6x
-                # the main pass's steps (DESIGN_NOTES R4.2)
-                Lcd = min(drain_xc, drain_L)
-                if kernel in ("tp", "wl"):
-                    Lcd = max(pbatch, (Lcd // pbatch) * pbatch)
-                o3a = rays_o.reshape(T, 64, 3)
-                du3a = rays_du.reshape(T, 64, 3)
-                bidx_e, nh_e = _exact_hit_filter(
-                    bidx_e, brick_lo, brick_hi, o3a[dtid], du3a[dtid],
-                    t1.reshape(T, 64)[dtid], t2.reshape(T, 64)[dtid],
-                    dt, Lcd)
-                over_d = jnp.maximum(nh_e - Lcd, 0)
-            pb_e, meta_e, nv_e = pack_lists(bidx_e)
-            out_d = field(pb_e, meta_e, *fargs, tid=dtid,
-                          lbase=jnp.arange(D, dtype=jnp.int32) * Lcd,
-                          nslots=jnp.where(dmask, nv_e, 0), Lcall=Lcd,
-                          **fkw)
-            dm_t = jnp.zeros((T,), bool).at[dtid].set(dmask)    # (T,)
-            out = jnp.where(jnp.repeat(dm_t, 64)[:, None], out_d, out)
-            # exactness accounting: tiles needing drain beyond D, and
-            # drained tiles whose true list exceeded the drain capacity
-            missed = need & ~dm_t
-            dmiss = jnp.maximum(rel_e - drain_L, 0) + over_d
-            und = (jnp.sum(jnp.where(missed, miss_sz, 0))
-                   + jnp.sum(jnp.where(dmask, dmiss, 0))).astype(jnp.int32)
-            tr = (missed.sum()
-                  + jnp.sum(dmask & (dmiss > 0))).astype(jnp.int32)
-            dsl = jnp.sum(jnp.where(dmask, nv_e, 0)).astype(jnp.int32)
-            return out, und, tr, dsl
-
-        # frames whose lists all fit their capacity skip the drain's
-        # selection AND kernel call at runtime (lax.cond)
-        out, undrained, trunc, drain_slots = jax.lax.cond(
-            jnp.any(need), run_drain,
-            lambda o: (o, jnp.int32(0), jnp.int32(0), jnp.int32(0)), out)
+        out, undrained, trunc, drain_slots = _drain_pass(
+            out, fe, need, miss_sz, field, fargs, fkw, brick_lo,
+            brick_hi, D=min(drain_tiles, T), drain_L=drain_L,
+            drain_xc=drain_xc, exact_cull=exact_cull, kernel=kernel,
+            pbatch=pbatch, dt=dt)
         dma_slots = dma_slots + drain_slots
     else:
         undrained = jnp.sum(jnp.where(need, miss_sz, 0)) \
@@ -441,6 +427,151 @@ def _mxu_tiles(pool3, rgb_mlp, brick_lo, brick_hi, rays_o, rays_du, *,
                 pairs_undrained=undrained,
                 dma_slots=dma_slots.astype(jnp.int32),
                 trunc_tiles=trunc)
+
+
+@partial(jax.jit, static_argnames=(
+    "cfg", "bcfg", "L", "max_samples", "T_threshold", "macro_tiles",
+    "macro_L", "bands", "drain_tiles", "drain_L", "pbatch",
+    "segment_slots", "exact_cull", "drain_xc", "wl_cap", "interpret",
+    "W", "H", "Wp", "Hp", "exp_step_factor", "kernel"))
+def _wl_frame(pool3, rgb_mlp, lo, hi, ro_ch, rd_ch, inv, *, W, H, Wp,
+              Hp, exp_step_factor, cfg, bcfg, L, max_samples,
+              T_threshold, macro_tiles, macro_L, kernel, bands,
+              drain_tiles, drain_L, pbatch, segment_slots, exact_cull,
+              drain_xc, wl_cap, interpret):
+    """GLOBAL worklist frame (round 5): the cull/filter front-end runs
+    per chunk (memory-bounded), but the kernel grid is ONE tile-major
+    worklist of real (tile, P-slot group) work items over the WHOLE
+    frame.  A per-chunk worklist needs a static per-chunk group budget
+    sized for the DENSEST chunk — measured 5-10x the mean load, and pad
+    steps still sequence (DESIGN_NOTES R5.4); globally the load
+    averages out, so the static budget tracks the frame's real group
+    count.  Segments re-check per-tile liveness between kernel calls
+    (same early-termination semantics as the segmented tp path); groups
+    beyond the budget drain exactly."""
+    n_chunks = ro_ch.shape[0]
+    cpr = ro_ch.shape[1] // 64
+    Tg = n_chunks * cpr
+    dt = SQRT3 / max_samples
+    Lp, L_orig = frontend_caps(L, macro_tiles, macro_L, exact_cull,
+                               "wl", pbatch, int(lo.shape[0]))
+
+    fe_kw = dict(cfg=cfg, bcfg=bcfg, L=L, max_samples=max_samples,
+                 macro_tiles=macro_tiles, macro_L=macro_L,
+                 exact_cull=exact_cull, kernel="wl", pbatch=pbatch)
+    fe_st = jax.lax.map(
+        lambda rc: _chunk_frontend(lo, hi, rc[0], rc[1], **fe_kw),
+        (ro_ch, rd_ch))
+    fe = {k: v.reshape((-1,) + v.shape[2:]) for k, v in fe_st.items()}
+    pool_blk, meta, nvalid = fe["pool_blk"], fe["meta"], fe["nvalid"]
+    rays8, sh = fe["rays8"], fe["sh"]
+
+    # ---- global worklist loop over list segments ----
+    Pw = pbatch
+    segL = max(Pw, ((segment_slots or Lp) // Pw) * Pw)
+    while Lp % segL and segL > Pw:
+        segL -= Pw
+    assert Lp % segL == 0, (Lp, segL, Pw)
+    Gmax = segL // Pw
+    cap_wl = min(wl_cap if wl_cap > 0 else max(Tg // 2, 1024),
+                 Tg * Gmax)
+    tau_max_v = float(-np.log(T_threshold))
+    S = window_span(max_samples, bcfg.block, bcfg.voxel_res, cfg.scale)
+    out = jnp.zeros((Tg * 64, 8), jnp.float32)
+    dma_slots = jnp.int32(0)
+    wl_dropped_t = jnp.zeros((Tg,), jnp.int32)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (Tg, Gmax), 1)
+    stream = jnp.arange(Tg * Gmax, dtype=jnp.int32)
+    for si in range(Lp // segL):
+        s0 = si * segL
+        ns_rem = jnp.clip(nvalid - s0, 0, segL)
+        if si == 0:
+            live_t = ns_rem > 0
+        else:
+            tau_t = out[:, 0].reshape(Tg, 64)
+            live_t = jnp.any(tau_t < tau_max_v, axis=1) & (ns_rem > 0)
+        ns_eff = jnp.where(live_t, ns_rem, 0)
+        g_t = (ns_eff + Pw - 1) // Pw                       # (Tg,)
+        validg = (gi < g_t[:, None]).reshape(-1)
+        keyf = jnp.where(validg, stream, Tg * Gmax)
+        sk, src = jax.lax.sort((keyf, stream), num_keys=1)
+        src = jax.lax.slice_in_dim(src, 0, cap_wl)
+        slotv = jax.lax.slice_in_dim(sk, 0, cap_wl) < Tg * Gmax
+        wt = src // Gmax
+        wg = src - wt * Gmax
+        nreal = jnp.sum(slotv)
+        last_wt = jnp.take(wt, jnp.clip(nreal - 1, 0, cap_wl - 1))
+        wt = jnp.where(slotv, wt, last_wt)
+        wg = jnp.where(slotv, wg, 0)
+        wlr = wt * Lp + s0 + wg * Pw
+        wn = jnp.where(slotv,
+                       jnp.clip(jnp.take(ns_eff, wt) - wg * Pw, 0, Pw),
+                       0)
+        wfl = (slotv & (wg == 0)).astype(jnp.int32)
+        out_k = brick_field_tiles_wl(
+            pool_blk, meta, rays8, sh, pool3,
+            rgb_mlp[0], rgb_mlp[1], rgb_mlp[2],
+            wt.astype(jnp.int32), wlr.astype(jnp.int32), wn, wfl,
+            S=S, dt=dt, tau_max=tau_max_v, P=Pw, Bk=bcfg.block,
+            init=out, interpret=interpret)
+        served_g = jnp.clip(cap_wl - (jnp.cumsum(g_t) - g_t), 0, g_t)
+        visited = served_g > 0
+        out = jnp.where(jnp.repeat(visited, 64)[:, None], out_k, out)
+        served = jnp.minimum(ns_eff, served_g * Pw)
+        dma_slots += jnp.sum(served)
+        wl_dropped_t = wl_dropped_t + (ns_eff - served)
+
+    # ---- global exactness accounting + drain ----
+    cap_t = jnp.full((Tg,), Lp, jnp.int32)
+    if exact_cull > 0:
+        need = ((fe["nhits"] > cap_t) | fe["macro_over"]
+                | (fe["t_rel"] > L_orig))
+        miss_sz = (jnp.maximum(fe["nhits"] - cap_t, 0)
+                   + jnp.maximum(fe["t_rel"] - L_orig, 0))
+    else:
+        need = (fe["t_rel"] > cap_t) | fe["macro_over"]
+        miss_sz = jnp.maximum(fe["t_rel"] - cap_t, 0)
+    need = need | (wl_dropped_t > 0)
+    miss_sz = miss_sz + wl_dropped_t
+    field = partial(brick_field_tiles_tp, P=pbatch, Bk=bcfg.block)
+    fkw = dict(S=S, dt=dt, inv2s=0.5 / baked_extent(cfg),
+               V=bcfg.voxel_res, tau_max=tau_max_v, interpret=interpret)
+    fargs = (rays8, sh, pool3, rgb_mlp[0], rgb_mlp[1], rgb_mlp[2])
+    if drain_tiles > 0:
+        out, undrained, trunc, drain_slots = _drain_pass(
+            out, fe, need, miss_sz, field, fargs, fkw, lo, hi,
+            D=min(drain_tiles, Tg), drain_L=drain_L, drain_xc=drain_xc,
+            exact_cull=exact_cull, kernel="wl", pbatch=pbatch, dt=dt)
+        dma_slots = dma_slots + drain_slots
+    else:
+        undrained = jnp.sum(jnp.where(need, miss_sz, 0)).astype(jnp.int32)
+        trunc = need.sum().astype(jnp.int32)
+
+    tau = out[:, 0]
+    cat = dict(rgb=out[:, 1:4], depth=out[:, 4],
+               opacity=jnp.clip(1.0 - jnp.exp(-tau), 0.0, 1.0),
+               pairs_rendered=out[:, 5].sum().astype(jnp.int32),
+               pairs_undrained=undrained,
+               dma_slots=dma_slots.astype(jnp.int32),
+               trunc_tiles=trunc)
+
+    def unpermute(x):
+        x = jnp.take(x[:Wp * Hp], inv, axis=0)
+        if (Wp, Hp) != (W, H):
+            x = x.reshape((Hp, Wp) + x.shape[1:])[:H, :W]
+            x = x.reshape((H * W,) + x.shape[2:])
+        return x
+
+    rgb = unpermute(cat["rgb"])
+    opacity = unpermute(cat["opacity"])
+    depth = unpermute(cat["depth"])
+    bg = 1.0 if exp_step_factor == 0.0 else 0.0
+    rgb = rgb + bg * (1.0 - opacity[:, None])
+    return dict(rgb=rgb, opacity=opacity, depth=depth,
+                trunc_tiles=cat["trunc_tiles"],
+                pairs_rendered=cat["pairs_rendered"],
+                pairs_undrained=cat["pairs_undrained"],
+                dma_slots=cat["dma_slots"])
 
 
 def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
@@ -574,9 +705,10 @@ def render_brick_mxu(baked, cfg: NGPConfig, rays_o, rays_d, W, H, *,
         pbatch=pbatch,
         segment_slots=segment_slots, exact_cull=exact_cull,
         drain_xc=drain_xc, wl_cap=wl_cap, interpret=interpret)
-    cat = _mxu_frame(pool3, baked["rgb_mlp"], lo, hi, ro_ch, rd_ch,
-                     jnp.asarray(inv), W=W, H=H, Wp=Wp, Hp=Hp,
-                     exp_step_factor=exp_step_factor, **mxu_kw)
+    frame_fn = _wl_frame if kernel == "wl" else _mxu_frame
+    cat = frame_fn(pool3, baked["rgb_mlp"], lo, hi, ro_ch, rd_ch,
+                   jnp.asarray(inv), W=W, H=H, Wp=Wp, Hp=Hp,
+                   exp_step_factor=exp_step_factor, **mxu_kw)
     return cat
 
 

@@ -302,6 +302,29 @@ VARIANTS = {
                           voxel_res=512, max_samples=256, L=192,
                           exact_cull=96, segment_slots=32,
                           drain_tiles=64, drain_L=256, drain_xc=256),
+    # global-worklist variants (one frame-wide worklist; wl_cap = groups
+    # per segment across ALL tiles)
+    "wl16g_c2k": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                      voxel_res=256, max_samples=256, L=96,
+                      exact_cull=96, segment_slots=32, wl_cap=2048,
+                      drain_tiles=256, drain_L=128, drain_xc=96),
+    "wl16g_c3k": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                      voxel_res=256, max_samples=256, L=96,
+                      exact_cull=96, segment_slots=32, wl_cap=3072,
+                      drain_tiles=128, drain_L=128, drain_xc=96),
+    "wl16g_c5k": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                      voxel_res=256, max_samples=256, L=96,
+                      exact_cull=96, segment_slots=32, wl_cap=5120,
+                      drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl16g_c3k_T3": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                         voxel_res=256, max_samples=256, L=96,
+                         exact_cull=96, segment_slots=32, wl_cap=3072,
+                         drain_tiles=128, drain_L=128, drain_xc=96,
+                         T_threshold=1e-3),
+    "wl8g_c4k": dict(kernel="wl", pbatch=8, pool_dtype="bfloat16",
+                     voxel_res=256, max_samples=256, L=96,
+                     exact_cull=96, segment_slots=32, wl_cap=4096,
+                     drain_tiles=128, drain_L=128, drain_xc=96),
 }
 
 

@@ -32,14 +32,20 @@ def main():
             # per-ray recipe at 2x/4x rays — diff the per-op table
             # against the 8k run to find the superlinear ops
             "b16k": dict(ms=512, budget=10 * 16384, batch=16384),
-            "b32k": dict(ms=512, budget=10 * 32768, batch=32768)}[name]
+            "b32k": dict(ms=512, budget=10 * 32768, batch=32768),
+            # r5 flagship candidates (bud7 + gdiv16 + block2 marcher)
+            "blk2": dict(ms=512, budget=7 * 8192, march="block2"),
+            "blk2_t15": dict(ms=512, budget=7 * 8192, march="block2",
+                             tsize=15)}[name]
     model = NGPConfig(scale=0.5, encoder="packed", grid_size=128,
+                      packed_log2_size=conf.get("tsize", 16),
                       compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(model=model, batch_size=conf.get("batch", 8192),
                       k_samples=256,
                       max_samples=conf["ms"], num_epochs=30,
                       samples_budget=conf["budget"], random_bg=True,
-                      exclude_incomplete="backfill", march="block",
+                      exclude_incomplete="backfill",
+                      march=conf.get("march", "block"),
                       grid_sample_div=16)
     ds = SyntheticDataset(split="train", n_images=40, img_wh=(256, 256),
                           style="textured")

@@ -205,6 +205,19 @@ VARIANTS = {
     "r5_p2_t14_blk2": dict(ms=512, budget=7 * 8192, gdiv=16,
                            encoder="packed2", tsize=14, march="block2"),
     "r5_head_t15": dict(ms=512, budget=7 * 8192, gdiv=16, tsize=15),
+    # blk2 flagship follow-ups: the cheaper step may move the budget
+    # knee down (encoder rows scale with budget), and k=192 shrinks the
+    # padded per-ray plan rows
+    "r5_blk2_bud6": dict(ms=512, budget=6 * 8192, gdiv=16,
+                         march="block2"),
+    "r5_blk2_bud8": dict(ms=512, budget=8 * 8192, gdiv=16,
+                         march="block2"),
+    "r5_blk2_k192": dict(ms=512, budget=7 * 8192, gdiv=16, k=192,
+                         march="block2"),
+    "r5_blk2_t15": dict(ms=512, budget=7 * 8192, gdiv=16, tsize=15,
+                        march="block2"),
+    "r5_blk2_b16k": dict(ms=512, budget=14 * 8192, gdiv=16,
+                         batch=16384, march="block2"),
 }
 
 
