@@ -772,7 +772,7 @@ def brick_field_tiles_tp(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 
 
-def _kernel_wl(wt_ref, wl_ref, wn_ref, wf_ref, pb_ref, metaP_ref,
+def _kernel_wl(wt_ref, wl_ref, wn_ref, wf_ref, ws_ref, metaP_ref,
                raysT_ref, shT_ref, initT_ref, *slab_w_out, S: int,
                dt: float, tau_max: float, P: int, Bk: int = 8):
     """WORKLIST-grid variant of _kernel_tp: grid step j renders one
@@ -795,6 +795,12 @@ def _kernel_wl(wt_ref, wl_ref, wn_ref, wf_ref, pb_ref, metaP_ref,
     happens.  Output blocks of tiles absent from the worklist are
     UNDEFINED — the caller must mask them (models/render_brick_mxu.py
     does, against the segment carry).
+
+    ws_ref holds the PER-STEP slab block ids ws[j*P + k] (gathered
+    XLA-side from the pairs table): prefetching the whole frame's
+    pool_blk table instead overflows SMEM at 800^2 (~3.9 MB of scalar
+    operands) and crashes the Mosaic compile helper — the worklist-
+    sized (Ns*P) table stays ~100-300 KB.
     """
     j = pl.program_id(0)
     slab_refs = slab_w_out[:P]
@@ -934,7 +940,9 @@ def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     """Worklist-grid transposed entry (see _kernel_wl).
 
     pool_blk/meta: the (T*Lp) padded pairs tables (any layout — wl rows
-        address them absolutely; each wl must be P-aligned).
+        address them absolutely; each wl must be P-aligned).  pool_blk
+        is gathered down to the worklist-sized per-step id table here
+        (only that table rides the scalar-prefetch SMEM budget).
     wt/wl/wn/wf: (Ns,) int32 worklist — tile id, first pairs row, live
         slots (<= P; 0 = pad step), first-group-of-tile flag.  Steps of
         one tile must be consecutive; pad steps must repeat the last
@@ -958,24 +966,27 @@ def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     bitw = jnp.stack([jnp.broadcast_to(
         ((jnp.arange(ROWW, dtype=jnp.int32)[:, None] // FEAT >> k) & 1
          ).astype(jnp.float32), (ROWW, N)) for k in range(3)])
+    ws = jnp.take(pool_blk.astype(jnp.int32),
+                  (wl[:, None] + jnp.arange(P, dtype=wl.dtype)[None])
+                  .reshape(-1))                              # (Ns*P,)
     slab_specs = [
         pl.BlockSpec((1, ROWW, vox),
                      functools.partial(
-                         lambda j, wt_, wl_, wn_, wf_, pb, k=0:
-                         (pb[wl_[j] + k], 0, 0), k=k))
+                         lambda j, wt_, wl_, wn_, wf_, ws_, k=0:
+                         (ws_[j * P + k], 0, 0), k=k))
         for k in range(P)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(Ns,),
         in_specs=[
             pl.BlockSpec((P, 1, 8),
-                         lambda j, wt_, wl_, wn_, wf_, pb:
+                         lambda j, wt_, wl_, wn_, wf_, ws_:
                          (wl_[j] // P, 0, 0)),
-            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, ws_:
                          (wt_[j], 0)),
-            pl.BlockSpec((FEAT, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+            pl.BlockSpec((FEAT, TPX), lambda j, wt_, wl_, wn_, wf_, ws_:
                          (wt_[j], 0)),
-            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+            pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, ws_:
                          (wt_[j], 0)),
             *slab_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -984,7 +995,7 @@ def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, pb:
+        out_specs=pl.BlockSpec((8, TPX), lambda j, wt_, wl_, wn_, wf_, ws_:
                                (wt_[j], 0)),
     )
     kern = functools.partial(_kernel_wl, S=S, dt=dt, tau_max=tau_max,
@@ -1001,7 +1012,7 @@ def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
             bytes_accessed=Ns * P * vox * ROWW * pool3T.dtype.itemsize,
             transcendentals=Ns * P * S * TPX * 4),
     )(wt.astype(jnp.int32), wl.astype(jnp.int32), wn.astype(jnp.int32),
-      wf.astype(jnp.int32), pool_blk, metaP, raysT, shT, initT,
+      wf.astype(jnp.int32), ws, metaP, raysT, shT, initT,
       *([pool3T] * P), rowv, bitw, w1.T, w2.T, w3.T)
     return outT.reshape(T, 8, TPX).swapaxes(1, 2).reshape(T * TPX, 8)
 

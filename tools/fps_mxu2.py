@@ -325,6 +325,32 @@ VARIANTS = {
                      voxel_res=256, max_samples=256, L=96,
                      exact_cull=96, segment_slots=32, wl_cap=4096,
                      drain_tiles=128, drain_L=128, drain_xc=96),
+    # c5k champion follow-ups (4.26 FPS exact; c<=3k starves whole
+    # trailing tiles — the cap must cover the true per-segment load)
+    "wl16g_c5k_T3": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                         voxel_res=256, max_samples=256, L=96,
+                         exact_cull=96, segment_slots=32, wl_cap=5120,
+                         drain_tiles=64, drain_L=128, drain_xc=96,
+                         T_threshold=1e-3),
+    "wl16g_c4k": dict(kernel="wl", pbatch=16, pool_dtype="bfloat16",
+                      voxel_res=256, max_samples=256, L=96,
+                      exact_cull=96, segment_slots=32, wl_cap=4096,
+                      drain_tiles=128, drain_L=128, drain_xc=96),
+    "wl16g_c5k_seg48": dict(kernel="wl", pbatch=16,
+                            pool_dtype="bfloat16", voxel_res=256,
+                            max_samples=256, L=96, exact_cull=96,
+                            segment_slots=48, wl_cap=5120,
+                            drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl16g_c5k_ms512": dict(kernel="wl", pbatch=16,
+                            pool_dtype="bfloat16", voxel_res=256,
+                            max_samples=512, L=96, exact_cull=96,
+                            segment_slots=32, wl_cap=5120,
+                            drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl16g_v512_c12k": dict(kernel="wl", pbatch=16,
+                            pool_dtype="bfloat16", voxel_res=512,
+                            max_samples=256, L=192, exact_cull=96,
+                            segment_slots=32, wl_cap=12288,
+                            drain_tiles=64, drain_L=256, drain_xc=256),
 }
 
 

@@ -218,6 +218,10 @@ VARIANTS = {
                         march="block2"),
     "r5_blk2_b16k": dict(ms=512, budget=14 * 8192, gdiv=16,
                          batch=16384, march="block2"),
+    "r5_blk2_b16k_t15": dict(ms=512, budget=14 * 8192, gdiv=16,
+                             batch=16384, march="block2", tsize=15),
+    "r5_blk2_b16k_bud12": dict(ms=512, budget=12 * 8192, gdiv=16,
+                               batch=16384, march="block2"),
 }
 
 
