@@ -304,12 +304,14 @@ def main():
         bc = BakedConfig(voxel_res=256, block=8, dtype="bfloat16")
         baked = bake(state["params"], cfg.model, state["occ"], bc)
         geo = brick_geometry(baked["block_map"], bc, cfg.model)
-        # tp16 + exact_cull=L=96: every tile's true-hit set fits the
-        # rendered capacity, so the drain never fires and exactness
-        # holds by construction (3.40 FPS, /tmp/fps_r4m)
-        kw = dict(L=96, exact_cull=96, kernel="tp", pbatch=16,
-                  bands=(), segment_slots=16, drain_tiles=32,
-                  drain_L=128, drain_xc=96,
+        # round 5: GLOBAL-WORKLIST kernel (ops/pallas/brick_field.py
+        # _kernel_wl) — only real (tile, P-group) work items sequence;
+        # cap 5120 covers the true per-segment group load so the frame
+        # is drainless-exact (DESIGN_NOTES R5.4; 4.60 FPS @ 42.4 dB,
+        # 0 undrained, tools/fps_mxu2.py wl16g_c5k)
+        kw = dict(L=96, exact_cull=96, kernel="wl", pbatch=16,
+                  bands=(), segment_slots=32, wl_cap=5120,
+                  drain_tiles=64, drain_L=128, drain_xc=96,
                   max_samples=min(ms_render, 256), T_threshold=1e-2)
         res = {}
 

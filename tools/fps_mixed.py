@@ -82,8 +82,16 @@ def main():
     kw = dict(L=192, exact_cull=96, kernel="tp", pbatch=16, bands=(),
               segment_slots=16, drain_tiles=64, drain_L=192, drain_xc=96,
               max_samples=256, T_threshold=1e-2)
+    # "wl:P:cap" first token switches to the round-5 global-worklist
+    # kernel (R5.4 champion shape); remaining tokens are tolerances
+    specs = sys.argv[1:] or ["0:0", "2:0.25", "8:1.0"]
+    if specs and specs[0].startswith("wl"):
+        _, p_s, cap_s = specs[0].split(":")
+        kw.update(kernel="wl", pbatch=int(p_s), wl_cap=int(cap_s),
+                  segment_slots=32, drain_tiles=64, drain_L=128)
+        specs = specs[1:]
 
-    for spec in sys.argv[1:] or ["0:0", "2:0.25", "8:1.0"]:
+    for spec in specs:
         ts, tf = (float(v) for v in spec.split(":"))
         try:
             t0 = time.time()

@@ -351,6 +351,28 @@ VARIANTS = {
                             max_samples=256, L=192, exact_cull=96,
                             segment_slots=32, wl_cap=12288,
                             drain_tiles=64, drain_L=256, drain_xc=256),
+    # round 5b: P sweep under the GLOBAL worklist.  Mean true hits/tile
+    # is ~5 against P-sized groups, so P=16 pays ~3x dead-lane matmul/
+    # DMA work per live group; P=8/P=4 shrink the per-step body at the
+    # cost of more (cheap) steps.  Caps sized to the true per-segment
+    # group load at each P (starvation is catastrophic — R5.4 lesson 3).
+    "wl8g_c7k": dict(kernel="wl", pbatch=8, pool_dtype="bfloat16",
+                     voxel_res=256, max_samples=256, L=96,
+                     exact_cull=96, segment_slots=32, wl_cap=7168,
+                     drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl8g_c9k": dict(kernel="wl", pbatch=8, pool_dtype="bfloat16",
+                     voxel_res=256, max_samples=256, L=96,
+                     exact_cull=96, segment_slots=32, wl_cap=9216,
+                     drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl4g_c12k": dict(kernel="wl", pbatch=4, pool_dtype="bfloat16",
+                      voxel_res=256, max_samples=256, L=96,
+                      exact_cull=96, segment_slots=32, wl_cap=12288,
+                      drain_tiles=64, drain_L=128, drain_xc=96),
+    "wl8g_c7k_T3": dict(kernel="wl", pbatch=8, pool_dtype="bfloat16",
+                        voxel_res=256, max_samples=256, L=96,
+                        exact_cull=96, segment_slots=32, wl_cap=7168,
+                        drain_tiles=64, drain_L=128, drain_xc=96,
+                        T_threshold=1e-3),
 }
 
 

@@ -60,8 +60,10 @@ def main():
              max_samples=256, chunk_tiles=512,
              drain_tiles=int(os.environ.get("PF_D", 256)),
              drain_L=int(os.environ.get("PF_DL", 256)),
-             drain_xc=int(os.environ.get("PF_DXC", 96)), kernel="tp",
-             pbatch=int(os.environ.get("PF_P", 8)))
+             drain_xc=int(os.environ.get("PF_DXC", 96)),
+             kernel=os.environ.get("PF_KERNEL", "tp"),
+             pbatch=int(os.environ.get("PF_P", 8)),
+             wl_cap=int(os.environ.get("PF_CAP", 0)))
     seg = int(os.environ.get("PF_SEG", 8))
     if seg:
         v["segment_slots"], v["bands"] = seg, ()
