@@ -50,8 +50,11 @@ def _fine_brick_errors(fine, coarse, cfg: NGPConfig, bcf: BakedConfig,
                      -1).reshape(-1, 3) / Bk                 # (Bk^3, 3) in
     #                                                          brick units
 
+    # fine/coarse are jit ARGUMENTS: closing over them captures both
+    # pools as compile-time constants (~GBs lowered into the program —
+    # ResourceExhausted on chip)
     @jax.jit
-    def chunk_err(lo_c, hi_c):
+    def chunk_err(fine, coarse, lo_c, hi_c):
         pts = (lo_c[:, None, :]
                + grid[None] * (hi_c - lo_c)[:, None, :]).reshape(-1, 3)
         sf, hf = baked_field(fine, cfg, bcf, pts)
@@ -66,7 +69,7 @@ def _fine_brick_errors(fine, coarse, cfg: NGPConfig, bcf: BakedConfig,
     lo_p = jnp.concatenate([lof, jnp.zeros((pad, 3))]) if pad else lof
     hi_p = jnp.concatenate([hif, jnp.ones((pad, 3))]) if pad else hif
     for i in range(0, Nf + pad, chunk_bricks):
-        es, ef = chunk_err(lo_p[i:i + chunk_bricks],
+        es, ef = chunk_err(fine, coarse, lo_p[i:i + chunk_bricks],
                            hi_p[i:i + chunk_bricks])
         es_all.append(np.asarray(es))
         ef_all.append(np.asarray(ef))
@@ -76,7 +79,7 @@ def _fine_brick_errors(fine, coarse, cfg: NGPConfig, bcf: BakedConfig,
 def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
                vres_coarse: int = 256, block: int = 8,
                dtype: str = "bfloat16", tol_sigma: float = 2.0,
-               tol_feat: float = 0.25):
+               tol_feat: float = 0.25, fine=None, coarse=None):
     """Bake a mixed-resolution brick field.
 
     tol_sigma: max |sigma| deviation (density units; alpha error per
@@ -96,8 +99,12 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
         "one octave per merge step (fine = 2 x coarse)"
     bcf = BakedConfig(voxel_res=vres_fine, block=block, dtype=dtype)
     bcc = BakedConfig(voxel_res=vres_coarse, block=block, dtype=dtype)
-    fine = bake(params, cfg, occ, bcf)
-    coarse = bake(params, cfg, occ, bcc)
+    # callers that already hold the bakes (bench.py's 512/256 stages)
+    # pass them in; a fresh 512^3 bake costs ~60 s warm on chip
+    if fine is None:
+        fine = bake(params, cfg, occ, bcf)
+    if coarse is None:
+        coarse = bake(params, cfg, occ, bcc)
     lof, hif, _ = brick_geometry(fine["block_map"], bcf, cfg)
     loc, hic, _ = brick_geometry(coarse["block_map"], bcc, cfg)
     Nf, Nc = lof.shape[0], loc.shape[0]
@@ -106,9 +113,15 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
 
     merge = np.zeros((Nf,), bool)
     sel_c = np.zeros((0,), np.int64)
+    err_pct = None
     if tol_sigma > 0 and tol_feat > 0 and Nc:
         es, ef = _fine_brick_errors(fine, coarse, cfg, bcf, bcc, lof, hif)
         ok_f = (es <= tol_sigma) & (ef <= tol_feat)          # (Nf,)
+        q = [10, 25, 50, 75, 90]
+        err_pct = dict(sigma=[round(float(v), 3)
+                              for v in np.percentile(es, q)],
+                       feat=[round(float(v), 3)
+                             for v in np.percentile(ef, q)])
 
         # map fine bricks -> parent coarse brick (pool order on both
         # sides via the block grids)
@@ -151,5 +164,6 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
     pool_base = jnp.arange(n_blocks, dtype=jnp.int32) * vox
     stats = dict(n_fine_total=int(Nf), n_fine_kept=int(len(sel_f)),
                  n_coarse=int(len(sel_c)),
-                 bricks_saved_frac=round(1.0 - n_blocks / max(Nf, 1), 3))
+                 bricks_saved_frac=round(1.0 - n_blocks / max(Nf, 1), 3),
+                 err_pct=err_pct)
     return baked, bcc, (lo, hi, pool_base), stats

@@ -953,6 +953,15 @@ def brick_field_tiles_wl(pool_blk, meta, rays, sh, pool3T, w1, w2, w3,
     """
     T = rays.shape[0] // TPX
     Ns = wt.shape[0]
+    # scalar-prefetch operands live in SMEM: 4 worklist arrays (Ns each)
+    # + the per-step slab-id table (Ns*P).  Beyond ~800 KB the Mosaic
+    # compile helper dies with an opaque HTTP 500 (measured: cap 5120 x
+    # P16 = 407 KB ok, cap 16384 x P16 = 1.3 MB crash) — fail loud with
+    # the actionable knob instead.
+    smem_bytes = Ns * 4 * (4 + P)
+    assert smem_bytes <= 800 * 1024, (
+        f"worklist scalar-prefetch needs {smem_bytes/1024:.0f} KB SMEM "
+        f"(cap {Ns} x P {P}); reduce wl_cap or pbatch to fit ~800 KB")
     vox = Bk * Bk * Bk
     raysT = rays.reshape(T, TPX, 8).swapaxes(1, 2).reshape(T * 8, TPX)
     shT = sh.reshape(T, TPX, FEAT).swapaxes(1, 2).reshape(T * FEAT, TPX)
