@@ -53,22 +53,20 @@ def _setup_compilation_cache():
         # keep the shared repo dir (TPU executables are compiled
         # remotely and are host-independent).
         if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-            # per-user path: a world-shared /tmp dir would let another
-            # local user pre-plant AOT cache entries that JAX loads
-            # in-process (advisor r4).  Also scoped by the jaxlib BUILD:
-            # this machine runs two XLA builds (the TPU-plugin site dir
-            # shims its own jaxlib) whose CPU AOT target features differ
-            # — cross-loading triggers cpu_aot_loader feature-mismatch
-            # warnings and can SIGILL (r5 observation; same class as the
-            # r4 cross-machine segfault).
-            import sys
-            import jaxlib
-            tag = (f"{os.getuid()}_{getattr(jaxlib, '__version__', '0')}"
-                   + ("_axon" if any(".axon_site" in p for p in sys.path)
-                      else ""))
-            d = os.environ.get(
-                "GOOGLE_NERF_TPU_CACHE_DIR",
-                f"/tmp/google_nerf_tpu_jax_cache_cpu_{tag}")
+            # NO persistent cache for CPU processes.  The escalation
+            # trail: r4 proved cpuinfo fingerprints can't prevent
+            # cross-machine AOT SIGILLs; r5 then observed cpu_aot_loader
+            # feature-mismatch warnings and a deterministic segfault in
+            # compile_or_get_cached even with per-uid, per-jaxlib-build
+            # /tmp paths — entries written on THIS machine under ONE tag
+            # still disagree on XLA target features (+prefer-no-scatter/
+            # -gather vary with which plugin stack initialized the
+            # process).  CPU programs compile in milliseconds-to-seconds;
+            # the cache only ever saved seconds and has twice produced
+            # crashes, so CPU runs skip it entirely.  TPU-bound processes
+            # keep the shared repo dir (TPU executables are compiled
+            # remotely, are host-independent, and cost minutes fresh).
+            return
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

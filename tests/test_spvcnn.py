@@ -210,6 +210,12 @@ def test_convert_state_dict_shapes_and_run():
 
 
 def test_refine_shift_runs():
+    # this compile segfaulted XLA:CPU deterministically when reached with
+    # the FULL suite's accumulated executable state (~200 tests in; passes
+    # in isolation and after any ~30-test subset — r5 bisect).  Dropping
+    # the suite's live executables before the large pjit compile avoids
+    # the crash; persistent cache is already off under pytest (conftest).
+    jax.clear_caches()
     rng = np.random.default_rng(0)
     depth = (1.0 + rng.random((24, 32))).astype(np.float32)
     params = init_spvcnn(jax.random.PRNGKey(2), input_channel=3, cr=0.25)

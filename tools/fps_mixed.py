@@ -86,12 +86,13 @@ def main():
     # kernel (R5.4 champion shape); remaining tokens are tolerances
     specs = sys.argv[1:] or ["0:0", "2:0.25", "8:1.0"]
     if specs and specs[0].startswith("wl"):
-        _, p_s, cap_s = specs[0].split(":")
+        parts = specs[0].split(":")
         # drain kept at 512-grade capacity (drain_L/xc 256): mixed tiles
         # can exceed the 96-slot cull exactly like the pure-512 stage
-        kw.update(kernel="wl", pbatch=int(p_s), wl_cap=int(cap_s),
-                  segment_slots=32, drain_tiles=64, drain_L=256,
-                  drain_xc=256)
+        kw.update(kernel="wl", pbatch=int(parts[1]), wl_cap=int(parts[2]),
+                  segment_slots=32,
+                  drain_tiles=int(parts[3]) if len(parts) > 3 else 64,
+                  drain_L=256, drain_xc=256)
         specs = specs[1:]
 
     for spec in specs:
