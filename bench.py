@@ -23,7 +23,10 @@ import time
 
 BASELINE_RAYS_PER_SEC = 30000 * 8192 / 300.0  # 2080 Ti, BASELINE.md
 BASELINE_FPS = 32.44                           # 800^2, BASELINE.md
-DEADLINE = float(os.environ.get("BENCH_DEADLINE", 480.0))  # wall seconds
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", 660.0))  # wall seconds
+# 660 (was 480, r5): the round-5 stage list (mixed-resolution stage added)
+# totals ~500 s warm; the deadline is scoreboard discipline against a
+# degraded compile window, not a target runtime
 T_WALL0 = time.time()
 
 print = functools.partial(print, flush=True)
@@ -100,11 +103,16 @@ def main():
     #                              ~10 ms/step; smaller refresh passes the
     #                              >=48 gate where gi32/gi64 cadence cuts
     #                              did not: 216.2k rays/s @ 48.22)
+    # march="block2" (r5 flagship flip): the two-phase liveness-table
+    # marcher cuts march gather rows ~4x; at the r4 recipe it is the
+    # fastest step measured all round — 27.48 ms/step = 298.1k rays/s
+    # (0.364x) at psnr@1024 48.77 vs block's 31.89 ms / 256.9k @ 48.91
+    # (tools/r3_train_ab.py r5_blk2 vs r5_head, same chip session)
     cfg = TrainConfig(model=model, batch_size=8192, k_samples=256,
                       num_epochs=30, samples_budget=57344,
                       max_samples=512, grid_sample_div=16,
                       random_bg=True, exclude_incomplete="backfill",
-                      march="block")
+                      march="block2")
 
     # style="textured": shell geometry + high-frequency surface detail —
     # the realized samples/ray and encoder stress match real benchmark
@@ -267,10 +275,14 @@ def main():
         # lists at 96 slots, leaving 154 pairs undrained on deep tiles
         # (BENCH_r04) — the full-resolution stage should be exact by
         # construction (VERDICT r4 item 5)
+        # drain_L/xc=384 (r5): at 256 the drain left 3 pairs on 3 tiles
+        # whose true-hit count exceeds 256 — 384 covers the measured max
+        # with margin, making the full-resolution stage exact by
+        # construction (VERDICT r4 item 5: 0 undrained, 0 trunc)
         mxu_kw = dict(L=192, exact_cull=48, kernel="tp", pbatch=8,
                       bands=(), segment_slots=8,
-                      drain_tiles=256, drain_L=256,
-                      drain_xc=256, max_samples=min(ms_render, 256),
+                      drain_tiles=256, drain_L=384,
+                      drain_xc=384, max_samples=min(ms_render, 256),
                       T_threshold=1e-2)
 
         def frame():
@@ -350,7 +362,8 @@ def main():
         # tools/fps_mixed.py r5 sweep: 3.71 FPS @ +0.3 dB over v256).
         if "baked" not in shared or "baked256" not in shared:
             return {"mixed_skipped": "missing bakes"}
-        from google_nerf_tpu.models.baked_mixed import bake_mixed
+        from google_nerf_tpu.models.baked_mixed import (bake_mixed,
+                                                        pad_bricks)
         from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
         t0 = time.time()
         baked_m, bc_m, geo_m, stats = bake_mixed(
@@ -358,10 +371,16 @@ def main():
             vres_fine=512, vres_coarse=256, block=8, dtype="bfloat16",
             tol_sigma=16.0, tol_feat=2.0,
             fine=shared["baked"], coarse=shared["baked256"])
+        # 4096-bucket padding: one compiled frame program per bucket —
+        # states whose merge counts differ by <4096 bricks share it
+        baked_m, geo_m = pad_bricks(baked_m, geo_m)
         t_bake = time.time() - t0
+        # drain_tiles=128: at 64 a fresh 1024-step state left 20 pairs
+        # undrained (merge counts shift with the state; the drain must
+        # cover the needy-tile tail, not the champion state's exact count)
         kw = dict(L=192, exact_cull=96, kernel="wl", pbatch=8,
                   bands=(), segment_slots=32, wl_cap=12288,
-                  drain_tiles=64, drain_L=256, drain_xc=256,
+                  drain_tiles=128, drain_L=256, drain_xc=256,
                   max_samples=min(ms_render, 256), T_threshold=1e-2)
         res = {}
 

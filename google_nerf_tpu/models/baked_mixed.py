@@ -147,17 +147,23 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
         sel_c = np.flatnonzero(mergeable_c)
 
     sel_f = np.flatnonzero(~merge)
-    pool_f = np.asarray(fine["pool"]).reshape(Nf, vox, 8 * bcf.feat_dim)
-    pool_c = np.asarray(coarse["pool"]).reshape(Nc, vox, 8 * bcc.feat_dim)
-    pool = np.concatenate([pool_f[sel_f], pool_c[sel_c]]) if len(sel_c) \
-        else pool_f[sel_f]
+    # pool assembly stays ON DEVICE: np.asarray round-trips ~0.5 GB of
+    # pools through the host relay (~200 s measured in the bench stage);
+    # two jnp.takes do it in milliseconds of HBM traffic
+    pool_f = fine["pool"].reshape(Nf, vox * 8 * bcf.feat_dim)
+    pool_c = coarse["pool"].reshape(Nc, vox * 8 * bcc.feat_dim)
+    parts = [jnp.take(pool_f, jnp.asarray(sel_f, jnp.int32), axis=0)]
+    if len(sel_c):
+        parts.append(jnp.take(pool_c, jnp.asarray(sel_c, jnp.int32),
+                              axis=0))
+    pool = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     lo = jnp.concatenate([lof[sel_f], loc[sel_c]]) if len(sel_c) \
         else lof[jnp.asarray(sel_f)]
     hi = jnp.concatenate([hif[sel_f], hic[sel_c]]) if len(sel_c) \
         else hif[jnp.asarray(sel_f)]
     n_blocks = int(pool.shape[0])
     baked = dict(
-        pool=jnp.asarray(pool.reshape(n_blocks * vox, -1)),
+        pool=pool.reshape(n_blocks * vox, -1),
         rgb_mlp=fine["rgb_mlp"],
         n_blocks=n_blocks,
     )
@@ -167,3 +173,29 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
                  bricks_saved_frac=round(1.0 - n_blocks / max(Nf, 1), 3),
                  err_pct=err_pct)
     return baked, bcc, (lo, hi, pool_base), stats
+
+
+def pad_bricks(baked, geo, mult: int = 4096):
+    """Pad the brick count to a `mult` bucket with far-away never-culled
+    dummy bricks, so nearby tolerances / train states share ONE compiled
+    frame program (brick count is a static shape in the renderer; a
+    fresh count costs a full compile-service round trip)."""
+    lo, hi, _ = geo
+    n = baked["n_blocks"]
+    vox = baked["pool"].shape[0] // n
+    npad = (-n) % mult
+    if npad == 0:
+        return baked, geo
+    pool = jnp.concatenate([
+        baked["pool"],
+        jnp.zeros((npad * vox, baked["pool"].shape[1]),
+                  baked["pool"].dtype)])
+    far = jnp.full((npad, 3), 1e6, lo.dtype)
+    geo2 = (jnp.concatenate([lo, far]),
+            jnp.concatenate([hi, far + 1e-3]),
+            jnp.arange(n + npad, dtype=jnp.int32) * vox)
+    b2 = dict(baked)
+    b2["pool"] = pool
+    b2["n_blocks"] = n + npad
+    b2.pop("poolT", None)
+    return b2, geo2

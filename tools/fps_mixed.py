@@ -23,27 +23,7 @@ import numpy as np
 print = functools.partial(print, flush=True)
 
 
-def pad_bricks(baked, geo, mult=4096):
-    """Pad to a brick-count bucket with far-away never-culled bricks."""
-    lo, hi, _ = geo
-    n = baked["n_blocks"]
-    vox = baked["pool"].shape[0] // n
-    npad = (-n) % mult
-    if npad == 0:
-        return baked, geo
-    pool = jnp.concatenate([
-        baked["pool"],
-        jnp.zeros((npad * vox, baked["pool"].shape[1]),
-                  baked["pool"].dtype)])
-    far = jnp.full((npad, 3), 1e6, lo.dtype)
-    geo2 = (jnp.concatenate([lo, far]),
-            jnp.concatenate([hi, far + 1e-3]),
-            jnp.arange(n + npad, dtype=jnp.int32) * vox)
-    b2 = dict(baked)
-    b2["pool"] = pool
-    b2["n_blocks"] = n + npad
-    b2.pop("poolT", None)
-    return b2, geo2
+from google_nerf_tpu.models.baked_mixed import pad_bricks  # noqa: E402
 
 
 def main():
