@@ -370,7 +370,10 @@ def main():
             state["params"], cfg.model, state["occ"],
             vres_fine=512, vres_coarse=256, block=8, dtype="bfloat16",
             tol_sigma=16.0, tol_feat=2.0,
-            fine=shared["baked"], coarse=shared["baked256"])
+            fine=shared["baked"], coarse=shared.pop("baked256"))
+        # the coarse bake is dead after the merge — free its HBM before
+        # the frame (the mixed pool assembly peaks several GB; sharing
+        # the chip with another process OOMed here, r5 pass 2)
         # 4096-bucket padding: one compiled frame program per bucket —
         # states whose merge counts differ by <4096 bricks share it
         baked_m, geo_m = pad_bricks(baked_m, geo_m)

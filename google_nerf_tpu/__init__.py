@@ -52,7 +52,14 @@ def _setup_compilation_cache():
         # lifetime, never carried across machines.  TPU-bound processes
         # keep the shared repo dir (TPU executables are compiled
         # remotely and are host-independent).
-        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import sys
+        cli_cpu = False
+        try:
+            i = sys.argv.index("--platform")
+            cli_cpu = sys.argv[i + 1] == "cpu"
+        except (ValueError, IndexError):
+            pass
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu" or cli_cpu:
             # NO persistent cache for CPU processes.  The escalation
             # trail: r4 proved cpuinfo fingerprints can't prevent
             # cross-machine AOT SIGILLs; r5 then observed cpu_aot_loader

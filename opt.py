@@ -149,12 +149,25 @@ def get_opts(argv=None):
                              'per tile (wide; the exact hit filter '
                              'compacts to --brick_mxu_exact_cull slots)')
     parser.add_argument('--brick_mxu_kernel', default='tp',
-                        choices=['t', 'n', 'tp'],
+                        choices=['t', 'n', 'tp', 'wl'],
                         help='brick_mxu field kernel layout: "tp" = '
                              'transposed with P list slots batched per '
-                             'grid step (default, measured champion), '
-                             '"t" = rays-on-lanes transposed, "n" = '
-                             'samples-on-sublanes')
+                             'grid step, "wl" = global-worklist grid '
+                             '(round-5 champion: only real (tile, '
+                             'P-group) items sequence; see '
+                             '--brick_mxu_wl_cap), "t" = rays-on-lanes '
+                             'transposed, "n" = samples-on-sublanes')
+    parser.add_argument('--brick_mxu_wl_cap', type=int, default=5120,
+                        help='brick_mxu kernel=wl: worklist groups per '
+                             'list segment across the whole frame.  Must '
+                             'cover the true per-segment group load '
+                             '(starved groups drop whole trailing tiles '
+                             'into the drain); SMEM caps cap*(4+P)*4 '
+                             'bytes at ~800 KB.  DESIGN_NOTES R5.4/R5.5')
+    parser.add_argument('--T_threshold', type=float, default=1e-2,
+                        help='test renderers: terminate rays when '
+                             'transmittance falls below this (1e-3 = '
+                             '+0.5 dB, ~-8%% FPS on the wl champion)')
     parser.add_argument('--brick_mxu_pbatch', type=int, default=8,
                         help='brick_mxu kernel=tp: list slots rendered '
                              'per grid step (P slab DMAs per step)')

@@ -165,11 +165,13 @@ def run(hparams):
             seg = getattr(hparams, "brick_mxu_seg", 8)
             out = render_brick_mxu(
                 baked, cfg.model, rays_o, rays_d, w, h, bcfg=bcfg,
-                T_threshold=1e-2, geometry=brick_geo,
+                T_threshold=getattr(hparams, "T_threshold", 1e-2),
+                geometry=brick_geo,
                 L=getattr(hparams, "brick_mxu_L", 192),
                 kernel=getattr(hparams, "brick_mxu_kernel", "tp"),
                 pbatch=getattr(hparams, "brick_mxu_pbatch", 8),
                 exact_cull=getattr(hparams, "brick_mxu_exact_cull", 48),
+                wl_cap=getattr(hparams, "brick_mxu_wl_cap", 5120),
                 segment_slots=seg,
                 drain_xc=getattr(hparams, "brick_mxu_drain_xc", 96),
                 bands=("auto" if (getattr(hparams, "brick_mxu_bands", 1)
