@@ -23,10 +23,12 @@ import time
 
 BASELINE_RAYS_PER_SEC = 30000 * 8192 / 300.0  # 2080 Ti, BASELINE.md
 BASELINE_FPS = 32.44                           # 800^2, BASELINE.md
-DEADLINE = float(os.environ.get("BENCH_DEADLINE", 660.0))  # wall seconds
-# 660 (was 480, r5): the round-5 stage list (mixed-resolution stage added)
-# totals ~500 s warm; the deadline is scoreboard discipline against a
-# degraded compile window, not a target runtime
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", 900.0))  # wall seconds
+# 900 (was 480, r5): the round-5 stage list (mixed-resolution stage added)
+# totals ~500 s warm but a single cache-miss recompile costs minutes in a
+# degraded window (the r3 day hit 17 min/program); the deadline is
+# scoreboard discipline — the headline train line still prints first —
+# not a target runtime.  The driver tolerated >1000 s walls in r3.
 T_WALL0 = time.time()
 
 print = functools.partial(print, flush=True)
@@ -351,62 +353,6 @@ def main():
                 float(jnp.abs(out - shared["mxu_rgb"]).mean()), 4)
         return kv
 
-    @stage(em, "mixed", est_seconds=90)
-    def _mixed():
-        # round 5: MIXED-RESOLUTION bake (models/baked_mixed.py) — keep
-        # 512-grade bricks only where the coarse field measurably
-        # deviates (tol sigma 16 / feat 2.0 = ~p50-p75 of the per-brick
-        # error distribution), cutting the 512-grade slot count ~60%.
-        # Rendered through the worklist kernel; exactness telemetry
-        # identical to the other MXU stages (0 undrained measured,
-        # tools/fps_mixed.py r5 sweep: 3.71 FPS @ +0.3 dB over v256).
-        if "baked" not in shared or "baked256" not in shared:
-            return {"mixed_skipped": "missing bakes"}
-        from google_nerf_tpu.models.baked_mixed import (bake_mixed,
-                                                        pad_bricks)
-        from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
-        t0 = time.time()
-        baked_m, bc_m, geo_m, stats = bake_mixed(
-            state["params"], cfg.model, state["occ"],
-            vres_fine=512, vres_coarse=256, block=8, dtype="bfloat16",
-            tol_sigma=16.0, tol_feat=2.0,
-            fine=shared["baked"], coarse=shared.pop("baked256"))
-        # the coarse bake is dead after the merge — free its HBM before
-        # the frame (the mixed pool assembly peaks several GB; sharing
-        # the chip with another process OOMed here, r5 pass 2)
-        # 4096-bucket padding: one compiled frame program per bucket —
-        # states whose merge counts differ by <4096 bricks share it
-        baked_m, geo_m = pad_bricks(baked_m, geo_m)
-        t_bake = time.time() - t0
-        # drain_tiles=128: at 64 a fresh 1024-step state left 20 pairs
-        # undrained (merge counts shift with the state; the drain must
-        # cover the needy-tile tail, not the champion state's exact count)
-        kw = dict(L=192, exact_cull=96, kernel="wl", pbatch=8,
-                  bands=(), segment_slots=32, wl_cap=12288,
-                  drain_tiles=128, drain_L=256, drain_xc=256,
-                  max_samples=min(ms_render, 256), T_threshold=1e-2)
-        res = {}
-
-        def frame():
-            out = render_brick_mxu(baked_m, cfg.model, rays_o, rays_d,
-                                   w, h, bcfg=bc_m, geometry=geo_m, **kw)
-            res["t"] = {k: int(out[k]) for k in
-                        ("trunc_tiles", "pairs_undrained", "dma_slots")}
-            return out["rgb"]
-        fps, out = time_frames(frame)
-        kv = {"render_fps_800_mixed": round(fps, 2),
-              "render_fps_800_mixed_vs_baseline": round(
-                  fps / BASELINE_FPS, 3),
-              "render_psnr_800_mixed": psnr_gt(out),
-              "mixed_bake_seconds": round(t_bake, 1),
-              "mixed_bricks_saved_frac": stats["bricks_saved_frac"],
-              "mixed_dma_slots": res["t"]["dma_slots"],
-              "mixed_pairs_undrained": res["t"]["pairs_undrained"]}
-        if "mxu_rgb" in shared:
-            kv["mixed_vs_mxu_mae"] = round(
-                float(jnp.abs(out - shared["mxu_rgb"]).mean()), 4)
-        return kv
-
     @stage(em, "brick", est_seconds=130)
     def _brick():
         # XLA brick renderer (rasterized cone-culled pair lists)
@@ -491,6 +437,67 @@ def main():
             kv["baked_vs_live_mae"] = round(
                 float(jnp.abs(out - shared["live_rgb"]).mean()), 4)
         return kv
+
+    @stage(em, "mixed", est_seconds=90)
+    def _mixed():
+        # round 5: MIXED-RESOLUTION bake (models/baked_mixed.py) — keep
+        # 512-grade bricks only where the coarse field measurably
+        # deviates (tol sigma 16 / feat 2.0 = ~p50-p75 of the per-brick
+        # error distribution), cutting the 512-grade slot count ~60%.
+        # Rendered through the worklist kernel; exactness telemetry
+        # identical to the other MXU stages (0 undrained measured,
+        # tools/fps_mixed.py r5 sweep: 3.71 FPS @ +0.3 dB over v256).
+        if "baked" not in shared or "baked256" not in shared:
+            return {"mixed_skipped": "missing bakes"}
+        from google_nerf_tpu.models.baked_mixed import (bake_mixed,
+                                                        pad_bricks)
+        from google_nerf_tpu.models.render_brick_mxu import render_brick_mxu
+        t0 = time.time()
+        baked_m, bc_m, geo_m, stats = bake_mixed(
+            state["params"], cfg.model, state["occ"],
+            vres_fine=512, vres_coarse=256, block=8, dtype="bfloat16",
+            tol_sigma=16.0, tol_feat=2.0,
+            fine=shared["baked"], coarse=shared.pop("baked256"))
+        # This stage runs LAST and frees every other bake before its
+        # frame: the 512^3 pool alone is ~3.3 GB and the mixed assembly
+        # peaks several GB more — with the earlier stage order the frame
+        # OOMed even solo (r5 pass 3; usable HBM through the relay is
+        # well under the nominal chip capacity).
+        shared.pop("baked", None)
+        shared.pop("geo", None)
+        # 4096-bucket padding: one compiled frame program per bucket —
+        # states whose merge counts differ by <4096 bricks share it
+        baked_m, geo_m = pad_bricks(baked_m, geo_m)
+        t_bake = time.time() - t0
+        # drain_tiles=128: at 64 a fresh 1024-step state left 20 pairs
+        # undrained (merge counts shift with the state; the drain must
+        # cover the needy-tile tail, not the champion state's exact count)
+        kw = dict(L=192, exact_cull=96, kernel="wl", pbatch=8,
+                  bands=(), segment_slots=32, wl_cap=12288,
+                  drain_tiles=128, drain_L=256, drain_xc=256,
+                  max_samples=min(ms_render, 256), T_threshold=1e-2)
+        res = {}
+
+        def frame():
+            out = render_brick_mxu(baked_m, cfg.model, rays_o, rays_d,
+                                   w, h, bcfg=bc_m, geometry=geo_m, **kw)
+            res["t"] = {k: int(out[k]) for k in
+                        ("trunc_tiles", "pairs_undrained", "dma_slots")}
+            return out["rgb"]
+        fps, out = time_frames(frame)
+        kv = {"render_fps_800_mixed": round(fps, 2),
+              "render_fps_800_mixed_vs_baseline": round(
+                  fps / BASELINE_FPS, 3),
+              "render_psnr_800_mixed": psnr_gt(out),
+              "mixed_bake_seconds": round(t_bake, 1),
+              "mixed_bricks_saved_frac": stats["bricks_saved_frac"],
+              "mixed_dma_slots": res["t"]["dma_slots"],
+              "mixed_pairs_undrained": res["t"]["pairs_undrained"]}
+        if "mxu_rgb" in shared:
+            kv["mixed_vs_mxu_mae"] = round(
+                float(jnp.abs(out - shared["mxu_rgb"]).mean()), 4)
+        return kv
+
 
     em.update(total_seconds=round(time.time() - T_WALL0, 1))
 
