@@ -457,13 +457,12 @@ def main():
             state["params"], cfg.model, state["occ"],
             vres_fine=512, vres_coarse=256, block=8, dtype="bfloat16",
             tol_sigma=16.0, tol_feat=2.0,
-            fine=shared["baked"], coarse=shared.pop("baked256"))
-        # This stage runs LAST and frees every other bake before its
-        # frame: the 512^3 pool alone is ~3.3 GB and the mixed assembly
-        # peaks several GB more — with the earlier stage order the frame
-        # OOMed even solo (r5 pass 3; usable HBM through the relay is
-        # well under the nominal chip capacity).
-        shared.pop("baked", None)
+            fine=shared.pop("baked"), coarse=shared.pop("baked256"))
+        # This stage runs LAST and hands OWNING refs to bake_mixed: the
+        # 512^3 pool alone is ~3.3 GB and usable HBM through the relay
+        # is well under the nominal chip capacity — the merge drops each
+        # source pool the moment its rows are extracted (the naive
+        # take+concat assembly OOMed solo, r5 pass 3-4).
         shared.pop("geo", None)
         # 4096-bucket padding: one compiled frame program per bucket —
         # states whose merge counts differ by <4096 bricks share it

@@ -147,24 +147,35 @@ def bake_mixed(params, cfg: NGPConfig, occ, *, vres_fine: int = 512,
         sel_c = np.flatnonzero(mergeable_c)
 
     sel_f = np.flatnonzero(~merge)
-    # pool assembly stays ON DEVICE: np.asarray round-trips ~0.5 GB of
-    # pools through the host relay (~200 s measured in the bench stage);
-    # two jnp.takes do it in milliseconds of HBM traffic
-    pool_f = fine["pool"].reshape(Nf, vox * 8 * bcf.feat_dim)
-    pool_c = coarse["pool"].reshape(Nc, vox * 8 * bcc.feat_dim)
-    parts = [jnp.take(pool_f, jnp.asarray(sel_f, jnp.int32), axis=0)]
-    if len(sel_c):
-        parts.append(jnp.take(pool_c, jnp.asarray(sel_c, jnp.int32),
-                              axis=0))
-    pool = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    # Pool assembly stays ON DEVICE (np.asarray round-trips GBs through
+    # the host relay, ~200 s measured) but is SEQUENCED for peak HBM:
+    # usable memory through the relay is well under the nominal chip
+    # capacity (the naive take+concat OOMed solo, r5 bench pass 3-4), so
+    # each source pool is dropped the moment its rows are extracted.
+    # Callers should pass OWNING references (not keep their own).
     lo = jnp.concatenate([lof[sel_f], loc[sel_c]]) if len(sel_c) \
         else lof[jnp.asarray(sel_f)]
     hi = jnp.concatenate([hif[sel_f], hic[sel_c]]) if len(sel_c) \
         else hif[jnp.asarray(sel_f)]
+    cpart = None
+    if len(sel_c):
+        cpart = jnp.take(coarse["pool"].reshape(
+            Nc, vox * 8 * bcc.feat_dim),
+            jnp.asarray(sel_c, jnp.int32), axis=0)
+        cpart.block_until_ready()
+    coarse.pop("pool", None)
+    fpart = jnp.take(fine["pool"].reshape(Nf, vox * 8 * bcf.feat_dim),
+                     jnp.asarray(sel_f, jnp.int32), axis=0)
+    fpart.block_until_ready()
+    rgb_mlp = fine["rgb_mlp"]
+    fine.pop("pool", None)
+    pool = jnp.concatenate([fpart, cpart]) if cpart is not None else fpart
+    pool.block_until_ready()
+    del fpart, cpart
     n_blocks = int(pool.shape[0])
     baked = dict(
         pool=pool.reshape(n_blocks * vox, -1),
-        rgb_mlp=fine["rgb_mlp"],
+        rgb_mlp=rgb_mlp,
         n_blocks=n_blocks,
     )
     pool_base = jnp.arange(n_blocks, dtype=jnp.int32) * vox
